@@ -1,0 +1,309 @@
+"""Discrete-element method for circular disks, TPU-native.
+
+Covers SURVEY.md SS2 C13 (broadphase), C14 (spring-dashpot contacts),
+C15 (wall contacts) and C16 (velocity-Verlet integration with DEM
+subcycling inside the jitted step).
+
+TPU-first design:
+- Fixed-capacity cell list (C13): disks are bucketed into a uniform
+  grid of cells (side >= 2 r_max) with a static per-cell capacity K.
+  The table is built with one argsort + rank trick (deterministic, no
+  atomics); overflowing entries are *counted* and surfaced as a
+  diagnostic instead of being silently dropped (SURVEY SS7 hard parts).
+- Narrowphase (C14) evaluates all 9K candidate pairs per disk with
+  masked vectorized math - no data-dependent shapes. Each disk computes
+  the force on itself from every neighbor, so Newton's third law holds
+  by antisymmetry of the formulas (tested).
+- Tangential friction is a dashpot with Coulomb cap mu |F_n| (no
+  contact-history spring; `kt` is accepted for config parity and the
+  history-spring upgrade is tracked for a later round).
+- Integration (C16) is velocity-Verlet with one force evaluation per
+  substep (force carried across substeps), run as a `lax.scan` of
+  `n_sub` substeps per LBM step, entirely on device.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from lbmdem_tpu.config import SimConfig, WALL
+
+
+@dataclasses.dataclass(frozen=True)
+class DemGrid:
+    """Static broadphase grid geometry (baked into the jitted step)."""
+
+    cell_size: float
+    ncx: int
+    ncy: int
+    capacity: int
+
+    @staticmethod
+    def build(cfg: SimConfig, r_max: float, capacity: int = 8) -> "DemGrid":
+        cell = max(2.0 * float(r_max), 1.0)
+        ncx = max(int(cfg.nx / cell) + 1, 1)
+        ncy = max(int(cfg.ny / cell) + 1, 1)
+        return DemGrid(cell_size=cell, ncx=ncx, ncy=ncy, capacity=capacity)
+
+
+class DiskState(NamedTuple):
+    """SoA disk state pytree (C11). Fixed capacity N = cfg.max_disks."""
+
+    x: jax.Array  # (N, 2) centers
+    v: jax.Array  # (N, 2) velocities
+    theta: jax.Array  # (N,) orientation
+    omega: jax.Array  # (N,) angular velocity
+    r: jax.Array  # (N,) radii
+    mass: jax.Array  # (N,) rho_s * pi r^2 (unit depth)
+    inertia: jax.Array  # (N,) 0.5 m r^2
+    active: jax.Array  # (N,) bool
+
+
+def _cell_ids(x: jax.Array, active: jax.Array, grid: DemGrid) -> jax.Array:
+    cx = jnp.clip(jnp.floor((x[:, 0] + 0.5) / grid.cell_size), 0, grid.ncx - 1)
+    cy = jnp.clip(jnp.floor((x[:, 1] + 0.5) / grid.cell_size), 0, grid.ncy - 1)
+    cid = (cy * grid.ncx + cx).astype(jnp.int32)
+    return jnp.where(active, cid, -1)
+
+
+def build_cell_table(
+    x: jax.Array, active: jax.Array, grid: DemGrid
+) -> Tuple[jax.Array, jax.Array]:
+    """Bucket disks into cells. Returns (table (ncells, K), overflow count).
+
+    table[c, k] is the index of the k-th disk in cell c, or -1. Built via
+    argsort on cell id + within-cell rank (deterministic scatter).
+    """
+    n = x.shape[0]
+    k = grid.capacity
+    ncells = grid.ncx * grid.ncy
+    cid = _cell_ids(x, active, grid)
+    order = jnp.argsort(cid)
+    scid = cid[order]
+    first = jnp.searchsorted(scid, scid, side="left")
+    rank = jnp.arange(n, dtype=jnp.int32) - first.astype(jnp.int32)
+    valid = (scid >= 0) & (rank < k)
+    slot = jnp.where(valid, scid * k + rank, ncells * k)  # OOB -> dropped
+    table = (
+        jnp.full((ncells * k,), -1, jnp.int32)
+        .at[slot]
+        .set(order.astype(jnp.int32), mode="drop")
+        .reshape(ncells, k)
+    )
+    overflow = jnp.sum((scid >= 0) & (rank >= k)).astype(jnp.int32)
+    return table, overflow
+
+
+def _pair_force(xi, vi, omi, ri, xj, vj, omj, rj, mask, cfg: SimConfig, dt):
+    """Spring-dashpot force/torque on disk i from disk(s)/wall(s) j (C14).
+
+    n points from j to i. Returns (F (..., 2), T (...,)).
+    """
+    d = xi - xj
+    dist = jnp.sqrt(jnp.sum(d * d, axis=-1))
+    dist = jnp.maximum(dist, jnp.asarray(1e-12, dt))
+    delta = ri + rj - dist
+    touching = mask & (delta > 0)
+    n = d / dist[..., None]
+    t = jnp.stack([-n[..., 1], n[..., 0]], axis=-1)
+    # Lever arms reach the mid-overlap contact point (r - delta/2); using
+    # the full radius would create spurious net angular momentum ft*delta.
+    li = ri - 0.5 * delta
+    lj = rj - 0.5 * delta
+    vrel = vi - vj - (omi * li + omj * lj)[..., None] * t
+    vn = jnp.sum(vrel * n, axis=-1)
+    vt = jnp.sum(vrel * t, axis=-1)
+    fn = cfg.kn * delta - cfg.gamma_n * vn
+    ft_cap = cfg.mu * jnp.abs(fn)
+    ft = jnp.clip(-cfg.gamma_t * vt, -ft_cap, ft_cap)
+    fn = jnp.where(touching, fn, 0.0)
+    ft = jnp.where(touching, ft, 0.0)
+    F = fn[..., None] * n + ft[..., None] * t
+    # Torque on i: (c - x_i) x F = (-l_i n) x F = -l_i * ft  (n x t = 1).
+    T = -li * ft
+    return F, T, touching
+
+
+def contact_forces(
+    disks: DiskState, table: jax.Array, grid: DemGrid, cfg: SimConfig
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Disk-disk contact forces via the cell list. Returns (F, T, n_contacts)."""
+    dt = disks.x.dtype
+    k = grid.capacity
+
+    cx = jnp.clip(
+        jnp.floor((disks.x[:, 0] + 0.5) / grid.cell_size), 0, grid.ncx - 1
+    ).astype(jnp.int32)
+    cy = jnp.clip(
+        jnp.floor((disks.x[:, 1] + 0.5) / grid.cell_size), 0, grid.ncy - 1
+    ).astype(jnp.int32)
+
+    offs = jnp.array(
+        [[-1, -1], [0, -1], [1, -1], [-1, 0], [0, 0], [1, 0], [-1, 1], [0, 1], [1, 1]],
+        jnp.int32,
+    )
+
+    def one(i, xi, vi, omi, ri, acti, cxi, cyi):
+        nbx = cxi + offs[:, 0]
+        nby = cyi + offs[:, 1]
+        valid_c = (nbx >= 0) & (nbx < grid.ncx) & (nby >= 0) & (nby < grid.ncy)
+        cidn = jnp.where(valid_c, nby * grid.ncx + nbx, 0)
+        cand = table[cidn]  # (9, K)
+        cand = jnp.where(valid_c[:, None], cand, -1).reshape(9 * k)
+        mask = (cand >= 0) & (cand != i)
+        j = jnp.maximum(cand, 0)
+        xj, vj = disks.x[j], disks.v[j]
+        omj, rj = disks.omega[j], disks.r[j]
+        mask = mask & disks.active[j] & acti
+        F, T, touching = _pair_force(
+            xi[None, :], vi[None, :], omi, ri, xj, vj, omj, rj, mask, cfg, dt
+        )
+        return jnp.sum(F, axis=0), jnp.sum(T), jnp.sum(touching)
+
+    idx = jnp.arange(disks.x.shape[0], dtype=jnp.int32)
+    F, T, nc = jax.vmap(one)(
+        idx, disks.x, disks.v, disks.omega, disks.r, disks.active, cx, cy
+    )
+    # Every contact is counted by both members.
+    return F, T, jnp.sum(nc) // 2
+
+
+def wall_forces(
+    disks: DiskState, cfg: SimConfig
+) -> Tuple[jax.Array, jax.Array]:
+    """Disk-wall contacts (C15): same contact law vs static wall planes.
+
+    Walls sit at -0.5 / n-0.5 (matching the half-way bounce-back fluid
+    walls), only on sides configured as `wall`.
+    """
+    dt = disks.x.dtype
+    x, y = disks.x[:, 0], disks.x[:, 1]
+    zero = jnp.zeros_like(x)
+    F = jnp.zeros_like(disks.x)
+    T = jnp.zeros_like(disks.omega)
+    # (side active, wall coordinate along axis, axis, normal sign)
+    walls = [
+        (cfg.bc_west == WALL, -0.5, 0, +1.0),
+        (cfg.bc_east == WALL, cfg.nx - 0.5, 0, -1.0),
+        (cfg.bc_south == WALL, -0.5, 1, +1.0),
+        (cfg.bc_north == WALL, cfg.ny - 0.5, 1, -1.0),
+    ]
+    for on, wpos, axis, sgn in walls:
+        if not on:
+            continue
+        # Mirror trick: treat the wall as a disk of radius 0 located at
+        # the closest point on the wall plane, with zero velocity.
+        xj = disks.x.at[:, axis].set(jnp.asarray(wpos, dt))
+        Fw, Tw, _ = _pair_force(
+            disks.x,
+            disks.v,
+            disks.omega,
+            disks.r,
+            xj,
+            jnp.zeros_like(disks.v),
+            zero,
+            zero,
+            disks.active,
+            cfg,
+            dt,
+        )
+        F = F + Fw
+        T = T + Tw
+    return F, T
+
+
+def body_forces(disks: DiskState, cfg: SimConfig) -> jax.Array:
+    """Gravity + optional analytic buoyancy on each disk (C16 inputs)."""
+    dt = disks.x.dtype
+    g = jnp.asarray([cfg.g_px, cfg.g_py], dt)
+    m_eff = disks.mass
+    if cfg.buoyancy:
+        m_fluid = cfg.rho0 * jnp.pi * disks.r * disks.r
+        m_eff = disks.mass - m_fluid
+    return m_eff[:, None] * g[None, :] * disks.active[:, None]
+
+
+def dem_subcycle(
+    disks: DiskState,
+    f_hydro: jax.Array,  # (N, 2) held constant over the subcycle
+    t_hydro: jax.Array,  # (N,)
+    grid: DemGrid,
+    cfg: SimConfig,
+) -> Tuple[DiskState, jax.Array, jax.Array]:
+    """n_sub velocity-Verlet DEM substeps per LBM step (C16).
+
+    Returns (new_disks, cell_overflow_count, contact_count).
+    """
+    dt = disks.x.dtype
+    h = jnp.asarray(1.0 / cfg.n_sub, dt)
+    inv_m = jnp.where(disks.active, 1.0 / disks.mass, 0.0)
+    inv_i = jnp.where(disks.active, 1.0 / disks.inertia, 0.0)
+    act2 = disks.active[:, None]
+
+    def total_force(d: DiskState):
+        table, ovf = build_cell_table(d.x, d.active, grid)
+        Fc, Tc, nc = contact_forces(d, table, grid, cfg)
+        Fw, Tw = wall_forces(d, cfg)
+        F = Fc + Fw + f_hydro + body_forces(d, cfg)
+        return F * act2, (Tc + Tw + t_hydro) * d.active, ovf, nc
+
+    F0, T0, ovf0, nc0 = total_force(disks)
+
+    def body(carry, _):
+        d, F, T, ovf, nc = carry
+        vh = d.v + (0.5 * h) * F * inv_m[:, None]
+        omh = d.omega + (0.5 * h) * T * inv_i
+        d = d._replace(
+            x=d.x + h * vh * act2,
+            theta=d.theta + h * omh * d.active,
+        )
+        F2, T2, o2, n2 = total_force(d._replace(v=vh, omega=omh))
+        d = d._replace(
+            v=(vh + (0.5 * h) * F2 * inv_m[:, None]) * act2,
+            omega=(omh + (0.5 * h) * T2 * inv_i) * d.active,
+        )
+        return (d, F2, T2, jnp.maximum(ovf, o2), jnp.maximum(nc, n2)), None
+
+    (disks, _, _, ovf, nc), _ = jax.lax.scan(
+        body, (disks, F0, T0, ovf0, nc0), None, length=cfg.n_sub
+    )
+    return disks, ovf, nc
+
+
+def make_disk_state(specs, cfg: SimConfig, dtype=None) -> DiskState:
+    """Build a fixed-capacity DiskState from a list of DiskSpec (C11/C19)."""
+    import numpy as np
+
+    dt = np.dtype(dtype or cfg.dtype)
+    n = max(cfg.max_disks, len(specs), 1)
+    x = np.zeros((n, 2), dt)
+    v = np.zeros((n, 2), dt)
+    theta = np.zeros((n,), dt)
+    om = np.zeros((n,), dt)
+    r = np.ones((n,), dt)  # inactive slots keep r=1 to avoid div-by-zero
+    active = np.zeros((n,), bool)
+    for i, s in enumerate(specs):
+        x[i] = (s.x, s.y)
+        v[i] = (s.vx, s.vy)
+        om[i] = s.omega
+        r[i] = s.r
+        active[i] = True
+    # Park inactive disks far outside the domain so they never stamp
+    # coverage or enter the cell table (cid is masked anyway).
+    x[len(specs):] = (-1e6, -1e6)
+    mass = cfg.rho_s * np.pi * r * r
+    inertia = 0.5 * mass * r * r
+    return DiskState(
+        x=jnp.asarray(x),
+        v=jnp.asarray(v),
+        theta=jnp.asarray(theta),
+        omega=jnp.asarray(om),
+        r=jnp.asarray(r),
+        mass=jnp.asarray(mass.astype(dt)),
+        inertia=jnp.asarray(inertia.astype(dt)),
+        active=jnp.asarray(active),
+    )

@@ -1,0 +1,196 @@
+"""Pure-fluid D2Q9 LBM ops, plain-JAX reference implementation.
+
+Covers SURVEY.md SS2 C2 (equilibrium), C3 (BGK collide), C4 (streaming),
+C5 (macroscopic moments incl. Guo half-force correction), C6 (half-way
+bounce-back walls, optionally moving), C7 (Guo body force) and C8
+(Smagorinsky LES relaxation time).
+
+This module is the *oracle*: a straightforward, obviously-correct
+vectorized implementation used to validate the fused Pallas kernels
+(`ops/pallas_lbm.py`) bit-for-bit(-ish). It is itself fully jittable and
+fast enough for production on small/medium lattices — XLA fuses the
+elementwise chain; only the stream/collide fusion needs Pallas.
+
+Array convention: `f` has shape (9, ny, nx), indexed [i, y, x]; cell
+(iy, ix) center at (x=ix, y=iy) lattice units. See `lattice.py`.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from lbmdem_tpu import lattice
+from lbmdem_tpu.config import SimConfig, WALL
+
+
+def equilibrium(rho: jax.Array, ux: jax.Array, uy: jax.Array) -> jax.Array:
+    """f_eq_i = w_i rho [1 + 3(e.u) + 9/2 (e.u)^2 - 3/2 u^2]  (C2)."""
+    dt = rho.dtype
+    w = jnp.asarray(lattice.W, dt)[:, None, None]
+    ex = jnp.asarray(lattice.EX, dt)[:, None, None]
+    ey = jnp.asarray(lattice.EY, dt)[:, None, None]
+    eu = ex * ux + ey * uy
+    usq = ux * ux + uy * uy
+    return w * rho * (1.0 + 3.0 * eu + 4.5 * eu * eu - 1.5 * usq)
+
+
+def moments(
+    f: jax.Array, gx: float = 0.0, gy: float = 0.0
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """rho = sum_i f_i; u = (sum_i f_i e_i + F/2) / rho  (C5).
+
+    The + F/2 term is the standard second-order velocity shift that
+    accompanies Guo forcing; with zero body force it reduces to the
+    bare first moment.
+    """
+    dt = f.dtype
+    ex = jnp.asarray(lattice.EX, dt)[:, None, None]
+    ey = jnp.asarray(lattice.EY, dt)[:, None, None]
+    rho = jnp.sum(f, axis=0)
+    inv_rho = 1.0 / rho
+    ux = (jnp.sum(f * ex, axis=0) + 0.5 * gx) * inv_rho
+    uy = (jnp.sum(f * ey, axis=0) + 0.5 * gy) * inv_rho
+    return rho, ux, uy
+
+
+def smagorinsky_tau(
+    f: jax.Array, feq: jax.Array, rho: jax.Array, tau0: float, cs_const: float
+) -> jax.Array:
+    """Effective relaxation time from the non-equilibrium stress (C8).
+
+    Pi_ab = sum_i e_ia e_ib (f_i - f_eq_i);  ||Pi|| = sqrt(Pi:Pi);
+    tau_eff = 1/2 (tau0 + sqrt(tau0^2 + 18 sqrt(2) Cs^2 ||Pi|| / rho)).
+    Reduces to tau0 when the flow is at equilibrium.
+    """
+    dt = f.dtype
+    ex = jnp.asarray(lattice.EX, dt)[:, None, None]
+    ey = jnp.asarray(lattice.EY, dt)[:, None, None]
+    fneq = f - feq
+    pxx = jnp.sum(fneq * ex * ex, axis=0)
+    pyy = jnp.sum(fneq * ey * ey, axis=0)
+    pxy = jnp.sum(fneq * ex * ey, axis=0)
+    pnorm = jnp.sqrt(pxx * pxx + pyy * pyy + 2.0 * pxy * pxy)
+    c = 18.0 * np.sqrt(2.0) * cs_const * cs_const
+    return 0.5 * (tau0 + jnp.sqrt(tau0 * tau0 + c * pnorm / rho))
+
+
+def guo_force_term(
+    ux: jax.Array, uy: jax.Array, tau, gx: float, gy: float
+) -> jax.Array:
+    """Guo et al. forcing source S_i (C7), to be added post-relaxation.
+
+    S_i = w_i (1 - 1/(2 tau)) [3 (e_i - u) + 9 (e_i . u) e_i] . F
+    `tau` may be a scalar or a per-cell array (LES).
+    """
+    dt = ux.dtype
+    w = jnp.asarray(lattice.W, dt)[:, None, None]
+    ex = jnp.asarray(lattice.EX, dt)[:, None, None]
+    ey = jnp.asarray(lattice.EY, dt)[:, None, None]
+    eu = ex * ux + ey * uy
+    proj = 3.0 * ((ex - ux) * gx + (ey - uy) * gy) + 9.0 * eu * (ex * gx + ey * gy)
+    return w * (1.0 - 0.5 / tau) * proj
+
+
+def collide(
+    f: jax.Array,
+    tau: float,
+    gx: float = 0.0,
+    gy: float = 0.0,
+    smagorinsky: float = 0.0,
+) -> jax.Array:
+    """BGK relaxation + optional Guo forcing + optional LES (C3/C7/C8)."""
+    rho, ux, uy = moments(f, gx, gy)
+    feq = equilibrium(rho, ux, uy)
+    tau_eff = (
+        smagorinsky_tau(f, feq, rho, tau, smagorinsky) if smagorinsky > 0.0 else tau
+    )
+    fpost = f - (f - feq) / tau_eff
+    if gx != 0.0 or gy != 0.0:
+        fpost = fpost + guo_force_term(ux, uy, tau_eff, gx, gy)
+    return fpost
+
+
+def stream(fpost: jax.Array) -> jax.Array:
+    """Periodic pull streaming: f_i(x, t+1) = f_i^post(x - e_i, t)  (C4).
+
+    Implemented as a circular shift by +e_i per population; domain-edge
+    corrections (walls) are applied afterwards by `apply_bounce_back`.
+    A permutation of cells per population => conserves every moment's
+    global sum exactly (up to FP reordering: it's a pure gather).
+    """
+    out = []
+    for i in range(lattice.Q):
+        ex, ey = int(lattice.E[i, 0]), int(lattice.E[i, 1])
+        out.append(jnp.roll(fpost[i], shift=(ey, ex), axis=(0, 1)))
+    return jnp.stack(out)
+
+
+def apply_bounce_back(
+    fnew: jax.Array,
+    fpost: jax.Array,
+    cfg: SimConfig,
+    wall_speed: Tuple[float, float, float, float] = (0.0, 0.0, 0.0, 0.0),
+) -> jax.Array:
+    """Half-way bounce-back at wall sides (C6).
+
+    For a boundary cell x_b and a link i whose reverse crosses the wall:
+        f_i(x_b, t+1) = f_opp(i)^post(x_b, t) + 6 w_i rho0 (e_i . u_w)
+    The wall sits half a link outside the outermost cell centers. The
+    optional tangential wall speeds (west, east, south, north) give
+    moving-wall (lid-driven-cavity) support; rho_w is approximated by
+    the reference density rho0.
+
+    Corners are consistent: a diagonal population at a corner cell is
+    assigned the same value by both adjacent sides' rules.
+    """
+    dt = fnew.dtype
+    w = lattice.W
+    e = lattice.E
+    opp = lattice.OPP
+    uw_w, uw_e, uw_s, uw_n = wall_speed
+    rho0 = cfg.rho0
+
+    def fix(fnew, idxs, sl_y, sl_x, uwx, uwy):
+        for i in idxs:
+            i = int(i)
+            corr = 6.0 * float(w[i]) * rho0 * (float(e[i, 0]) * uwx + float(e[i, 1]) * uwy)
+            fnew = fnew.at[i, sl_y, sl_x].set(
+                fpost[int(opp[i]), sl_y, sl_x] + jnp.asarray(corr, dt)
+            )
+        return fnew
+
+    all_y, all_x = slice(None), slice(None)
+    if cfg.bc_south == WALL:  # wall below row 0; set populations with ey=+1
+        fnew = fix(fnew, lattice.IN_N, 0, all_x, uw_s, 0.0)
+    if cfg.bc_north == WALL:  # wall above row ny-1; set populations with ey=-1
+        fnew = fix(fnew, lattice.IN_S, cfg.ny - 1, all_x, uw_n, 0.0)
+    if cfg.bc_west == WALL:  # wall left of col 0; set populations with ex=+1
+        fnew = fix(fnew, lattice.IN_E, all_y, 0, 0.0, uw_w)
+    if cfg.bc_east == WALL:  # wall right of col nx-1; set populations with ex=-1
+        fnew = fix(fnew, lattice.IN_W, all_y, cfg.nx - 1, 0.0, uw_e)
+    return fnew
+
+
+def step_pure_fluid(
+    f: jax.Array,
+    cfg: SimConfig,
+    wall_speed: Tuple[float, float, float, float] = (0.0, 0.0, 0.0, 0.0),
+) -> jax.Array:
+    """One pure-fluid LBM step (SURVEY SS3.3 fast path): collide-stream-BB."""
+    fpost = collide(f, cfg.tau, cfg.gx, cfg.gy, cfg.smagorinsky)
+    fnew = stream(fpost)
+    return apply_bounce_back(fnew, fpost, cfg, wall_speed)
+
+
+def init_equilibrium(cfg: SimConfig) -> jax.Array:
+    """Initial distributions at (rho0, u0) (SURVEY SS3.1 initEquilibrium)."""
+    dt = cfg.np_dtype
+    shape = (cfg.ny, cfg.nx)
+    rho = jnp.full(shape, cfg.rho0, dt)
+    ux = jnp.full(shape, cfg.u0x, dt)
+    uy = jnp.full(shape, cfg.u0y, dt)
+    return equilibrium(rho, ux, uy)

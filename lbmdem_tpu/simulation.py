@@ -1,0 +1,187 @@
+"""Simulation state + driver (SURVEY.md SS2 C21, SS3 call stacks).
+
+The reference's `main()` time loop (SURVEY SS3.2) becomes a pure jitted
+step function over a `SimState` pytree, run in `lax.fori_loop` chunks
+between host-side snapshot dumps - the only recurring host crossing,
+exactly as SURVEY SS3.2 mandates for the rebuild.
+
+    sim = Simulation(cfg, disks)
+    sim.run(cfg.steps)          # chunked by cfg.out_interval
+    rho, ux, uy = sim.macroscopic()
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Callable, NamedTuple, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from lbmdem_tpu.config import DiskSpec, SimConfig, window_for_radius
+from lbmdem_tpu.ops import dem, imb, lbm
+from lbmdem_tpu.ops.dem import DemGrid, DiskState
+
+
+class FluidState(NamedTuple):
+    """Fluid-only view (kept for API symmetry with the reference's arrays)."""
+
+    f: jax.Array  # (9, ny, nx)
+
+
+class SimState(NamedTuple):
+    """Full simulation state pytree: everything the step loop touches."""
+
+    f: jax.Array  # (9, ny, nx) distributions
+    disks: DiskState
+    step: jax.Array  # () int32
+    overflow: jax.Array  # () int32, max cell-list overflow seen
+    n_contacts: jax.Array  # () int32, contacts at last step
+
+
+def make_step_fn(
+    cfg: SimConfig, grid: Optional[DemGrid], use_pallas: bool = False
+) -> Callable[[SimState], SimState]:
+    """Build the fused per-step function (SURVEY SS3.2 rebuilt).
+
+    With disks: eps-stamp -> NT collide(+forcing) -> stream -> bounce-back
+    -> hydro force reduction -> DEM subcycle. Without: pure collide-
+    stream-BB fast path (SS3.3). `use_pallas` swaps the lattice update
+    for the fused Pallas kernel (ops/pallas_lbm.py) where available.
+    """
+    coupled = cfg.max_disks > 0
+    if use_pallas:
+        from lbmdem_tpu.ops import pallas_lbm
+
+    def step(state: SimState) -> SimState:
+        if coupled:
+            d = state.disks
+            eps, usx, usy = imb.stamp_solid_fraction(
+                d.x, d.v, d.omega, d.r, d.active, cfg
+            )
+            if use_pallas:
+                fnew, phix, phiy = pallas_lbm.fused_step_imb(
+                    state.f, eps, usx, usy, cfg
+                )
+            else:
+                fpost, phix, phiy = imb.collide_imb(state.f, eps, usx, usy, cfg)
+                fnew = lbm.stream(fpost)
+                fnew = lbm.apply_bounce_back(fnew, fpost, cfg)
+            fh, th = imb.reduce_hydro_forces(d.x, d.r, d.active, eps, phix, phiy, cfg)
+            disks, ovf, nc = dem.dem_subcycle(d, fh, th, grid, cfg)
+            return SimState(
+                f=fnew,
+                disks=disks,
+                step=state.step + 1,
+                overflow=jnp.maximum(state.overflow, ovf),
+                n_contacts=nc,
+            )
+        else:
+            if use_pallas:
+                fnew = pallas_lbm.fused_step_fluid(state.f, cfg)
+            else:
+                fnew = lbm.step_pure_fluid(state.f, cfg)
+            return state._replace(f=fnew, step=state.step + 1)
+
+    return step
+
+
+class Simulation:
+    """User-facing driver (C21): owns config, state and the jitted loops."""
+
+    def __init__(
+        self,
+        cfg: SimConfig,
+        disks: Sequence[DiskSpec] = (),
+        use_pallas: bool = False,
+    ):
+        disks = list(disks)
+        if disks:
+            r_max = max(d.r for d in disks)
+            if cfg.window <= 0:
+                cfg = cfg.replace(window=window_for_radius(r_max))
+            if cfg.max_disks < len(disks):
+                cfg = cfg.replace(max_disks=len(disks))
+            self.grid = DemGrid.build(cfg, r_max)
+        elif cfg.max_disks > 0:
+            self.grid = DemGrid.build(cfg, 1.0)
+            if cfg.window <= 0:
+                cfg = cfg.replace(window=window_for_radius(1.0))
+        else:
+            self.grid = None
+        self.cfg = cfg
+        self.use_pallas = use_pallas
+        self.state = SimState(
+            f=lbm.init_equilibrium(cfg),
+            disks=dem.make_disk_state(disks, cfg),
+            step=jnp.zeros((), jnp.int32),
+            overflow=jnp.zeros((), jnp.int32),
+            n_contacts=jnp.zeros((), jnp.int32),
+        )
+        self._step = make_step_fn(cfg, self.grid, use_pallas)
+        self._chunk_cache = {}
+        self.mlups_last = 0.0
+
+    # --- stepping ---
+    def step(self) -> None:
+        self.state = jax.jit(self._step, donate_argnums=0)(self.state)
+
+    def _chunk_fn(self, n: int):
+        if n not in self._chunk_cache:
+            step = self._step
+
+            def chunk(state):
+                return jax.lax.fori_loop(0, n, lambda _, s: step(s), state)
+
+            self._chunk_cache[n] = jax.jit(chunk, donate_argnums=0)
+        return self._chunk_cache[n]
+
+    def run(
+        self,
+        steps: Optional[int] = None,
+        callback: Optional[Callable[["Simulation"], None]] = None,
+    ) -> float:
+        """Run `steps` LBM steps (default cfg.steps), invoking `callback`
+        every cfg.out_interval steps. Returns achieved MLUPS."""
+        steps = int(steps if steps is not None else self.cfg.steps)
+        interval = self.cfg.out_interval or steps
+        done = 0
+        t0 = time.perf_counter()
+        while done < steps:
+            n = min(interval, steps - done)
+            self.state = self._chunk_fn(n)(self.state)
+            done += n
+            if callback is not None:
+                self._sync()
+                callback(self)
+        self._sync()
+        dt_s = time.perf_counter() - t0
+        self.mlups_last = self.cfg.nx * self.cfg.ny * steps / dt_s / 1e6
+        return self.mlups_last
+
+    def _sync(self) -> None:
+        """Wait for all queued device work.
+
+        `block_until_ready` can return before execution completes on
+        remote-attached TPU runtimes (observed on the axon platform), so
+        we force a one-element device->host fetch, which cannot resolve
+        until the whole step chain has run.
+        """
+        jax.device_get(self.state.step)
+        jax.block_until_ready(self.state.f)
+
+    # --- observation ---
+    def macroscopic(self):
+        """(rho, ux, uy) on host."""
+        rho, ux, uy = lbm.moments(self.state.f, self.cfg.gx, self.cfg.gy)
+        return np.asarray(rho), np.asarray(ux), np.asarray(uy)
+
+    def solid_fraction(self):
+        d = self.state.disks
+        eps, _, _ = imb.stamp_solid_fraction(d.x, d.v, d.omega, d.r, d.active, self.cfg)
+        return np.asarray(jnp.clip(eps, 0.0, 1.0))
+
+    def disk_arrays(self):
+        d = self.state.disks
+        return {k: np.asarray(v) for k, v in d._asdict().items()}

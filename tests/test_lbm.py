@@ -1,0 +1,104 @@
+"""Pure-fluid LBM oracle tests: equilibrium, streaming, bounce-back,
+Poiseuille channel (BASELINE config #1), lid-driven cavity no-slip.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from lbmdem_tpu import lattice
+from lbmdem_tpu.config import SimConfig
+from lbmdem_tpu.ops import lbm
+from lbmdem_tpu.simulation import Simulation
+
+
+def _rand_f(ny, nx, seed=0, dtype=jnp.float64):
+    rng = np.random.default_rng(seed)
+    base = lattice.W[:, None, None] * np.ones((9, ny, nx))
+    return jnp.asarray(base * (1.0 + 0.01 * rng.standard_normal((9, ny, nx))), dtype)
+
+
+def test_equilibrium_moments_exact():
+    rho = jnp.asarray(np.random.default_rng(1).uniform(0.8, 1.2, (4, 6)))
+    ux = jnp.full((4, 6), 0.03, jnp.float64)
+    uy = jnp.full((4, 6), -0.02, jnp.float64)
+    feq = lbm.equilibrium(rho, ux, uy)
+    r2, u2x, u2y = lbm.moments(feq)
+    np.testing.assert_allclose(r2, rho, rtol=1e-14)
+    np.testing.assert_allclose(u2x, ux, atol=1e-14)
+    np.testing.assert_allclose(u2y, uy, atol=1e-14)
+    # second moment: sum feq e e = rho (cs2 I + u u)
+    pxx = jnp.sum(feq * (lattice.EX**2)[:, None, None], axis=0)
+    np.testing.assert_allclose(pxx, rho * (lattice.CS2 + ux * ux), rtol=1e-12)
+
+
+def test_stream_is_permutation():
+    f = _rand_f(8, 16)
+    fs = lbm.stream(f)
+    # per-population global sums conserved exactly (pure gather)
+    np.testing.assert_array_equal(
+        np.sort(np.asarray(f).reshape(9, -1)), np.sort(np.asarray(fs).reshape(9, -1))
+    )
+
+
+def test_rest_state_is_fixed_point():
+    cfg = SimConfig(nx=12, ny=10, tau=0.8, bc_west="wall", bc_east="wall",
+                    dtype="float64")
+    f0 = lbm.init_equilibrium(cfg)
+    f = f0
+    for _ in range(5):
+        f = lbm.step_pure_fluid(f, cfg)
+    np.testing.assert_allclose(np.asarray(f), np.asarray(f0), atol=1e-14)
+
+
+def test_mass_conserved_with_walls():
+    cfg = SimConfig(nx=16, ny=12, tau=0.7, dtype="float64")
+    f = _rand_f(12, 16)
+    m0 = float(jnp.sum(f))
+    for _ in range(20):
+        f = lbm.step_pure_fluid(f, cfg)
+    assert abs(float(jnp.sum(f)) - m0) < 1e-11 * m0
+
+
+def test_poiseuille_profile():
+    """BASELINE config #1: gravity-driven channel vs analytic parabola."""
+    ny, nx = 32, 4
+    tau, g = 0.9, 1e-6
+    cfg = SimConfig(nx=nx, ny=ny, tau=tau, gx=g, dtype="float64",
+                    out_interval=2000)
+    sim = Simulation(cfg)
+    sim.run(16000)
+    _, ux, _ = sim.macroscopic()
+    prof = ux.mean(axis=1)
+    y = np.arange(ny) + 0.5  # wall at y=-0.5 -> distance from wall
+    H = float(ny)
+    analytic = g / (2.0 * cfg.nu) * y * (H - y)
+    # rtol covers the bulk; atol covers the O(1e-7) half-way-BB discrete
+    # slip at the near-wall cells (0.02% of u_max).
+    np.testing.assert_allclose(prof, analytic, rtol=2e-3, atol=3e-7)
+
+
+def test_cavity_no_slip_and_circulation():
+    """Moving north lid: no-slip at static walls, lid drags fluid."""
+    cfg = SimConfig(nx=24, ny=24, tau=0.8, bc_west="wall", bc_east="wall",
+                    dtype="float64")
+    f = lbm.init_equilibrium(cfg)
+    step = jax.jit(lambda f: lbm.step_pure_fluid(f, cfg, wall_speed=(0, 0, 0, 0.05)))
+    for _ in range(3000):
+        f = step(f)
+    rho, ux, uy = lbm.moments(f)
+    ux = np.asarray(ux)
+    # fluid near the lid moves with it; near the bottom it back-flows
+    assert ux[-1].mean() > 0.02
+    assert ux[1].mean() < 0.0
+    # mass conserved
+    assert abs(float(jnp.sum(f)) / (cfg.nx * cfg.ny) - 1.0) < 1e-10
+
+
+def test_smagorinsky_reduces_to_bgk_at_equilibrium():
+    cfg = SimConfig(nx=8, ny=8, tau=0.8, dtype="float64")
+    f = lbm.init_equilibrium(cfg)
+    f_les = lbm.collide(f, cfg.tau, smagorinsky=0.1)
+    f_bgk = lbm.collide(f, cfg.tau)
+    np.testing.assert_allclose(np.asarray(f_les), np.asarray(f_bgk), atol=1e-14)
