@@ -1,0 +1,68 @@
+"""Headline benchmark: MLUPS/chip on the BASELINE.json north-star config
+(4096^2 lattice, 10k disks, coupled LBM-DEM), printed as one JSON line.
+
+vs_baseline is measured against the 1000 MLUPS/chip north-star target
+(BASELINE.json `published` is empty - the reference publishes no MLUPS).
+
+Timing uses explicit device-fetch synchronization: on the axon TPU
+runtime `block_until_ready` can return before remote execution finishes
+(see Simulation._sync), so we difference two run lengths to cancel the
+fixed dispatch overhead.
+"""
+
+import json
+import os
+import sys
+import time
+
+
+def _run(nx, ny, n_disks, warm_steps, steps_a, steps_b, use_pallas):
+    import jax
+    from lbmdem_tpu.models import column_collapse
+    from lbmdem_tpu.simulation import Simulation
+
+    cfg, disks = column_collapse(nx=nx, ny=ny, n_disks=n_disks)
+    cfg = cfg.replace(out_interval=10**9)
+    sim = Simulation(cfg, disks, use_pallas=use_pallas)
+    sim.run(warm_steps)  # compile + warm
+
+    t0 = time.perf_counter()
+    sim.run(steps_a)
+    ta = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    sim.run(steps_b)
+    tb = time.perf_counter() - t0
+    # marginal per-step cost cancels dispatch overhead
+    dt_step = (tb - ta) / (steps_b - steps_a)
+    dt_step = max(dt_step, 1e-9)
+    mlups = nx * ny / dt_step / 1e6
+    # sanity: state must stay finite
+    import numpy as np
+
+    assert np.isfinite(np.asarray(sim.state.f[0, ::64, ::64])).all()
+    return mlups, int(sim.state.overflow)
+
+
+def main():
+    nx = int(os.environ.get("BENCH_NX", 4096))
+    ny = int(os.environ.get("BENCH_NY", 4096))
+    nd = int(os.environ.get("BENCH_DISKS", 10000))
+    use_pallas = os.environ.get("BENCH_PALLAS", "0") == "1"
+    try:
+        mlups, overflow = _run(nx, ny, nd, 10, 20, 60, use_pallas)
+    except Exception as e:  # smaller fallback so the driver always gets a number
+        print(f"bench: full config failed ({type(e).__name__}: {e}); "
+              f"falling back to 2048^2/2500", file=sys.stderr)
+        nx = ny = 2048
+        nd = 2500
+        mlups, overflow = _run(nx, ny, nd, 10, 20, 60, use_pallas)
+    print(json.dumps({
+        "metric": f"coupled LBM-DEM MLUPS/chip ({nx}x{ny}, {nd} disks)",
+        "value": round(mlups, 1),
+        "unit": "MLUPS",
+        "vs_baseline": round(mlups / 1000.0, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

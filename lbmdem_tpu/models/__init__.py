@@ -1,0 +1,21 @@
+"""Benchmark scenario constructors (the 5 BASELINE.json configs)."""
+
+from lbmdem_tpu.models.scenarios import (
+    SCENARIOS,
+    column_collapse,
+    dkt,
+    make_scenario,
+    poiseuille,
+    settling_column,
+    single_disk_sedimentation,
+)
+
+__all__ = [
+    "SCENARIOS",
+    "make_scenario",
+    "poiseuille",
+    "single_disk_sedimentation",
+    "dkt",
+    "settling_column",
+    "column_collapse",
+]

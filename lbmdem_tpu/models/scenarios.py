@@ -1,0 +1,150 @@
+"""The five benchmark configurations from BASELINE.json, as constructors.
+
+Each returns (SimConfig, [DiskSpec]) in lattice units, sized so the
+defaults run quickly but scale by passing nx/ny/n_disks overrides.
+These are the framework's "model zoo": the same scenarios the
+reference validates against (SURVEY.md SS4 physics benchmarks).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import List, Tuple
+
+import numpy as np
+
+from lbmdem_tpu.config import DiskSpec, SimConfig
+
+Scene = Tuple[SimConfig, List[DiskSpec]]
+
+
+def poiseuille(nx: int = 64, ny: int = 64, tau: float = 0.9, g: float = 1e-6) -> Scene:
+    """#1: gravity-driven channel flow, zero particles (pure LBM)."""
+    cfg = SimConfig(nx=nx, ny=ny, tau=tau, gx=g, steps=20 * ny * ny,
+                    out_interval=2000)
+    return cfg, []
+
+
+def single_disk_sedimentation(
+    nx: int = 128,
+    ny: int = 512,
+    r: float = 8.0,
+    rho_s: float = 1.25,
+    tau: float = 0.65,
+    g: float = 2e-5,
+) -> Scene:
+    """#2: one disk settling in a closed channel (IMB coupling).
+
+    Settling velocity vs the drag balance is THE parity metric
+    (BASELINE.json `metric`). Terminal Re ~ O(1-10) with defaults.
+    """
+    kn = 0.5  # stiff enough that wall impact at terminal v stays <1% r
+    cfg = SimConfig(
+        nx=nx, ny=ny, tau=tau, steps=8000, out_interval=200,
+        bc_west="wall", bc_east="wall",
+        rho_s=rho_s, kn=kn, gamma_n=1.0, mu=0.3, n_sub=20,
+        g_py=-g, buoyancy=True, max_disks=1,
+    )
+    return cfg, [DiskSpec(x=nx / 2.0 + 0.317, y=0.8 * ny, r=r)]
+
+
+def dkt(
+    nx: int = 160,
+    ny: int = 640,
+    r: float = 8.0,
+    rho_s: float = 1.5,
+    tau: float = 0.65,
+    g: float = 2e-5,
+) -> Scene:
+    """#3: drafting-kissing-tumbling - two disks, trailing one drafts
+    into the leader's wake, they kiss, then tumble apart."""
+    cfg = SimConfig(
+        nx=nx, ny=ny, tau=tau, steps=20000, out_interval=200,
+        bc_west="wall", bc_east="wall",
+        rho_s=rho_s, kn=1.0, gamma_n=1.0, mu=0.1, n_sub=20,
+        g_py=-g, buoyancy=True, max_disks=2,
+    )
+    disks = [
+        DiskSpec(x=nx / 2.0 + 0.2, y=0.85 * ny, r=r),          # trailing
+        DiskSpec(x=nx / 2.0 - 0.2, y=0.85 * ny - 2.5 * r, r=r),  # leading
+    ]
+    return cfg, disks
+
+
+def _pack_disks(
+    x0: float, x1: float, y0: float, y1: float, r: float, n: int, seed: int = 0
+) -> List[DiskSpec]:
+    """Hex-pack up to n disks with small jitter inside a box."""
+    rng = np.random.default_rng(seed)
+    pitch = 2.0 * r * 1.05
+    rows = []
+    y = y0 + r
+    row = 0
+    disks: List[DiskSpec] = []
+    while y < y1 - r and len(disks) < n:
+        x = x0 + r + (0.5 * pitch if row % 2 else 0.0)
+        while x < x1 - r and len(disks) < n:
+            jx, jy = rng.uniform(-0.02 * r, 0.02 * r, 2)
+            disks.append(DiskSpec(x=x + jx, y=y + jy, r=r))
+            x += pitch
+        y += pitch * math.sqrt(3.0) / 2.0
+        row += 1
+    return disks
+
+
+def settling_column(
+    nx: int = 512,
+    ny: int = 1024,
+    n_disks: int = 1000,
+    r: float = 4.0,
+    rho_s: float = 2.0,
+    tau: float = 0.6,
+    g: float = 1e-5,
+) -> Scene:
+    """#4: ~1k-disk settling column (cell-list broadphase + contacts)."""
+    cfg = SimConfig(
+        nx=nx, ny=ny, tau=tau, steps=20000, out_interval=500,
+        bc_west="wall", bc_east="wall",
+        rho_s=rho_s, kn=2.0, gamma_n=2.0, gamma_t=0.5, mu=0.4, n_sub=20,
+        g_py=-g, buoyancy=True, max_disks=n_disks,
+    )
+    disks = _pack_disks(0, nx, 0.45 * ny, ny, r, n_disks)
+    return cfg, disks
+
+
+def column_collapse(
+    nx: int = 4096,
+    ny: int = 4096,
+    n_disks: int = 10000,
+    r: float = 8.0,
+    rho_s: float = 2.5,
+    tau: float = 0.55,
+    g: float = 1e-5,
+) -> Scene:
+    """#5: submerged granular column collapse at 4096^2 with 10k disks
+    (the headline benchmark config; shard over the ICI mesh)."""
+    cfg = SimConfig(
+        nx=nx, ny=ny, tau=tau, steps=20000, out_interval=1000,
+        bc_west="wall", bc_east="wall",
+        rho_s=rho_s, kn=4.0, gamma_n=4.0, gamma_t=1.0, mu=0.5, n_sub=20,
+        g_py=-g, buoyancy=True, max_disks=n_disks,
+    )
+    # initial column against the west wall, ~aspect ratio 2
+    width = 0.22 * nx
+    disks = _pack_disks(0, width, 0, 0.9 * ny, r, n_disks)
+    return cfg, disks
+
+
+SCENARIOS = {
+    "poiseuille": poiseuille,
+    "sedimentation": single_disk_sedimentation,
+    "dkt": dkt,
+    "settling_column": settling_column,
+    "column_collapse": column_collapse,
+}
+
+
+def make_scenario(name: str, **overrides) -> Scene:
+    if name not in SCENARIOS:
+        raise KeyError(f"unknown scenario {name!r}; have {sorted(SCENARIOS)}")
+    return SCENARIOS[name](**overrides)

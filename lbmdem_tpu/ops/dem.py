@@ -43,8 +43,14 @@ class DemGrid:
     capacity: int
 
     @staticmethod
-    def build(cfg: SimConfig, r_max: float, capacity: int = 8) -> "DemGrid":
-        cell = max(2.0 * float(r_max), 1.0)
+    def build(
+        cfg: SimConfig, r_max: float, capacity: int = 8, skin: float = 1.0
+    ) -> "DemGrid":
+        """`skin` (lattice units) widens cells beyond 2 r_max so a
+        candidate list built once per LBM step stays valid through the
+        whole DEM subcycle (valid while per-step travel < skin/2; fluid
+        velocities are O(0.1) in lattice units, so 1.0 is generous)."""
+        cell = max(2.0 * float(r_max) + skin, 1.0)
         ncx = max(int(cfg.nx / cell) + 1, 1)
         ncy = max(int(cfg.ny / cell) + 1, 1)
         return DemGrid(cell_size=cell, ncx=ncx, ncy=ncy, capacity=capacity)
@@ -128,48 +134,69 @@ def _pair_force(xi, vi, omi, ri, xj, vj, omj, rj, mask, cfg: SimConfig, dt):
     return F, T, touching
 
 
-def contact_forces(
-    disks: DiskState, table: jax.Array, grid: DemGrid, cfg: SimConfig
-) -> Tuple[jax.Array, jax.Array, jax.Array]:
-    """Disk-disk contact forces via the cell list. Returns (F, T, n_contacts)."""
-    dt = disks.x.dtype
-    k = grid.capacity
+def candidate_list(
+    disks: DiskState, table: jax.Array, grid: DemGrid
+) -> jax.Array:
+    """Per-disk candidate neighbor indices from the 3x3 cell patch.
 
+    Returns (N, 9K) int32, -1 = empty/self/inactive. Built once per LBM
+    step; thanks to the grid skin it remains a superset of all possibly-
+    touching pairs for the whole DEM subcycle (Verlet-list pattern).
+    """
+    k = grid.capacity
     cx = jnp.clip(
         jnp.floor((disks.x[:, 0] + 0.5) / grid.cell_size), 0, grid.ncx - 1
     ).astype(jnp.int32)
     cy = jnp.clip(
         jnp.floor((disks.x[:, 1] + 0.5) / grid.cell_size), 0, grid.ncy - 1
     ).astype(jnp.int32)
-
     offs = jnp.array(
         [[-1, -1], [0, -1], [1, -1], [-1, 0], [0, 0], [1, 0], [-1, 1], [0, 1], [1, 1]],
         jnp.int32,
     )
+    nbx = cx[:, None] + offs[None, :, 0]  # (N, 9)
+    nby = cy[:, None] + offs[None, :, 1]
+    valid_c = (nbx >= 0) & (nbx < grid.ncx) & (nby >= 0) & (nby < grid.ncy)
+    cidn = jnp.where(valid_c, nby * grid.ncx + nbx, 0)
+    cand = table[cidn]  # (N, 9, K)
+    cand = jnp.where(valid_c[:, :, None], cand, -1)
+    cand = cand.reshape(disks.x.shape[0], 9 * k)
+    idx = jnp.arange(disks.x.shape[0], dtype=jnp.int32)[:, None]
+    cand = jnp.where(cand == idx, -1, cand)  # drop self
+    cand = jnp.where(disks.active[:, None], cand, -1)  # inactive rows empty
+    return cand
 
-    def one(i, xi, vi, omi, ri, acti, cxi, cyi):
-        nbx = cxi + offs[:, 0]
-        nby = cyi + offs[:, 1]
-        valid_c = (nbx >= 0) & (nbx < grid.ncx) & (nby >= 0) & (nby < grid.ncy)
-        cidn = jnp.where(valid_c, nby * grid.ncx + nbx, 0)
-        cand = table[cidn]  # (9, K)
-        cand = jnp.where(valid_c[:, None], cand, -1).reshape(9 * k)
-        mask = (cand >= 0) & (cand != i)
-        j = jnp.maximum(cand, 0)
-        xj, vj = disks.x[j], disks.v[j]
-        omj, rj = disks.omega[j], disks.r[j]
-        mask = mask & disks.active[j] & acti
-        F, T, touching = _pair_force(
-            xi[None, :], vi[None, :], omi, ri, xj, vj, omj, rj, mask, cfg, dt
-        )
-        return jnp.sum(F, axis=0), jnp.sum(T), jnp.sum(touching)
 
-    idx = jnp.arange(disks.x.shape[0], dtype=jnp.int32)
-    F, T, nc = jax.vmap(one)(
-        idx, disks.x, disks.v, disks.omega, disks.r, disks.active, cx, cy
+def contact_forces_from_candidates(
+    disks: DiskState, cand: jax.Array, cfg: SimConfig
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Vectorized spring-dashpot forces over the fixed candidate slots."""
+    dt = disks.x.dtype
+    mask = cand >= 0
+    j = jnp.maximum(cand, 0)
+    F, T, touching = _pair_force(
+        disks.x[:, None, :],
+        disks.v[:, None, :],
+        disks.omega[:, None],
+        disks.r[:, None],
+        disks.x[j],
+        disks.v[j],
+        disks.omega[j],
+        disks.r[j],
+        mask & disks.active[j],
+        cfg,
+        dt,
     )
     # Every contact is counted by both members.
-    return F, T, jnp.sum(nc) // 2
+    return jnp.sum(F, axis=1), jnp.sum(T, axis=1), jnp.sum(touching) // 2
+
+
+def contact_forces(
+    disks: DiskState, table: jax.Array, grid: DemGrid, cfg: SimConfig
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Disk-disk contact forces via the cell list. Returns (F, T, n_contacts)."""
+    cand = candidate_list(disks, table, grid)
+    return contact_forces_from_candidates(disks, cand, cfg)
 
 
 def wall_forces(
@@ -244,32 +271,39 @@ def dem_subcycle(
     inv_i = jnp.where(disks.active, 1.0 / disks.inertia, 0.0)
     act2 = disks.active[:, None]
 
-    def total_force(d: DiskState):
-        table, ovf = build_cell_table(d.x, d.active, grid)
-        Fc, Tc, nc = contact_forces(d, table, grid, cfg)
-        Fw, Tw = wall_forces(d, cfg)
-        F = Fc + Fw + f_hydro + body_forces(d, cfg)
-        return F * act2, (Tc + Tw + t_hydro) * d.active, ovf, nc
+    # Verlet-list pattern: the cell table + candidate list are built once
+    # per LBM step (the grid skin guarantees validity through the whole
+    # subcycle), so each substep is pure vectorized arithmetic - no
+    # argsort/scatter on the critical path of the scan.
+    table, ovf = build_cell_table(disks.x, disks.active, grid)
+    cand = candidate_list(disks, table, grid)
+    body_f = body_forces(disks, cfg)  # position-independent
 
-    F0, T0, ovf0, nc0 = total_force(disks)
+    def total_force(d: DiskState):
+        Fc, Tc, nc = contact_forces_from_candidates(d, cand, cfg)
+        Fw, Tw = wall_forces(d, cfg)
+        F = Fc + Fw + f_hydro + body_f
+        return F * act2, (Tc + Tw + t_hydro) * d.active, nc
+
+    F0, T0, nc0 = total_force(disks)
 
     def body(carry, _):
-        d, F, T, ovf, nc = carry
+        d, F, T, nc = carry
         vh = d.v + (0.5 * h) * F * inv_m[:, None]
         omh = d.omega + (0.5 * h) * T * inv_i
         d = d._replace(
             x=d.x + h * vh * act2,
             theta=d.theta + h * omh * d.active,
         )
-        F2, T2, o2, n2 = total_force(d._replace(v=vh, omega=omh))
+        F2, T2, n2 = total_force(d._replace(v=vh, omega=omh))
         d = d._replace(
             v=(vh + (0.5 * h) * F2 * inv_m[:, None]) * act2,
             omega=(omh + (0.5 * h) * T2 * inv_i) * d.active,
         )
-        return (d, F2, T2, jnp.maximum(ovf, o2), jnp.maximum(nc, n2)), None
+        return (d, F2, T2, jnp.maximum(nc, n2)), None
 
-    (disks, _, _, ovf, nc), _ = jax.lax.scan(
-        body, (disks, F0, T0, ovf0, nc0), None, length=cfg.n_sub
+    (disks, _, _, nc), _ = jax.lax.scan(
+        body, (disks, F0, T0, nc0), None, length=cfg.n_sub
     )
     return disks, ovf, nc
 

@@ -84,23 +84,32 @@ def stamp_solid_fraction(
         cov, by, bx = _coverage_window(px, py, rr, act, W, ns, dt)
         iy = jnp.broadcast_to(by + jnp.arange(W, dtype=jnp.int32)[:, None], (W, W))
         ix = jnp.broadcast_to(bx + jnp.arange(W, dtype=jnp.int32)[None, :], (W, W))
+        # NOTE: negative indices wrap in JAX even under scatter mode='drop',
+        # so out-of-domain cells (incl. shard-local frames) must be masked
+        # explicitly and their indices clipped.
+        valid = (iy >= 0) & (iy < cfg.ny) & (ix >= 0) & (ix < cfg.nx)
+        cov = jnp.where(valid, cov, 0.0)
+        iy = jnp.clip(iy, 0, cfg.ny - 1)
+        ix = jnp.clip(ix, 0, cfg.nx - 1)
         # Rigid-body velocity at each covered cell center.
         relx = ix.astype(dt) - px
         rely = iy.astype(dt) - py
         usx = vx + om * (-rely)
         usy = vy + om * relx
-        return cov, iy, ix, cov * usx, cov * usy
+        # stack the three scattered channels so XLA emits ONE scatter
+        vals = jnp.stack([cov, cov * usx, cov * usy], axis=-1)  # (W, W, 3)
+        return vals, iy, ix
 
-    cov, iy, ix, mx, my = jax.vmap(one)(
+    vals, iy, ix = jax.vmap(one)(
         xp[:, 0], xp[:, 1], vp[:, 0], vp[:, 1], omega, r, active.astype(dt)
     )
-    shape = (cfg.ny, cfg.nx)
     iy, ix = iy.reshape(-1), ix.reshape(-1)
-    eps = jnp.zeros(shape, dt).at[iy, ix].add(cov.reshape(-1), mode="drop")
-    numx = jnp.zeros(shape, dt).at[iy, ix].add(mx.reshape(-1), mode="drop")
-    numy = jnp.zeros(shape, dt).at[iy, ix].add(my.reshape(-1), mode="drop")
+    fields = jnp.zeros((cfg.ny, cfg.nx, 3), dt).at[iy, ix, :].add(
+        vals.reshape(-1, 3)
+    )
+    eps = fields[..., 0]
     inv = 1.0 / jnp.maximum(eps, _EPS_MIN)
-    return eps, numx * inv, numy * inv
+    return eps, fields[..., 1] * inv, fields[..., 2] * inv
 
 
 def nt_weight(eps: jax.Array, tau) -> jax.Array:
@@ -171,15 +180,22 @@ def reduce_hydro_forces(
     """
     W, ns = cfg.window, cfg.eps_samples
     dt = phi_x.dtype
+    # one fused gather for (eps, phi_x, phi_y)
+    fields = jnp.stack([eps_raw, phi_x, phi_y], axis=-1)
 
     def one(px, py, rr, act):
         cov, by, bx = _coverage_window(px, py, rr, act, W, ns, dt)
         iy = by + jnp.arange(W, dtype=jnp.int32)[:, None]
         ix = bx + jnp.arange(W, dtype=jnp.int32)[None, :]
-        tot = eps_raw.at[iy, ix].get(mode="fill", fill_value=1.0)
-        share = cov / jnp.maximum(tot, _EPS_MIN)
-        fx_c = phi_x.at[iy, ix].get(mode="fill", fill_value=0.0) * share
-        fy_c = phi_y.at[iy, ix].get(mode="fill", fill_value=0.0) * share
+        # Negative indices wrap in JAX gathers: mask + clip explicitly.
+        valid = (iy >= 0) & (iy < cfg.ny) & (ix >= 0) & (ix < cfg.nx)
+        iyc = jnp.clip(iy, 0, cfg.ny - 1)
+        ixc = jnp.clip(ix, 0, cfg.nx - 1)
+        g = fields[iyc, ixc]  # (W, W, 3)
+        tot = jnp.where(valid, g[..., 0], 1.0)
+        share = cov * valid / jnp.maximum(tot, _EPS_MIN)
+        fx_c = g[..., 1] * share
+        fy_c = g[..., 2] * share
         relx = ix.astype(dt) - px
         rely = iy.astype(dt) - py
         fx = jnp.sum(fx_c)

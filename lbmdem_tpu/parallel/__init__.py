@@ -1,0 +1,11 @@
+"""Multi-chip distribution layer (SURVEY.md SS5.7/5.8): lattice sharding
+over an ICI mesh via shard_map, halo exchange, particle-force psum."""
+
+from lbmdem_tpu.parallel.sharding import (
+    make_mesh,
+    make_sharded_step,
+    shard_state,
+    state_specs,
+)
+
+__all__ = ["make_mesh", "make_sharded_step", "shard_state", "state_specs"]

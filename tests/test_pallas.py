@@ -1,0 +1,73 @@
+"""Fused Pallas kernel vs the plain-JAX oracle (interpret mode on CPU;
+the same kernels compile for real on TPU - exercised by bench/run)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from lbmdem_tpu import lattice
+from lbmdem_tpu.config import SimConfig
+from lbmdem_tpu.ops import imb, lbm, pallas_lbm
+
+
+@pytest.fixture(autouse=True)
+def _interpret(monkeypatch):
+    monkeypatch.setattr(pallas_lbm, "_INTERPRET", True)
+
+
+def _rand_f(ny, nx, seed=0):
+    rng = np.random.default_rng(seed)
+    base = lattice.W[:, None, None].astype(np.float32)
+    pert = 1.0 + 0.05 * rng.standard_normal((9, ny, nx)).astype(np.float32)
+    return jnp.asarray(base * pert)
+
+
+CFGS = [
+    dict(),  # periodic x, walls y
+    dict(bc_west="wall", bc_east="wall"),
+    dict(bc_south="periodic", bc_north="periodic"),
+    dict(gx=1e-5, gy=-2e-5),
+    dict(bc_west="wall", bc_east="wall", gy=-1e-5),
+]
+
+
+@pytest.mark.parametrize("overrides", CFGS)
+def test_fused_fluid_matches_oracle(overrides):
+    cfg = SimConfig(nx=128, ny=16, tau=0.8, dtype="float32", **overrides)
+    f = _rand_f(cfg.ny, cfg.nx)
+    ref = f
+    got = f
+    for _ in range(2):
+        ref = lbm.step_pure_fluid(ref, cfg)
+        got = pallas_lbm.fused_step_fluid(got, cfg)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-6, atol=1e-7)
+
+
+def test_fused_fluid_multi_strip():
+    """ny > strip height: exercises halo DMA across strip boundaries."""
+    cfg = SimConfig(nx=128, ny=96, tau=0.7, gx=1e-5, dtype="float32")
+    f = _rand_f(cfg.ny, cfg.nx, seed=3)
+    ref = lbm.step_pure_fluid(f, cfg)
+    got = pallas_lbm.fused_step_fluid(f, cfg)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-6, atol=1e-7)
+
+
+def test_fused_imb_matches_oracle():
+    cfg = SimConfig(nx=128, ny=32, tau=0.8, dtype="float32", max_disks=1,
+                    window=13, bc_west="wall", bc_east="wall", gy=-1e-5)
+    f = _rand_f(cfg.ny, cfg.nx, seed=5)
+    xp = jnp.asarray([[64.0, 16.0]], jnp.float32)
+    vp = jnp.asarray([[0.01, -0.02]], jnp.float32)
+    om = jnp.asarray([0.005], jnp.float32)
+    rr = jnp.asarray([4.0], jnp.float32)
+    act = jnp.asarray([True])
+    eps, usx, usy = imb.stamp_solid_fraction(xp, vp, om, rr, act, cfg)
+
+    fpost, phix_r, phiy_r = imb.collide_imb(f, eps, usx, usy, cfg)
+    fref = lbm.apply_bounce_back(lbm.stream(fpost), fpost, cfg)
+
+    fgot, phix, phiy = pallas_lbm.fused_step_imb(f, eps, usx, usy, cfg)
+    np.testing.assert_allclose(np.asarray(fgot), np.asarray(fref), rtol=1e-6, atol=1e-7)
+    np.testing.assert_allclose(np.asarray(phix), np.asarray(phix_r), rtol=1e-5, atol=1e-8)
+    np.testing.assert_allclose(np.asarray(phiy), np.asarray(phiy_r), rtol=1e-5, atol=1e-8)

@@ -1,0 +1,87 @@
+"""Distributed step vs single-device oracle on a simulated CPU mesh
+(SURVEY.md SS4 "Distributed"): halo exchange, edge-selective bounce-back
+and particle-force psum must reproduce the unsharded step exactly.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from lbmdem_tpu.config import DiskSpec, SimConfig
+from lbmdem_tpu.ops import lbm
+from lbmdem_tpu.parallel import make_mesh, make_sharded_step, shard_state
+from lbmdem_tpu.simulation import Simulation, make_step_fn
+
+
+def _mesh(ysz, xsz):
+    devs = jax.devices()[: ysz * xsz]
+    if len(devs) < ysz * xsz:
+        pytest.skip(f"need {ysz * xsz} devices")
+    return make_mesh(devs, (ysz, xsz))
+
+
+def _run_both(cfg, disks, mesh, nsteps):
+    sim = Simulation(cfg, disks)
+    step_ref = jax.jit(make_step_fn(sim.cfg, sim.grid))
+    step_sh = jax.jit(make_sharded_step(sim.cfg, sim.grid, mesh))
+    s_ref = sim.state
+    s_sh = shard_state(sim.state, mesh)
+    for _ in range(nsteps):
+        s_ref = step_ref(s_ref)
+        s_sh = step_sh(s_sh)
+    return s_ref, s_sh
+
+
+@pytest.mark.parametrize("meshdims", [(2, 4), (1, 8), (4, 2)])
+def test_pure_fluid_sharded_matches(meshdims):
+    mesh = _mesh(*meshdims)
+    cfg = SimConfig(nx=32, ny=16, tau=0.8, gx=1e-5, dtype="float64")
+    rng = np.random.default_rng(0)
+    sref, ssh = _run_both(cfg, [], mesh, 5)
+    np.testing.assert_array_equal(np.asarray(sref.f), np.asarray(ssh.f))
+
+
+def test_pure_fluid_all_walls_sharded_matches():
+    mesh = _mesh(2, 2)
+    cfg = SimConfig(nx=16, ny=16, tau=0.7, gy=-1e-5, dtype="float64",
+                    bc_west="wall", bc_east="wall")
+    sref, ssh = _run_both(cfg, [], mesh, 6)
+    np.testing.assert_array_equal(np.asarray(sref.f), np.asarray(ssh.f))
+
+
+def test_coupled_sharded_matches():
+    """Disks straddling shard boundaries: stamping, force psum, DEM."""
+    mesh = _mesh(2, 2)
+    cfg = SimConfig(
+        nx=32, ny=32, tau=0.8, dtype="float64", g_py=-1e-4, buoyancy=True,
+        rho_s=2.5, kn=0.5, gamma_n=0.5, n_sub=5,
+        bc_west="wall", bc_east="wall",
+    )
+    disks = [
+        DiskSpec(16.0, 16.0, 3.0),   # dead center: straddles all 4 shards
+        DiskSpec(8.2, 24.1, 2.5),    # interior of one shard
+        DiskSpec(15.0, 7.5, 2.0, vx=0.01),  # straddles x boundary
+    ]
+    sref, ssh = _run_both(cfg, disks, mesh, 4)
+    np.testing.assert_allclose(np.asarray(sref.f), np.asarray(ssh.f),
+                               rtol=0, atol=1e-15)
+    np.testing.assert_allclose(np.asarray(sref.disks.x), np.asarray(ssh.disks.x),
+                               rtol=0, atol=1e-15)
+    np.testing.assert_allclose(np.asarray(sref.disks.v), np.asarray(ssh.disks.v),
+                               rtol=0, atol=1e-15)
+    np.testing.assert_allclose(np.asarray(sref.disks.omega),
+                               np.asarray(ssh.disks.omega), rtol=0, atol=1e-15)
+    assert int(ssh.overflow) == 0
+
+
+def test_sharded_mass_conservation():
+    mesh = _mesh(2, 4)
+    cfg = SimConfig(nx=64, ny=32, tau=0.9, gx=1e-6, dtype="float64")
+    sim = Simulation(cfg)
+    step = jax.jit(make_sharded_step(cfg, None, mesh))
+    s = shard_state(sim.state, mesh)
+    m0 = float(jnp.sum(s.f))
+    for _ in range(20):
+        s = step(s)
+    assert abs(float(jnp.sum(s.f)) - m0) < 1e-10 * m0
