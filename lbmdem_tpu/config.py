@@ -88,11 +88,19 @@ class SimConfig:
     g_px: float = 0.0
     g_py: float = 0.0
     buoyancy: bool = True
+    # Max simultaneous near-contacts per disk (pruned Verlet list slots).
+    contact_cap: int = 16
     # Solid-fraction stamping: subgrid sample count per axis, and the
     # static per-disk stamp window (cells per axis). window=0 -> derived
-    # from max radius at scene build time.
+    # from max radius at scene build time. eps_method "sample" uses
+    # eps_samples^2 subgrid points (reference-style); "ramp" uses the
+    # linear diffuse-interface approximation clip(r + 1/2 - d, 0, 1).
     eps_samples: int = 4
+    eps_method: str = "sample"
     window: int = 0
+    # Per-tile disk capacity for the Pallas stamp/reduce kernels
+    # (0 = derived from disk radii at scene build time).
+    tile_cap: int = 0
     # Smagorinsky LES constant (0 = plain BGK).
     smagorinsky: float = 0.0
     # Numerics

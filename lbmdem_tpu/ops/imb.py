@@ -40,7 +40,7 @@ from lbmdem_tpu.ops.lbm import equilibrium, guo_force_term, moments, smagorinsky
 _EPS_MIN = 1e-7
 
 
-def _coverage_window(x, y, r, active, window: int, ns: int, dtype):
+def _coverage_window(x, y, r, active, window: int, ns: int, dtype, method="sample"):
     """Coverage of each cell in the disk's window, plus base cell indices.
 
     Returns (cov[window, window], by, bx): cov[wy, wx] is the sampled
@@ -52,12 +52,18 @@ def _coverage_window(x, y, r, active, window: int, ns: int, dtype):
     cells = jnp.arange(window, dtype=dtype)
     offs = (jnp.arange(ns, dtype=dtype) + 0.5) / ns - 0.5
     # Sample coordinates relative to disk center, separable in x and y.
-    px = (bx.astype(dtype) + cells[:, None] + offs[None, :]) - x  # (W, ns)
-    py = (by.astype(dtype) + cells[:, None] + offs[None, :]) - y
-    dx2 = px * px  # (W, ns)
-    dy2 = py * py
-    inside = (dy2[:, None, :, None] + dx2[None, :, None, :]) <= r * r
-    cov = jnp.mean(inside.astype(dtype), axis=(2, 3))  # (Wy, Wx)
+    if method == "ramp":
+        cy = (by.astype(dtype) + cells) - y  # (W,) cell-center offsets
+        cx = (bx.astype(dtype) + cells) - x
+        d = jnp.sqrt(cy[:, None] ** 2 + cx[None, :] ** 2)
+        cov = jnp.clip(r + 0.5 - d, 0.0, 1.0)
+    else:
+        px = (bx.astype(dtype) + cells[:, None] + offs[None, :]) - x  # (W, ns)
+        py = (by.astype(dtype) + cells[:, None] + offs[None, :]) - y
+        dx2 = px * px  # (W, ns)
+        dy2 = py * py
+        inside = (dy2[:, None, :, None] + dx2[None, :, None, :]) <= r * r
+        cov = jnp.mean(inside.astype(dtype), axis=(2, 3))  # (Wy, Wx)
     return cov * active, by, bx
 
 
@@ -81,7 +87,7 @@ def stamp_solid_fraction(
     dt = jnp.dtype(cfg.dtype)
 
     def one(px, py, vx, vy, om, rr, act):
-        cov, by, bx = _coverage_window(px, py, rr, act, W, ns, dt)
+        cov, by, bx = _coverage_window(px, py, rr, act, W, ns, dt, cfg.eps_method)
         iy = jnp.broadcast_to(by + jnp.arange(W, dtype=jnp.int32)[:, None], (W, W))
         ix = jnp.broadcast_to(bx + jnp.arange(W, dtype=jnp.int32)[None, :], (W, W))
         # NOTE: negative indices wrap in JAX even under scatter mode='drop',
@@ -184,7 +190,7 @@ def reduce_hydro_forces(
     fields = jnp.stack([eps_raw, phi_x, phi_y], axis=-1)
 
     def one(px, py, rr, act):
-        cov, by, bx = _coverage_window(px, py, rr, act, W, ns, dt)
+        cov, by, bx = _coverage_window(px, py, rr, act, W, ns, dt, cfg.eps_method)
         iy = by + jnp.arange(W, dtype=jnp.int32)[:, None]
         ix = bx + jnp.arange(W, dtype=jnp.int32)[None, :]
         # Negative indices wrap in JAX gathers: mask + clip explicitly.

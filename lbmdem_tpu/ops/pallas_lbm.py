@@ -4,23 +4,26 @@ One kernel pass per step fuses: macroscopic moments -> (NT-blended) BGK
 collision (+ Guo forcing) -> pull streaming -> half-way bounce-back,
 and for the coupled path also emits the per-cell momentum-exchange
 field. This replaces the collide/stream kernel pair of the reference's
-CUDA design (SURVEY SS3.2) with a single bandwidth-optimal sweep:
-f is read once from HBM and written once.
+CUDA design (SURVEY SS3.2) with a single sweep: f is read once from HBM
+(plus a halo margin) and written once.
 
-Design:
-- f lives in HBM as (9, ny, nx) float32, nx padded to lane multiples by
-  the caller (config validation). The grid walks row strips of TH rows;
-  each strip manually DMAs its (9, TH+2, nx) halo window (wrap-safe row
-  indices) into VMEM - BlockSpecs cannot express overlapping windows,
-  DMA can (pallas_guide "Async DMA").
-- In-strip x-neighbors use lane rolls (`pltpu.roll`), which IS the
-  periodic x wrap; wall columns are overwritten by the in-kernel
-  bounce-back, so the wrapped values never survive (same invariant as
-  the jnp.roll oracle in ops/lbm.py).
-- y-halo rows wrap modulo ny: correct for periodic y; for wall y the
-  wrapped rows only feed populations the bounce-back overwrites.
-- Collision is computed on the TH+2 window (duplicating 2 rows of work
-  per strip) so streaming needs no cross-strip state: ~2/TH overhead.
+Design notes (Mosaic/TPU constraints shape everything):
+- BlockSpecs cannot express overlapping windows, and DMA slices of
+  *tiled* VMEM buffers must be whole (8, 128) tiles - a 1-row halo copy
+  does not compile. So each (TH, TW) tile manually DMAs a halo-extended
+  window of (TH+16, TW+256): 3x3 aligned chunks (8-row / 128-column
+  blocks) with wrap-safe offsets. The single-row/column halos actually
+  consumed are unaligned *value* slices of that window - relayouts are
+  legal on values, only memref slices must be tile-aligned.
+- Streaming x-shifts are lane rolls on the wide window; the final
+  column slice [128 : 128+TW] is lane-aligned, hence relayout-free.
+- Halo wrap = periodic BC; on wall sides the wrapped values are only
+  pulled into populations that bounce-back overwrites (same invariant
+  as the jnp.roll oracle).
+- Collision is recomputed on the 2-cell overlap; the 8/128-granular
+  halo reads cost (1+16/TH)(1+256/TW) extra read bandwidth - TH=64,
+  TW=1024 => 1.56x read, 1x write, still well under the separate-pass
+  oracle's traffic.
 
 The plain-JAX ops in lbm.py/imb.py are the oracle; parity is enforced
 by tests/test_pallas.py (interpret mode on CPU, compiled on TPU).
@@ -42,23 +45,25 @@ from lbmdem_tpu.config import SimConfig, WALL
 
 _INTERPRET = False  # flipped by tests on CPU
 
+_HY = 8  # halo chunk rows (sublane granularity)
+_HX = 128  # halo chunk cols (lane granularity)
 
-def _pick_strip(ny: int) -> int:
-    """Largest strip height <= 64 dividing ny (minimizes halo recompute
-    while keeping the VMEM window bounded)."""
-    for th in (64, 32, 16, 8, 4, 2, 1):
-        if ny % th == 0:
-            return th
-    return 1
+
+def tile_dims(cfg: SimConfig) -> Tuple[int, int]:
+    th = next((t for t in (64, 32, 16, 8) if cfg.ny % t == 0), None)
+    tw = next((t for t in (1024, 512, 256, 128) if cfg.nx % t == 0), None)
+    assert th and tw, (
+        f"lattice {cfg.ny}x{cfg.nx} needs ny%8==0 and nx%128==0 for the "
+        f"fused Pallas path"
+    )
+    return th, tw
 
 
 def _collide_window(win, cfg: SimConfig, eps=None, usx=None, usy=None):
     """Moments + (NT-blended) BGK + Guo forcing on a (9, H, W) window.
 
-    Returns (fpost, phi) where phi is None for pure fluid, else a
-    (2, H, W) momentum-exchange field (force on solid per cell).
+    Returns (fpost list of 9 (H, W) planes, phi (2, H, W) or None).
     """
-    dt = win.dtype
     tau = cfg.tau
     w_c = lattice.W.astype(np.float32)
     ex_c = lattice.EX.astype(np.float32)
@@ -94,7 +99,7 @@ def _collide_window(win, cfg: SimConfig, eps=None, usx=None, usy=None):
         phiy = jnp.zeros_like(rho)
 
     inv_tau = 1.0 / tau
-    force_pref = (1.0 - 0.5 * inv_tau)
+    force_pref = 1.0 - 0.5 * inv_tau
     outs = []
     for i in range(9):
         feq = feq_i(i, ux, uy, usq)
@@ -122,137 +127,135 @@ def _collide_window(win, cfg: SimConfig, eps=None, usx=None, usy=None):
     return outs, phi
 
 
-def _stream_and_bb(fpost, cfg: SimConfig, th: int, step, n_steps: int):
-    """Pull-stream a list of 9 (TH+2, W) post-collision planes into the
-    (9, TH, W) output block, applying bounce-back at global walls."""
-    nx = cfg.nx
+def _dma_window(src_hbm, dst_vmem, sems, y0, x0, th, tw, ny, nx):
+    """9 aligned chunk copies filling a (C, th+2*_HY, tw+2*_HX) window
+    with wrap-safe offsets. Returns the started copies (caller waits)."""
+    ny32 = jnp.int32(ny)
+    nx32 = jnp.int32(nx)
+    # all offsets are congruent 0 mod the tile granule (y0 = i*th,
+    # th/ny multiples of 8; x0 = j*tw, tw/nx multiples of 128) - Mosaic
+    # needs the pl.multiple_of proof to slice tiled memrefs dynamically.
+    rows = [
+        (pl.multiple_of(jax.lax.rem(y0 - _HY + ny32, ny32), _HY), 0, _HY),
+        (pl.multiple_of(y0, _HY), _HY, th),
+        (pl.multiple_of(jax.lax.rem(y0 + th, ny32), _HY), _HY + th, _HY),
+    ]
+    cols = [
+        (pl.multiple_of(jax.lax.rem(x0 - _HX + nx32, nx32), _HX), 0, _HX),
+        (pl.multiple_of(x0, _HX), _HX, tw),
+        (pl.multiple_of(jax.lax.rem(x0 + tw, nx32), _HX), _HX + tw, _HX),
+    ]
+    copies = []
+    k = 0
+    for ys, yd, rh in rows:
+        for xs, xd, cw in cols:
+            copies.append(
+                pltpu.make_async_copy(
+                    src_hbm.at[:, pl.ds(ys, rh), pl.ds(xs, cw)],
+                    dst_vmem.at[:, pl.ds(yd, rh), pl.ds(xd, cw)],
+                    sems.at[k],
+                )
+            )
+            k += 1
+    for c in copies:
+        c.start()
+    return copies
+
+
+def _stream_and_bb(fpost, cfg, th, tw, iy, ix, nty, ntx):
+    """Pull-stream 9 (th+2, tw+2*_HX) planes into the (9, th, tw) output
+    tile, with bounce-back at global walls. iy/ix are tile grid coords."""
     outs = []
     for i in range(9):
         ex, ey = int(lattice.E[i, 0]), int(lattice.E[i, 1])
         plane = fpost[i]
         if ex:
-            # pltpu.roll requires non-negative shifts; ex in {-1, +1}
-            plane = pltpu.roll(plane, ex % nx, 1)  # lane roll = periodic x
-        outs.append(jax.lax.slice_in_dim(plane, 1 - ey, 1 - ey + th, axis=0))
+            plane = pltpu.roll(plane, ex % plane.shape[1], 1)
+        outs.append(
+            jax.lax.slice(plane, (1 - ey, _HX), (1 - ey + th, _HX + tw))
+        )
 
-    # x walls: every strip, fixed columns.
-    col = jax.lax.broadcasted_iota(jnp.int32, (th, nx), 1)
+    col = jax.lax.broadcasted_iota(jnp.int32, (th, tw), 1)
+    row = jax.lax.broadcasted_iota(jnp.int32, (th, tw), 0)
+
+    def bbslice(io):
+        return jax.lax.slice(fpost[io], (1, _HX), (1 + th, _HX + tw))
+
     if cfg.bc_west == WALL:
-        at_w = col == 0
+        at = (col == 0) & (ix == 0)
         for i in (int(j) for j in lattice.IN_E):
-            io = int(lattice.OPP[i])
-            outs[i] = jnp.where(
-                at_w, jax.lax.slice_in_dim(fpost[io], 1, 1 + th, axis=0), outs[i]
-            )
+            outs[i] = jnp.where(at, bbslice(int(lattice.OPP[i])), outs[i])
     if cfg.bc_east == WALL:
-        at_e = col == nx - 1
+        at = (col == tw - 1) & (ix == ntx - 1)
         for i in (int(j) for j in lattice.IN_W):
-            io = int(lattice.OPP[i])
-            outs[i] = jnp.where(
-                at_e, jax.lax.slice_in_dim(fpost[io], 1, 1 + th, axis=0), outs[i]
-            )
-
-    # y walls: only the first/last strip, fixed rows.
-    row = jax.lax.broadcasted_iota(jnp.int32, (th, nx), 0)
+            outs[i] = jnp.where(at, bbslice(int(lattice.OPP[i])), outs[i])
     if cfg.bc_south == WALL:
-        at_s = (row == 0) & (step == 0)
+        at = (row == 0) & (iy == 0)
         for i in (int(j) for j in lattice.IN_N):
-            io = int(lattice.OPP[i])
-            outs[i] = jnp.where(
-                at_s, jax.lax.slice_in_dim(fpost[io], 1, 1 + th, axis=0), outs[i]
-            )
+            outs[i] = jnp.where(at, bbslice(int(lattice.OPP[i])), outs[i])
     if cfg.bc_north == WALL:
-        at_n = (row == th - 1) & (step == n_steps - 1)
+        at = (row == th - 1) & (iy == nty - 1)
         for i in (int(j) for j in lattice.IN_S):
-            io = int(lattice.OPP[i])
-            outs[i] = jnp.where(
-                at_n, jax.lax.slice_in_dim(fpost[io], 1, 1 + th, axis=0), outs[i]
-            )
+            outs[i] = jnp.where(at, bbslice(int(lattice.OPP[i])), outs[i])
     return jnp.stack(outs)
 
 
-def _fluid_kernel(f_hbm, out_ref, win, sem, *, cfg: SimConfig, th: int):
-    ny = cfg.ny
-    n_steps = pl.num_programs(0)
-    step = pl.program_id(0)
-    y0 = step * th
-
-    ny32 = jnp.int32(ny)
-    top = jax.lax.rem(y0 - 1 + ny32, ny32)
-    bot = jax.lax.rem(y0 + th, ny32)
-    c_top = pltpu.make_async_copy(
-        f_hbm.at[:, pl.ds(top, 1), :], win.at[:, 0:1, :], sem.at[0]
+def _fluid_kernel(f_hbm, out_ref, win, sems, *, cfg: SimConfig, th: int, tw: int):
+    iy = pl.program_id(0)
+    ix = pl.program_id(1)
+    nty = pl.num_programs(0)
+    ntx = pl.num_programs(1)
+    copies = _dma_window(
+        f_hbm, win, sems, iy * th, ix * tw, th, tw, cfg.ny, cfg.nx
     )
-    c_mid = pltpu.make_async_copy(
-        f_hbm.at[:, pl.ds(y0, th), :], win.at[:, 1 : th + 1, :], sem.at[1]
-    )
-    c_bot = pltpu.make_async_copy(
-        f_hbm.at[:, pl.ds(bot, 1), :], win.at[:, th + 1 : th + 2, :], sem.at[2]
-    )
-    c_top.start()
-    c_mid.start()
-    c_bot.start()
-    c_top.wait()
-    c_mid.wait()
-    c_bot.wait()
-
-    fpost, _ = _collide_window(win[:], cfg)
-    out_ref[:] = _stream_and_bb(fpost, cfg, th, step, n_steps)
+    for c in copies:
+        c.wait()
+    wv = win[:, _HY - 1 : _HY + th + 1, :]  # (9, th+2, tw+2*_HX) value
+    fpost, _ = _collide_window(wv, cfg)
+    out_ref[:] = _stream_and_bb(fpost, cfg, th, tw, iy, ix, nty, ntx)
 
 
 def fused_step_fluid(f: jax.Array, cfg: SimConfig) -> jax.Array:
     """One pure-fluid LBM step as a single fused Pallas kernel."""
     assert f.dtype == jnp.float32, "Pallas path is float32 (use_pallas=False for f64)"
-    th = _pick_strip(cfg.ny)
-    grid = (cfg.ny // th,)
-    kernel = functools.partial(_fluid_kernel, cfg=cfg, th=th)
+    th, tw = tile_dims(cfg)
+    kernel = functools.partial(_fluid_kernel, cfg=cfg, th=th, tw=tw)
     return pl.pallas_call(
         kernel,
-        grid=grid,
+        grid=(cfg.ny // th, cfg.nx // tw),
         in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
         out_specs=pl.BlockSpec(
-            (9, th, cfg.nx), lambda i: (0, i, 0), memory_space=pltpu.VMEM
+            (9, th, tw), lambda i, j: (0, i, j), memory_space=pltpu.VMEM
         ),
         out_shape=jax.ShapeDtypeStruct((9, cfg.ny, cfg.nx), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((9, th + 2, cfg.nx), jnp.float32),
-            pltpu.SemaphoreType.DMA((3,)),
+            pltpu.VMEM((9, th + 2 * _HY, tw + 2 * _HX), jnp.float32),
+            pltpu.SemaphoreType.DMA((9,)),
         ],
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary",),
+            dimension_semantics=("arbitrary", "arbitrary"),
         ),
         interpret=_INTERPRET,
     )(f)
 
 
-def _imb_kernel(f_hbm, s_hbm, out_ref, phi_ref, win, swin, sem, *, cfg: SimConfig, th: int):
-    ny = cfg.ny
-    n_steps = pl.num_programs(0)
-    step = pl.program_id(0)
-    y0 = step * th
-
-    ny32 = jnp.int32(ny)
-    top = jax.lax.rem(y0 - 1 + ny32, ny32)
-    bot = jax.lax.rem(y0 + th, ny32)
-    copies = [
-        pltpu.make_async_copy(f_hbm.at[:, pl.ds(top, 1), :], win.at[:, 0:1, :], sem.at[0]),
-        pltpu.make_async_copy(f_hbm.at[:, pl.ds(y0, th), :], win.at[:, 1 : th + 1, :], sem.at[1]),
-        pltpu.make_async_copy(f_hbm.at[:, pl.ds(bot, 1), :], win.at[:, th + 1 : th + 2, :], sem.at[2]),
-        pltpu.make_async_copy(s_hbm.at[:, pl.ds(top, 1), :], swin.at[:, 0:1, :], sem.at[3]),
-        pltpu.make_async_copy(s_hbm.at[:, pl.ds(y0, th), :], swin.at[:, 1 : th + 1, :], sem.at[4]),
-        pltpu.make_async_copy(s_hbm.at[:, pl.ds(bot, 1), :], swin.at[:, th + 1 : th + 2, :], sem.at[5]),
-    ]
-    for c in copies:
-        c.start()
-    for c in copies:
+def _imb_kernel(
+    f_hbm, s_hbm, out_ref, phi_ref, win, swin, sems, ssems, *,
+    cfg: SimConfig, th: int, tw: int
+):
+    iy = pl.program_id(0)
+    ix = pl.program_id(1)
+    nty = pl.num_programs(0)
+    ntx = pl.num_programs(1)
+    c1 = _dma_window(f_hbm, win, sems, iy * th, ix * tw, th, tw, cfg.ny, cfg.nx)
+    c2 = _dma_window(s_hbm, swin, ssems, iy * th, ix * tw, th, tw, cfg.ny, cfg.nx)
+    for c in c1 + c2:
         c.wait()
-
-    fpost, phi = _collide_window(
-        win[:], cfg, eps=swin[0], usx=swin[1], usy=swin[2]
-    )
-    out_ref[:] = _stream_and_bb(fpost, cfg, th, step, n_steps)
-    # phi for the strip's own rows (window rows 1..TH)
-    phi_ref[:] = jax.lax.slice_in_dim(phi, 1, 1 + th, axis=1)
+    wv = win[:, _HY - 1 : _HY + th + 1, :]
+    sv = swin[:, _HY - 1 : _HY + th + 1, :]
+    fpost, phi = _collide_window(wv, cfg, eps=sv[0], usx=sv[1], usy=sv[2])
+    out_ref[:] = _stream_and_bb(fpost, cfg, th, tw, iy, ix, nty, ntx)
+    phi_ref[:] = jax.lax.slice(phi, (0, 1, _HX), (2, 1 + th, _HX + tw))
 
 
 def fused_step_imb(
@@ -264,37 +267,38 @@ def fused_step_imb(
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """One coupled (Noble-Torczynski) LBM step as a fused Pallas kernel.
 
-    Returns (f_new, phi_x, phi_y); stamping and force reduction stay
-    outside (they are particle-indexed, not lattice sweeps).
+    Returns (f_new, phi_x, phi_y); stamping and force reduction are the
+    particle-indexed kernels in ops/pallas_stamp.py.
     """
     assert f.dtype == jnp.float32
-    th = _pick_strip(cfg.ny)
-    grid = (cfg.ny // th,)
-    solid = jnp.stack([eps.astype(jnp.float32), usx.astype(jnp.float32),
-                       usy.astype(jnp.float32)])
-    kernel = functools.partial(_imb_kernel, cfg=cfg, th=th)
+    th, tw = tile_dims(cfg)
+    solid = jnp.stack(
+        [eps.astype(jnp.float32), usx.astype(jnp.float32), usy.astype(jnp.float32)]
+    )
+    kernel = functools.partial(_imb_kernel, cfg=cfg, th=th, tw=tw)
     fnew, phi = pl.pallas_call(
         kernel,
-        grid=grid,
+        grid=(cfg.ny // th, cfg.nx // tw),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.ANY),
             pl.BlockSpec(memory_space=pltpu.ANY),
         ],
         out_specs=(
-            pl.BlockSpec((9, th, cfg.nx), lambda i: (0, i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((2, th, cfg.nx), lambda i: (0, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((9, th, tw), lambda i, j: (0, i, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, th, tw), lambda i, j: (0, i, j), memory_space=pltpu.VMEM),
         ),
         out_shape=(
             jax.ShapeDtypeStruct((9, cfg.ny, cfg.nx), jnp.float32),
             jax.ShapeDtypeStruct((2, cfg.ny, cfg.nx), jnp.float32),
         ),
         scratch_shapes=[
-            pltpu.VMEM((9, th + 2, cfg.nx), jnp.float32),
-            pltpu.VMEM((3, th + 2, cfg.nx), jnp.float32),
-            pltpu.SemaphoreType.DMA((6,)),
+            pltpu.VMEM((9, th + 2 * _HY, tw + 2 * _HX), jnp.float32),
+            pltpu.VMEM((3, th + 2 * _HY, tw + 2 * _HX), jnp.float32),
+            pltpu.SemaphoreType.DMA((9,)),
+            pltpu.SemaphoreType.DMA((9,)),
         ],
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary",),
+            dimension_semantics=("arbitrary", "arbitrary"),
         ),
         interpret=_INTERPRET,
     )(f, solid)

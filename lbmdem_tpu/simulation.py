@@ -52,29 +52,43 @@ def make_step_fn(
     """
     coupled = cfg.max_disks > 0
     if use_pallas:
-        from lbmdem_tpu.ops import pallas_lbm
+        from lbmdem_tpu.ops import pallas_lbm, pallas_stamp
 
     def step(state: SimState) -> SimState:
         if coupled:
             d = state.disks
-            eps, usx, usy = imb.stamp_solid_fraction(
-                d.x, d.v, d.omega, d.r, d.active, cfg
-            )
             if use_pallas:
+                binned = pallas_stamp.bin_disks_to_tiles(
+                    d.x, d.v, d.omega, d.r, d.active, cfg
+                )
+                tile_data, counts, entry_slots, bovf = binned
+                eps, usx, usy, _ = pallas_stamp.stamp_solid_fraction(
+                    d.x, d.v, d.omega, d.r, d.active, cfg, binned=binned
+                )
                 fnew, phix, phiy = pallas_lbm.fused_step_imb(
                     state.f, eps, usx, usy, cfg
                 )
+                fh, th = pallas_stamp.reduce_hydro_forces(
+                    d.x, d.r, d.active, eps, phix, phiy, cfg,
+                    tile_data, counts, entry_slots,
+                )
             else:
+                bovf = jnp.zeros((), jnp.int32)
+                eps, usx, usy = imb.stamp_solid_fraction(
+                    d.x, d.v, d.omega, d.r, d.active, cfg
+                )
                 fpost, phix, phiy = imb.collide_imb(state.f, eps, usx, usy, cfg)
                 fnew = lbm.stream(fpost)
                 fnew = lbm.apply_bounce_back(fnew, fpost, cfg)
-            fh, th = imb.reduce_hydro_forces(d.x, d.r, d.active, eps, phix, phiy, cfg)
+                fh, th = imb.reduce_hydro_forces(
+                    d.x, d.r, d.active, eps, phix, phiy, cfg
+                )
             disks, ovf, nc = dem.dem_subcycle(d, fh, th, grid, cfg)
             return SimState(
                 f=fnew,
                 disks=disks,
                 step=state.step + 1,
-                overflow=jnp.maximum(state.overflow, ovf),
+                overflow=jnp.maximum(state.overflow, jnp.maximum(ovf, bovf)),
                 n_contacts=nc,
             )
         else:
@@ -110,6 +124,14 @@ class Simulation:
                 cfg = cfg.replace(window=window_for_radius(1.0))
         else:
             self.grid = None
+        if use_pallas and disks and cfg.tile_cap <= 0:
+            from lbmdem_tpu.ops import pallas_stamp
+
+            th, tw = pallas_stamp.tile_dims(cfg)
+            r_min = min(d.r for d in disks)
+            cfg = cfg.replace(
+                tile_cap=pallas_stamp.default_tile_cap(th, tw, r_min, cfg.window)
+            )
         self.cfg = cfg
         self.use_pallas = use_pallas
         self.state = SimState(
