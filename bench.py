@@ -47,7 +47,7 @@ def main():
     nx = int(os.environ.get("BENCH_NX", 4096))
     ny = int(os.environ.get("BENCH_NY", 4096))
     nd = int(os.environ.get("BENCH_DISKS", 10000))
-    use_pallas = os.environ.get("BENCH_PALLAS", "0") == "1"
+    use_pallas = os.environ.get("BENCH_PALLAS", "1") == "1"
     try:
         mlups, overflow = _run(nx, ny, nd, 10, 20, 60, use_pallas)
     except Exception as e:  # smaller fallback so the driver always gets a number

@@ -43,7 +43,12 @@ from jax.experimental.pallas import tpu as pltpu
 from lbmdem_tpu import lattice
 from lbmdem_tpu.config import SimConfig, WALL
 
-_INTERPRET = False  # flipped by tests on CPU
+def _interpret() -> bool:
+    """Compiled on TPU; interpreter elsewhere (CPU tests, debugging)."""
+    return _INTERPRET or jax.default_backend() != "tpu"
+
+
+_INTERPRET = False  # force-interpret override
 
 _HY = 8  # halo chunk rows (sublane granularity)
 _HX = 128  # halo chunk cols (lane granularity)
@@ -235,7 +240,7 @@ def fused_step_fluid(f: jax.Array, cfg: SimConfig) -> jax.Array:
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary"),
         ),
-        interpret=_INTERPRET,
+        interpret=_interpret(),
     )(f)
 
 
@@ -300,6 +305,6 @@ def fused_step_imb(
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary"),
         ),
-        interpret=_INTERPRET,
+        interpret=_interpret(),
     )(f, solid)
     return fnew, phi[0], phi[1]

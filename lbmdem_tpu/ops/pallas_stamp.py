@@ -33,7 +33,12 @@ from jax.experimental.pallas import tpu as pltpu
 
 from lbmdem_tpu.config import SimConfig
 
-_INTERPRET = False
+def _interpret() -> bool:
+    """Compiled on TPU; interpreter elsewhere (CPU tests, debugging)."""
+    return _INTERPRET or jax.default_backend() != "tpu"
+
+
+_INTERPRET = False  # force-interpret override
 
 
 def tile_dims(cfg: SimConfig) -> Tuple[int, int]:
@@ -232,7 +237,7 @@ def stamp_solid_fraction(
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel"),
         ),
-        interpret=_INTERPRET,
+        interpret=_interpret(),
     )(tile_data, counts)
     return fields[0], fields[1], fields[2], overflow
 
@@ -334,7 +339,7 @@ def reduce_hydro_forces(
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel"),
         ),
-        interpret=_INTERPRET,
+        interpret=_interpret(),
     )(tile_data, counts, eps_raw[None], phi)
     flat = partials.reshape(nty * ntx * cap, 4)
     pos = entry_slots  # (N, 4), -1 unused
