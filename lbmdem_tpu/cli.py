@@ -1,0 +1,113 @@
+"""Command-line driver (SURVEY.md SS2 C21): `python -m lbmdem_tpu.cli
+run.par` mirrors the reference's `./lbmdem <paramfile>` entry point.
+
+Runs the jitted step loop in out_interval chunks; each interval writes
+VTK snapshots, appends the metrics CSV and particle trajectory log, and
+(optionally) a restart checkpoint - the only recurring host crossings
+(SURVEY SS3.2).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(
+        prog="lbmdem_tpu",
+        description="TPU-native 2D coupled LBM-DEM solver",
+    )
+    ap.add_argument("paramfile", help="reference-format parameter file")
+    ap.add_argument("--out", default="out", help="output directory")
+    ap.add_argument("--steps", type=int, default=None, help="override steps")
+    ap.add_argument("--pallas", action=argparse.BooleanOptionalAction,
+                    default=True, help="use fused Pallas kernels (TPU)")
+    ap.add_argument("--checkpoint-every", type=int, default=0,
+                    metavar="N", help="write restart checkpoint every N steps")
+    ap.add_argument("--restore", default=None, metavar="CKPT",
+                    help="resume from checkpoint file")
+    ap.add_argument("--ascii-vtk", action="store_true")
+    ap.add_argument("--scenario", default=None,
+                    help="run a built-in scenario instead of a paramfile "
+                         "(poiseuille|sedimentation|dkt|settling_column|"
+                         "column_collapse); paramfile arg is ignored")
+    args = ap.parse_args(argv)
+
+    from lbmdem_tpu.config import load_param_file, load_particle_file
+    from lbmdem_tpu.simulation import Simulation
+    from lbmdem_tpu.utils import checkpoint as ckpt
+    from lbmdem_tpu.utils.io_vtk import (
+        append_particle_csv, write_fluid_vtk, write_particles_vtk,
+    )
+    from lbmdem_tpu.utils.metrics import MetricsLogger
+
+    if args.scenario:
+        from lbmdem_tpu.models import make_scenario
+
+        cfg, disks = make_scenario(args.scenario)
+    else:
+        cfg, pfile = load_param_file(args.paramfile)
+        disks = load_particle_file(pfile) if pfile else []
+    if args.steps is not None:
+        cfg = cfg.replace(steps=args.steps)
+    if cfg.dtype == "float64":
+        import jax
+
+        jax.config.update("jax_enable_x64", True)
+    if cfg.dtype != "float32" and args.pallas:
+        print("note: Pallas path is float32-only; using the plain-JAX path",
+              file=sys.stderr)
+        args.pallas = False
+
+    sim = Simulation(cfg, disks, use_pallas=args.pallas)
+    cfg = sim.cfg  # Simulation derives max_disks/window/tile_cap
+    if args.restore:
+        sim.state = ckpt.load_state(args.restore, sim.state)
+        print(f"restored from {args.restore} at step {int(sim.state.step)}")
+
+    os.makedirs(args.out, exist_ok=True)
+    logger = MetricsLogger(os.path.join(args.out, "metrics.csv"))
+
+    def snapshot(s: Simulation):
+        step = int(s.state.step)
+        row = logger.log(s)
+        print(
+            f"step {step:8d}  mass={row['mass']:.6e}  max_u={row['max_u']:.4f}"
+            f"  contacts={int(row['n_contacts'])}  overflow={int(row['overflow'])}"
+            f"  {row['mlups']:.0f} MLUPS",
+            flush=True,
+        )
+        if row["nan"]:
+            raise RuntimeError(f"NaN in distributions at step {step}")
+        rho, ux, uy = s.macroscopic()
+        eps = s.solid_fraction() if cfg.max_disks else None
+        write_fluid_vtk(
+            os.path.join(args.out, f"fluid_{step:08d}.vtk"),
+            rho, ux, uy, eps, binary=not args.ascii_vtk,
+        )
+        if cfg.max_disks:
+            d = s.disk_arrays()
+            write_particles_vtk(
+                os.path.join(args.out, f"particles_{step:08d}.vtk"), d
+            )
+            append_particle_csv(
+                os.path.join(args.out, "trajectories.csv"), step, d
+            )
+        if args.checkpoint_every and step % args.checkpoint_every == 0:
+            ckpt.save_state(
+                os.path.join(args.out, "restart.npz"), s.state, s.cfg
+            )
+
+    remaining = cfg.steps - int(sim.state.step)
+    if remaining <= 0:
+        print("nothing to do (steps already completed)", file=sys.stderr)
+        return 0
+    mlups = sim.run(remaining, callback=snapshot)
+    print(f"done: {remaining} steps, {mlups:.0f} MLUPS overall")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

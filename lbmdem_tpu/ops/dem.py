@@ -215,7 +215,8 @@ def contact_forces_from_candidates(
         dt,
     )
     # Every contact is counted by both members.
-    return jnp.sum(F, axis=1), jnp.sum(T, axis=1), jnp.sum(touching) // 2
+    nc = jnp.sum(touching, dtype=jnp.int32) // 2
+    return jnp.sum(F, axis=1), jnp.sum(T, axis=1), nc
 
 
 def contact_forces(

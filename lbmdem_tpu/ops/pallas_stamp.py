@@ -57,8 +57,8 @@ def default_tile_cap(tile_h: int, tile_w: int, r_min: float, window: int) -> int
     over the tile plus its window margin, with 2x headroom."""
     area = (tile_h + window) * (tile_w + window)
     per_disk = max((2.0 * r_min) ** 2 * 0.85, 1.0)  # ~hex packing
-    cap = int(2.0 * area / per_disk) + 16
-    return min(1 << (cap - 1).bit_length(), 4096)  # round up to pow2
+    cap = int(1.5 * area / per_disk) + 16
+    return min((cap + 7) & ~7, 4096)  # round up to sublane multiple
 
 
 def bin_disks_to_tiles(

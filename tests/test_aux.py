@@ -1,0 +1,126 @@
+"""Aux subsystems (SURVEY.md SS5): checkpoint/resume identity, metrics
+logging, VTK snapshot output, and the CLI end-to-end."""
+
+import os
+import subprocess
+import sys
+
+import jax
+import numpy as np
+
+from lbmdem_tpu.config import DiskSpec, SimConfig
+from lbmdem_tpu.simulation import Simulation, make_step_fn
+from lbmdem_tpu.utils import checkpoint as ckpt
+from lbmdem_tpu.utils.io_vtk import write_fluid_vtk, write_particles_vtk
+from lbmdem_tpu.utils.metrics import MetricsLogger, compute_diagnostics
+
+
+def _cfg(**kw):
+    base = dict(nx=32, ny=48, tau=0.8, dtype="float64", g_py=-1e-4,
+                rho_s=2.0, kn=0.5, gamma_n=0.5, n_sub=5,
+                bc_west="wall", bc_east="wall")
+    base.update(kw)
+    return SimConfig(**base)
+
+
+def test_checkpoint_resume_identical_trajectory(tmp_path):
+    cfg = _cfg()
+    disks = [DiskSpec(16.2, 40.0, 3.0)]
+    sim = Simulation(cfg, disks)
+    step = jax.jit(make_step_fn(sim.cfg, sim.grid, False))
+
+    s = sim.state
+    for _ in range(10):
+        s = step(s)
+    path = str(tmp_path / "ckpt.npz")
+    ckpt.save_state(path, s, cfg)
+
+    # continue 10 more steps from the live state
+    s_cont = s
+    for _ in range(10):
+        s_cont = step(s_cont)
+
+    # resume from disk and run the same 10 steps
+    s_res = ckpt.load_state(path, sim.state)
+    assert int(s_res.step) == 10
+    for _ in range(10):
+        s_res = step(s_res)
+
+    np.testing.assert_array_equal(np.asarray(s_cont.f), np.asarray(s_res.f))
+    np.testing.assert_array_equal(np.asarray(s_cont.disks.x), np.asarray(s_res.disks.x))
+    np.testing.assert_array_equal(np.asarray(s_cont.disks.v), np.asarray(s_res.disks.v))
+
+
+def test_checkpoint_shape_mismatch_rejected(tmp_path):
+    cfg = _cfg()
+    sim = Simulation(cfg, [DiskSpec(16.2, 40.0, 3.0)])
+    path = str(tmp_path / "c.npz")
+    ckpt.save_state(path, sim.state)
+    other = Simulation(_cfg(nx=64), [DiskSpec(16.2, 40.0, 3.0)])
+    try:
+        ckpt.load_state(path, other.state)
+        assert False, "expected shape mismatch"
+    except AssertionError as e:
+        assert "shape" in str(e)
+
+
+def test_metrics_logger(tmp_path):
+    cfg = _cfg()
+    sim = Simulation(cfg, [DiskSpec(16.2, 40.0, 3.0)])
+    logger = MetricsLogger(str(tmp_path / "m.csv"), str(tmp_path / "m.jsonl"))
+    row = logger.log(sim)
+    assert abs(row["mass"] - cfg.nx * cfg.ny) < 1e-6
+    assert row["nan"] == 0
+    sim.run(5)
+    row2 = logger.log(sim)
+    assert row2["step"] == 5
+    assert row2["mlups"] > 0
+    lines = open(tmp_path / "m.csv").read().strip().splitlines()
+    assert len(lines) == 3  # header + 2 rows
+    import json
+    assert json.loads(open(tmp_path / "m.jsonl").read().splitlines()[1])["step"] == 5
+
+
+def test_vtk_output(tmp_path):
+    cfg = _cfg()
+    sim = Simulation(cfg, [DiskSpec(16.2, 40.0, 3.0)])
+    rho, ux, uy = sim.macroscopic()
+    p1 = str(tmp_path / "f.vtk")
+    write_fluid_vtk(p1, rho, ux, uy, sim.solid_fraction(), binary=True)
+    head = open(p1, "rb").read(300).decode(errors="replace")
+    assert "STRUCTURED_POINTS" in head and f"DIMENSIONS {cfg.nx} {cfg.ny} 1" in head
+    assert os.path.getsize(p1) > cfg.nx * cfg.ny * 4 * 5  # rho + vel3 + eps
+
+    p2 = str(tmp_path / "p.vtk")
+    write_particles_vtk(p2, sim.disk_arrays())
+    txt = open(p2).read()
+    assert "POINTS 1 float" in txt and "radius" in txt and "velocity" in txt
+
+
+def test_cli_end_to_end(tmp_path):
+    (tmp_path / "run.par").write_text(
+        "nx 32\nny 64\ntau 0.8\nsteps 20\nout_interval 10\n"
+        "bc west wall\nbc east wall\nbc south wall\nbc north wall\n"
+        "kn 0.5\ngamma_n 0.5\nrho_s 2.0\nn_sub 5\ng_py -1e-4\n"
+        "particles d.txt\ndtype float64\n"
+    )
+    (tmp_path / "d.txt").write_text("16 50 3.0\n")
+    # disable the axon TPU plugin (PALLAS_AXON_POOL_IPS gates its
+    # sitecustomize) so the subprocess runs on CPU
+    env = dict(os.environ, JAX_PLATFORMS="", PALLAS_AXON_POOL_IPS="")
+    out = subprocess.run(
+        [sys.executable, "-m", "lbmdem_tpu.cli", str(tmp_path / "run.par"),
+         "--out", str(tmp_path / "out"), "--no-pallas",
+         "--checkpoint-every", "10"],
+        capture_output=True, text=True, timeout=300,
+        cwd="/root/repo",
+        env=dict(env, PYTHONPATH="/root/repo:" + env.get("PYTHONPATH", "")),
+    )
+    assert out.returncode == 0, out.stderr
+    assert "done: 20 steps" in out.stdout
+    od = tmp_path / "out"
+    assert (od / "metrics.csv").exists()
+    assert (od / "trajectories.csv").exists()
+    assert (od / "restart.npz").exists()
+    assert (od / "fluid_00000010.vtk").exists()
+    assert (od / "particles_00000020.vtk").exists()
