@@ -16,7 +16,7 @@ import sys
 import time
 
 
-def _run(nx, ny, n_disks, warm_steps, steps_a, steps_b, use_pallas):
+def _run(nx, ny, n_disks, chunk, repeats, use_pallas):
     import jax
     from lbmdem_tpu.models import column_collapse
     from lbmdem_tpu.simulation import Simulation
@@ -24,18 +24,16 @@ def _run(nx, ny, n_disks, warm_steps, steps_a, steps_b, use_pallas):
     cfg, disks = column_collapse(nx=nx, ny=ny, n_disks=n_disks)
     cfg = cfg.replace(out_interval=10**9)
     sim = Simulation(cfg, disks, use_pallas=use_pallas)
-    sim.run(warm_steps)  # compile + warm
-
-    t0 = time.perf_counter()
-    sim.run(steps_a)
-    ta = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    sim.run(steps_b)
-    tb = time.perf_counter() - t0
-    # marginal per-step cost cancels dispatch overhead
-    dt_step = (tb - ta) / (steps_b - steps_a)
-    dt_step = max(dt_step, 1e-9)
-    mlups = nx * ny / dt_step / 1e6
+    # warm with the SAME chunk length so later runs hit the jit cache
+    # (a different length compiles a different fori_loop program, and
+    # compile time would pollute the measurement)
+    sim.run(chunk)
+    best = float("inf")
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        sim.run(chunk)  # run() fully syncs via device fetch
+        best = min(best, time.perf_counter() - t0)
+    mlups = nx * ny * chunk / best / 1e6
     # sanity: state must stay finite
     import numpy as np
 
@@ -49,13 +47,13 @@ def main():
     nd = int(os.environ.get("BENCH_DISKS", 10000))
     use_pallas = os.environ.get("BENCH_PALLAS", "1") == "1"
     try:
-        mlups, overflow = _run(nx, ny, nd, 10, 20, 60, use_pallas)
+        mlups, overflow = _run(nx, ny, nd, 100, 3, use_pallas)
     except Exception as e:  # smaller fallback so the driver always gets a number
         print(f"bench: full config failed ({type(e).__name__}: {e}); "
               f"falling back to 2048^2/2500", file=sys.stderr)
         nx = ny = 2048
         nd = 2500
-        mlups, overflow = _run(nx, ny, nd, 10, 20, 60, use_pallas)
+        mlups, overflow = _run(nx, ny, nd, 100, 3, use_pallas)
     print(json.dumps({
         "metric": f"coupled LBM-DEM MLUPS/chip ({nx}x{ny}, {nd} disks)",
         "value": round(mlups, 1),

@@ -29,6 +29,8 @@ def main(argv=None) -> int:
     ap.add_argument("--restore", default=None, metavar="CKPT",
                     help="resume from checkpoint file")
     ap.add_argument("--ascii-vtk", action="store_true")
+    ap.add_argument("--profile", default=None, metavar="LOGDIR",
+                    help="capture a jax.profiler trace of the run")
     ap.add_argument("--scenario", default=None,
                     help="run a built-in scenario instead of a paramfile "
                          "(poiseuille|sedimentation|dkt|settling_column|"
@@ -104,7 +106,13 @@ def main(argv=None) -> int:
     if remaining <= 0:
         print("nothing to do (steps already completed)", file=sys.stderr)
         return 0
-    mlups = sim.run(remaining, callback=snapshot)
+    if args.profile:
+        from lbmdem_tpu.utils.profiling import trace
+
+        with trace(args.profile):
+            mlups = sim.run(remaining, callback=snapshot)
+    else:
+        mlups = sim.run(remaining, callback=snapshot)
     print(f"done: {remaining} steps, {mlups:.0f} MLUPS overall")
     return 0
 

@@ -42,9 +42,15 @@ _INTERPRET = False  # force-interpret override
 
 
 def tile_dims(cfg: SimConfig) -> Tuple[int, int]:
-    """Largest power-of-two tile <= 128x256 dividing the lattice."""
-    th = next(t for t in (128, 64, 32, 16, 8, 4, 2, 1) if cfg.ny % t == 0)
-    tw = next(t for t in (256, 128, 64, 32, 16, 8, 4, 2, 1) if cfg.nx % t == 0)
+    """Largest power-of-two tile <= 64x128 dividing the lattice.
+
+    Smaller tiles waste less dense-coverage compute per disk (the loop
+    evaluates the whole tile for every binned disk); 64x128 balances
+    that against per-grid-step overhead and per-tile list fragmentation.
+    The tile must still be >= the stamp window for the <=2x2 intersect
+    invariant of the binning."""
+    th = next(t for t in (64, 32, 16, 8, 4, 2, 1) if cfg.ny % t == 0)
+    tw = next(t for t in (128, 64, 32, 16, 8, 4, 2, 1) if cfg.nx % t == 0)
     assert cfg.window <= min(th, tw), (
         f"stamp window {cfg.window} exceeds tile {th}x{tw}; disks too "
         f"large for the Pallas stamp path on this lattice"
