@@ -185,11 +185,12 @@ def _stamp_kernel(data_ref, cnt_ref, out_ref, *, cfg: SimConfig, th: int,
             d = jnp.sqrt(rely * rely + relx * relx)
             cov = jnp.clip(rr + 0.5 - d, 0.0, 1.0)
         else:
+            # factor the squares: ns + ns maps instead of ns^2 recomputes
+            dy2s = [(rely + sy) * (rely + sy) for sy in offs]
+            dx2s = [(relx + sx) * (relx + sx) for sx in offs]
             cov = jnp.zeros((th, tw), jnp.float32)
-            for sy in offs:
-                dy2 = (rely + sy) * (rely + sy)
-                for sx in offs:
-                    dx2 = (relx + sx) * (relx + sx)
+            for dy2 in dy2s:
+                for dx2 in dx2s:
                     cov = cov + jnp.where(dy2 + dx2 <= r2, inv_s2, 0.0)
         usx = vx - om * rely
         usy = vy + om * relx
@@ -279,11 +280,12 @@ def _reduce_kernel(
             d = jnp.sqrt(rely * rely + relx * relx)
             cov = jnp.clip(rr + 0.5 - d, 0.0, 1.0)
         else:
+            # factor the squares: ns + ns maps instead of ns^2 recomputes
+            dy2s = [(rely + sy) * (rely + sy) for sy in offs]
+            dx2s = [(relx + sx) * (relx + sx) for sx in offs]
             cov = jnp.zeros((th, tw), jnp.float32)
-            for sy in offs:
-                dy2 = (rely + sy) * (rely + sy)
-                for sx in offs:
-                    dx2 = (relx + sx) * (relx + sx)
+            for dy2 in dy2s:
+                for dx2 in dx2s:
                     cov = cov + jnp.where(dy2 + dx2 <= r2, inv_s2, 0.0)
         fx_c = cov * wx
         fy_c = cov * wy

@@ -47,7 +47,7 @@ def _brute_force(disks, cfg):
     xi = disks.x[:, None, :]
     xj = disks.x[None, :, :]
     mask = (disks.active[:, None] & disks.active[None, :]) & ~jnp.eye(n, dtype=bool)
-    F, T, _ = dem._pair_force(
+    F, T, _, _ = dem._pair_force(
         xi, disks.v[:, None, :], disks.omega[:, None], disks.r[:, None],
         xj, disks.v[None, :, :], disks.omega[None, :], disks.r[None, :],
         mask, cfg, dt,
@@ -134,3 +134,51 @@ def test_inactive_slots_do_not_interact():
     assert int(ovf) == 0
     np.testing.assert_array_equal(np.asarray(d1.x[3:]), np.asarray(disks.x[3:]))
     np.testing.assert_array_equal(np.asarray(d1.v[3:]), 0.0)
+
+
+def test_tangential_history_spring():
+    """kt > 0: a spinning disk in wall contact grips via the history
+    spring - friction torque despins it and drives rolling translation."""
+    cfg = _cfg(max_disks=1, kt=0.5, gamma_t=0.1, mu=0.5, g_py=-1e-3,
+               kn=2.0, gamma_n=5.0, n_sub=100, buoyancy=False)
+    # start resting on the south wall, spinning
+    disks = dem.make_disk_state([DiskSpec(32, 1.45, 2.0, omega=0.05)], cfg,
+                                "float64")
+    grid = DemGrid.build(cfg, 2.0)
+    zero = jnp.zeros((1, 2), jnp.float64)
+    zt = jnp.zeros((1,), jnp.float64)
+    om0 = float(disks.omega[0])
+    for _ in range(40):
+        disks, ovf, _ = _subcycle(disks, zero, zt, grid, cfg)
+    assert int(ovf) == 0
+    om1 = float(disks.omega[0])
+    vx1 = float(disks.v[0, 0])
+    assert abs(om1) < abs(om0)          # friction despins
+    # wall contact with omega>0 (ccw): surface at contact moves -x,
+    # friction pushes disk -x -> rolling to the left
+    assert vx1 < 0
+    # history spring stored on the south wall slot
+    assert float(jnp.abs(disks.wall_xi[0, 2])) >= 0.0
+
+
+def test_tangential_spring_symmetry():
+    """Newton's 3rd law still holds with history springs active."""
+    cfg = _cfg(max_disks=2, kt=0.5, gamma_t=0.1, mu=0.8, n_sub=20)
+    specs = [DiskSpec(30, 32, 2.0, vy=0.02, omega=0.03),
+             DiskSpec(33.5, 32, 2.0, vy=-0.02)]
+    disks = dem.make_disk_state(specs, cfg, "float64")
+    grid = DemGrid.build(cfg, 2.0)
+    zero = jnp.zeros((2, 2), jnp.float64)
+    zt = jnp.zeros((2,), jnp.float64)
+    p0 = np.asarray(jnp.sum(disks.mass[:, None] * disks.v, axis=0))
+    for _ in range(10):
+        disks, _, _ = _subcycle(disks, zero, zt, grid, cfg)
+    p1 = np.asarray(jnp.sum(disks.mass[:, None] * disks.v, axis=0))
+    np.testing.assert_allclose(p1, p0, atol=1e-13)  # momentum conserved
+    # angular momentum about origin conserved (no external torque)
+    def ang(d):
+        return float(jnp.sum(d.mass * (d.x[:, 0] * d.v[:, 1] - d.x[:, 1] * d.v[:, 0])
+                             + d.inertia * d.omega))
+    # (recompute initial from fresh state)
+    d0 = dem.make_disk_state(specs, cfg, "float64")
+    assert abs(ang(disks) - ang(d0)) < 1e-10
