@@ -97,16 +97,17 @@ def build_cell_table(
     k = grid.capacity
     ncells = grid.ncx * grid.ncy
     cid = _cell_ids(x, active, grid)
-    order = jnp.argsort(cid)
-    scid = cid[order]
-    first = jnp.searchsorted(scid, scid, side="left")
-    rank = jnp.arange(n, dtype=jnp.int32) - first.astype(jnp.int32)
+    iota = jnp.arange(n, dtype=jnp.int32)
+    scid, order = jax.lax.sort((cid, iota), num_keys=1)
+    is_start = jnp.concatenate([jnp.ones((1,), bool), scid[1:] != scid[:-1]])
+    first = jax.lax.cummax(jnp.where(is_start, iota, 0))
+    rank = iota - first
     valid = (scid >= 0) & (rank < k)
     slot = jnp.where(valid, scid * k + rank, ncells * k)  # OOB -> dropped
     table = (
         jnp.full((ncells * k,), -1, jnp.int32)
         .at[slot]
-        .set(order.astype(jnp.int32), mode="drop")
+        .set(order, mode="drop")
         .reshape(ncells, k)
     )
     overflow = jnp.sum((scid >= 0) & (rank >= k)).astype(jnp.int32)

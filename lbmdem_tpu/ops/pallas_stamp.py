@@ -114,16 +114,21 @@ def bin_disks_to_tiles(
         jnp.arange(n, dtype=jnp.int32)[:, None], (n, 4)
     ).reshape(-1)
 
-    order = jnp.argsort(tid)
-    stid = tid[order]
-    first = jnp.searchsorted(stid, stid, side="left")
-    rank = (jnp.arange(4 * n, dtype=jnp.int32) - first).astype(jnp.int32)
+    # one 3-operand sort; ranks via segment-start cummax (searchsorted
+    # of 40k-vs-40k costs ~5 ms on TPU, cummax is ~free)
+    iota4 = jnp.arange(4 * n, dtype=jnp.int32)
+    stid, sdisk, sentry = jax.lax.sort((tid, disk_of, iota4), num_keys=1)
+    is_start = jnp.concatenate(
+        [jnp.ones((1,), bool), stid[1:] != stid[:-1]]
+    )
+    first = jax.lax.cummax(jnp.where(is_start, iota4, 0))
+    rank = iota4 - first
     valid = (stid >= 0) & (rank < cap)
     slot = jnp.where(valid, stid * cap + rank, n_tiles * cap)
     lists = (
         jnp.full((n_tiles * cap,), -1, jnp.int32)
         .at[slot]
-        .set(disk_of[order], mode="drop")
+        .set(sdisk, mode="drop")
         .reshape(n_tiles, cap)
     )
     overflow = jnp.sum((stid >= 0) & (rank >= cap)).astype(jnp.int32)
@@ -131,7 +136,7 @@ def bin_disks_to_tiles(
     # inverse map: entry e -> its slot (for gather-based force reduction)
     entry_slots = (
         jnp.full((4 * n,), -1, jnp.int32)
-        .at[order]
+        .at[sentry]
         .set(jnp.where(valid, slot, -1).astype(jnp.int32))
         .reshape(n, 4)
     )
