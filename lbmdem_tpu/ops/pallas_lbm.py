@@ -60,7 +60,7 @@ def tile_dims(cfg: SimConfig) -> Tuple[int, int]:
         "plain-JAX path (use_pallas=False)"
     )
     th = next((t for t in (64, 32, 16, 8) if cfg.ny % t == 0), None)
-    tw = next((t for t in (1024, 512, 256, 128) if cfg.nx % t == 0), None)
+    tw = next((t for t in (512, 256, 128) if cfg.nx % t == 0), None)
     assert th and tw, (
         f"lattice {cfg.ny}x{cfg.nx} needs ny%8==0 and nx%128==0 for the "
         f"fused Pallas path"
@@ -136,9 +136,11 @@ def _collide_window(win, cfg: SimConfig, eps=None, usx=None, usy=None):
     return outs, phi
 
 
-def _dma_window(src_hbm, dst_vmem, sems, y0, x0, th, tw, ny, nx):
-    """9 aligned chunk copies filling a (C, th+2*_HY, tw+2*_HX) window
-    with wrap-safe offsets. Returns the started copies (caller waits)."""
+def _window_copies(src_hbm, dst_vmem, sems, y0, x0, th, tw, ny, nx):
+    """The 9 aligned chunk copies filling a (C, th+2*_HY, tw+2*_HX)
+    window with wrap-safe offsets. Pure descriptor construction: call
+    .start() on one grid step and reconstruct + .wait() on the next
+    (the double-buffering pattern from the Pallas guide)."""
     ny32 = jnp.int32(ny)
     nx32 = jnp.int32(nx)
     # all offsets are congruent 0 mod the tile granule (y0 = i*th,
@@ -166,9 +168,11 @@ def _dma_window(src_hbm, dst_vmem, sems, y0, x0, th, tw, ny, nx):
                 )
             )
             k += 1
-    for c in copies:
-        c.start()
     return copies
+
+
+def _tile_xy(lin, ntx, th, tw):
+    return (lin // ntx) * th, jax.lax.rem(lin, jnp.int32(ntx)) * tw
 
 
 def _stream_and_bb(fpost, cfg, th, tw, iy, ix, nty, ntx):
@@ -214,12 +218,28 @@ def _fluid_kernel(f_hbm, out_ref, win, sems, *, cfg: SimConfig, th: int, tw: int
     ix = pl.program_id(1)
     nty = pl.num_programs(0)
     ntx = pl.num_programs(1)
-    copies = _dma_window(
-        f_hbm, win, sems, iy * th, ix * tw, th, tw, cfg.ny, cfg.nx
-    )
-    for c in copies:
+    lin = iy * ntx + ix
+    slot = jax.lax.rem(lin, jnp.int32(2))
+
+    def copies_for(step_lin, s):
+        y0, x0 = _tile_xy(step_lin, ntx, th, tw)
+        return _window_copies(
+            f_hbm, win.at[s], sems.at[s], y0, x0, th, tw, cfg.ny, cfg.nx
+        )
+
+    @pl.when(lin == 0)
+    def _():
+        for c in copies_for(lin, slot):
+            c.start()
+
+    @pl.when(lin + 1 < nty * ntx)
+    def _():
+        for c in copies_for(lin + 1, jax.lax.rem(lin + 1, jnp.int32(2))):
+            c.start()
+
+    for c in copies_for(lin, slot):
         c.wait()
-    wv = win[:, _HY - 1 : _HY + th + 1, :]  # (9, th+2, tw+2*_HX) value
+    wv = win[slot, :, _HY - 1 : _HY + th + 1, :]  # (9, th+2, tw+2*_HX)
     fpost, _ = _collide_window(wv, cfg)
     out_ref[:] = _stream_and_bb(fpost, cfg, th, tw, iy, ix, nty, ntx)
 
@@ -238,8 +258,8 @@ def fused_step_fluid(f: jax.Array, cfg: SimConfig) -> jax.Array:
         ),
         out_shape=jax.ShapeDtypeStruct((9, cfg.ny, cfg.nx), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((9, th + 2 * _HY, tw + 2 * _HX), jnp.float32),
-            pltpu.SemaphoreType.DMA((9,)),
+            pltpu.VMEM((2, 9, th + 2 * _HY, tw + 2 * _HX), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, 9)),
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary"),
@@ -256,12 +276,31 @@ def _imb_kernel(
     ix = pl.program_id(1)
     nty = pl.num_programs(0)
     ntx = pl.num_programs(1)
-    c1 = _dma_window(f_hbm, win, sems, iy * th, ix * tw, th, tw, cfg.ny, cfg.nx)
-    c2 = _dma_window(s_hbm, swin, ssems, iy * th, ix * tw, th, tw, cfg.ny, cfg.nx)
-    for c in c1 + c2:
+    lin = iy * ntx + ix
+    slot = jax.lax.rem(lin, jnp.int32(2))
+
+    def copies_for(step_lin, s):
+        y0, x0 = _tile_xy(step_lin, ntx, th, tw)
+        return _window_copies(
+            f_hbm, win.at[s], sems.at[s], y0, x0, th, tw, cfg.ny, cfg.nx
+        ) + _window_copies(
+            s_hbm, swin.at[s], ssems.at[s], y0, x0, th, tw, cfg.ny, cfg.nx
+        )
+
+    @pl.when(lin == 0)
+    def _():
+        for c in copies_for(lin, slot):
+            c.start()
+
+    @pl.when(lin + 1 < nty * ntx)
+    def _():
+        for c in copies_for(lin + 1, jax.lax.rem(lin + 1, jnp.int32(2))):
+            c.start()
+
+    for c in copies_for(lin, slot):
         c.wait()
-    wv = win[:, _HY - 1 : _HY + th + 1, :]
-    sv = swin[:, _HY - 1 : _HY + th + 1, :]
+    wv = win[slot, :, _HY - 1 : _HY + th + 1, :]
+    sv = swin[slot, :, _HY - 1 : _HY + th + 1, :]
     fpost, phi = _collide_window(wv, cfg, eps=sv[0], usx=sv[1], usy=sv[2])
     out_ref[:] = _stream_and_bb(fpost, cfg, th, tw, iy, ix, nty, ntx)
     phi_ref[:] = jax.lax.slice(phi, (0, 1, _HX), (2, 1 + th, _HX + tw))
@@ -301,10 +340,10 @@ def fused_step_imb(
             jax.ShapeDtypeStruct((2, cfg.ny, cfg.nx), jnp.float32),
         ),
         scratch_shapes=[
-            pltpu.VMEM((9, th + 2 * _HY, tw + 2 * _HX), jnp.float32),
-            pltpu.VMEM((3, th + 2 * _HY, tw + 2 * _HX), jnp.float32),
-            pltpu.SemaphoreType.DMA((9,)),
-            pltpu.SemaphoreType.DMA((9,)),
+            pltpu.VMEM((2, 9, th + 2 * _HY, tw + 2 * _HX), jnp.float32),
+            pltpu.VMEM((2, 3, th + 2 * _HY, tw + 2 * _HX), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, 9)),
+            pltpu.SemaphoreType.DMA((2, 9)),
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary"),
