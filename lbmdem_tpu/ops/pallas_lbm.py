@@ -55,10 +55,6 @@ _HX = 128  # halo chunk cols (lane granularity)
 
 
 def tile_dims(cfg: SimConfig) -> Tuple[int, int]:
-    assert cfg.smagorinsky == 0.0, (
-        "Smagorinsky LES is not in the fused Pallas kernels yet; use the "
-        "plain-JAX path (use_pallas=False)"
-    )
     th = next((t for t in (64, 32, 16, 8) if cfg.ny % t == 0), None)
     tw = next((t for t in (512, 256, 128) if cfg.nx % t == 0), None)
     assert th and tw, (
@@ -97,6 +93,25 @@ def _collide_window(win, cfg: SimConfig, eps=None, usx=None, usy=None):
         eu = ex_c[i] * ux_ + ey_c[i] * uy_
         return w_c[i] * rho * (1.0 + 3.0 * eu + 4.5 * eu * eu - 1.5 * usq_)
 
+    if cfg.smagorinsky > 0.0:
+        # Smagorinsky LES (C8): tau_eff from the non-equilibrium stress
+        # norm, same closed form as the oracle (ops/lbm.smagorinsky_tau)
+        feqs = [feq_i(i, ux, uy, usq) for i in range(9)]
+        pxx = jnp.zeros_like(rho)
+        pyy = jnp.zeros_like(rho)
+        pxy = jnp.zeros_like(rho)
+        for i in range(1, 9):
+            fneq = win[i] - feqs[i]
+            if ex_c[i]:
+                pxx = pxx + (ex_c[i] * ex_c[i]) * fneq
+            if ey_c[i]:
+                pyy = pyy + (ey_c[i] * ey_c[i]) * fneq
+            if ex_c[i] and ey_c[i]:
+                pxy = pxy + (ex_c[i] * ey_c[i]) * fneq
+        pnorm = jnp.sqrt(pxx * pxx + pyy * pyy + 2.0 * pxy * pxy)
+        c_les = np.float32(18.0 * np.sqrt(2.0) * cfg.smagorinsky**2)
+        tau = 0.5 * (tau + jnp.sqrt(tau * tau + c_les * pnorm / rho))
+
     coupled = eps is not None
     if coupled:
         eps_c = jnp.clip(eps, 0.0, 1.0)
@@ -111,7 +126,7 @@ def _collide_window(win, cfg: SimConfig, eps=None, usx=None, usy=None):
     force_pref = 1.0 - 0.5 * inv_tau
     outs = []
     for i in range(9):
-        feq = feq_i(i, ux, uy, usq)
+        feq = feqs[i] if cfg.smagorinsky > 0.0 else feq_i(i, ux, uy, usq)
         if coupled:
             io = int(lattice.OPP[i])
             feq_s = feq_i(i, usx, usy, usq_s)

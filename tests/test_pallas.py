@@ -29,6 +29,7 @@ CFGS = [
     dict(bc_south="periodic", bc_north="periodic"),
     dict(gx=1e-5, gy=-2e-5),
     dict(bc_west="wall", bc_east="wall", gy=-1e-5),
+    dict(smagorinsky=0.16, gx=2e-5),  # LES path
 ]
 
 
