@@ -40,8 +40,12 @@ def write_fluid_vtk(
     """Write (ny, nx) fluid fields as legacy VTK STRUCTURED_POINTS."""
     ny, nx = rho.shape
     os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
-    mode = "wb"
-    with open(path, mode) as fh:
+    if binary:
+        from lbmdem_tpu.utils import native
+
+        if native.write_fluid_vtk(path, rho, ux, uy, eps):
+            return
+    with open(path, "wb") as fh:
         w = lambda s: fh.write(s.encode())
         w("# vtk DataFile Version 3.0\n")
         w("lbmdem_tpu fluid snapshot\n")
@@ -100,6 +104,11 @@ def write_particles_vtk(path: str, disks: dict, binary: bool = False) -> None:
 def append_particle_csv(path: str, step: int, disks: dict) -> None:
     """Per-frame particle trajectory log: step, id, x, y, vx, vy, theta,
     omega (the reference's trajectory-log analogue)."""
+    from lbmdem_tpu.utils import native
+
+    os.makedirs(os.path.dirname(os.path.abspath(path)) or ".", exist_ok=True)
+    if native.append_particle_csv(path, step, disks):
+        return
     act = np.asarray(disks["active"])
     x = np.asarray(disks["x"])
     v = np.asarray(disks["v"])
