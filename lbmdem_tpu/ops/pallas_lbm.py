@@ -151,21 +151,33 @@ def _collide_window(win, cfg: SimConfig, eps=None, usx=None, usy=None):
     return outs, phi
 
 
-def _window_copies(src_hbm, dst_vmem, sems, y0, x0, th, tw, ny, nx):
+def _window_copies(src_hbm, dst_vmem, sems, y0, x0, th, tw, ny, nx,
+                   prehalo=False):
     """The 9 aligned chunk copies filling a (C, th+2*_HY, tw+2*_HX)
     window with wrap-safe offsets. Pure descriptor construction: call
     .start() on one grid step and reconstruct + .wait() on the next
-    (the double-buffering pattern from the Pallas guide)."""
+    (the double-buffering pattern from the Pallas guide).
+
+    prehalo=True: the source array already carries 2*_HY extra rows
+    (multi-chip shards get their y halos from a ppermute exchange, not
+    from periodic wrap), so row offsets shift by +_HY and never wrap."""
     ny32 = jnp.int32(ny)
     nx32 = jnp.int32(nx)
     # all offsets are congruent 0 mod the tile granule (y0 = i*th,
     # th/ny multiples of 8; x0 = j*tw, tw/nx multiples of 128) - Mosaic
     # needs the pl.multiple_of proof to slice tiled memrefs dynamically.
-    rows = [
-        (pl.multiple_of(jax.lax.rem(y0 - _HY + ny32, ny32), _HY), 0, _HY),
-        (pl.multiple_of(y0, _HY), _HY, th),
-        (pl.multiple_of(jax.lax.rem(y0 + th, ny32), _HY), _HY + th, _HY),
-    ]
+    if prehalo:
+        rows = [
+            (pl.multiple_of(y0, _HY), 0, _HY),
+            (pl.multiple_of(y0 + _HY, _HY), _HY, th),
+            (pl.multiple_of(y0 + _HY + th, _HY), _HY + th, _HY),
+        ]
+    else:
+        rows = [
+            (pl.multiple_of(jax.lax.rem(y0 - _HY + ny32, ny32), _HY), 0, _HY),
+            (pl.multiple_of(y0, _HY), _HY, th),
+            (pl.multiple_of(jax.lax.rem(y0 + th, ny32), _HY), _HY + th, _HY),
+        ]
     cols = [
         (pl.multiple_of(jax.lax.rem(x0 - _HX + nx32, nx32), _HX), 0, _HX),
         (pl.multiple_of(x0, _HX), _HX, tw),
@@ -190,7 +202,7 @@ def _tile_xy(lin, ntx, th, tw):
     return (lin // ntx) * th, jax.lax.rem(lin, jnp.int32(ntx)) * tw
 
 
-def _stream_and_bb(fpost, cfg, th, tw, iy, ix, nty, ntx):
+def _stream_and_bb(fpost, cfg, th, tw, iy, ix, nty, ntx, skip_y_bb=False):
     """Pull-stream 9 (th+2, tw+2*_HX) planes into the (9, th, tw) output
     tile, with bounce-back at global walls. iy/ix are tile grid coords."""
     outs = []
@@ -209,6 +221,8 @@ def _stream_and_bb(fpost, cfg, th, tw, iy, ix, nty, ntx):
     def bbslice(io):
         return jax.lax.slice(fpost[io], (1, _HX), (1 + th, _HX + tw))
 
+    # skip_y_bb: multi-chip shards apply global y-edge bounce-back in
+    # the caller (it needs shard position); x walls stay in-kernel.
     if cfg.bc_west == WALL:
         at = (col == 0) & (ix == 0)
         for i in (int(j) for j in lattice.IN_E):
@@ -217,18 +231,19 @@ def _stream_and_bb(fpost, cfg, th, tw, iy, ix, nty, ntx):
         at = (col == tw - 1) & (ix == ntx - 1)
         for i in (int(j) for j in lattice.IN_W):
             outs[i] = jnp.where(at, bbslice(int(lattice.OPP[i])), outs[i])
-    if cfg.bc_south == WALL:
+    if cfg.bc_south == WALL and not skip_y_bb:
         at = (row == 0) & (iy == 0)
         for i in (int(j) for j in lattice.IN_N):
             outs[i] = jnp.where(at, bbslice(int(lattice.OPP[i])), outs[i])
-    if cfg.bc_north == WALL:
+    if cfg.bc_north == WALL and not skip_y_bb:
         at = (row == th - 1) & (iy == nty - 1)
         for i in (int(j) for j in lattice.IN_S):
             outs[i] = jnp.where(at, bbslice(int(lattice.OPP[i])), outs[i])
     return jnp.stack(outs)
 
 
-def _fluid_kernel(f_hbm, out_ref, win, sems, *, cfg: SimConfig, th: int, tw: int):
+def _fluid_kernel(f_hbm, out_ref, win, sems, *, cfg: SimConfig, th: int,
+                  tw: int, prehalo: bool = False):
     iy = pl.program_id(0)
     ix = pl.program_id(1)
     nty = pl.num_programs(0)
@@ -239,7 +254,8 @@ def _fluid_kernel(f_hbm, out_ref, win, sems, *, cfg: SimConfig, th: int, tw: int
     def copies_for(step_lin, s):
         y0, x0 = _tile_xy(step_lin, ntx, th, tw)
         return _window_copies(
-            f_hbm, win.at[s], sems.at[s], y0, x0, th, tw, cfg.ny, cfg.nx
+            f_hbm, win.at[s], sems.at[s], y0, x0, th, tw, cfg.ny, cfg.nx,
+            prehalo,
         )
 
     @pl.when(lin == 0)
@@ -256,14 +272,21 @@ def _fluid_kernel(f_hbm, out_ref, win, sems, *, cfg: SimConfig, th: int, tw: int
         c.wait()
     wv = win[slot, :, _HY - 1 : _HY + th + 1, :]  # (9, th+2, tw+2*_HX)
     fpost, _ = _collide_window(wv, cfg)
-    out_ref[:] = _stream_and_bb(fpost, cfg, th, tw, iy, ix, nty, ntx)
+    out_ref[:] = _stream_and_bb(fpost, cfg, th, tw, iy, ix, nty, ntx,
+                                skip_y_bb=prehalo)
 
 
-def fused_step_fluid(f: jax.Array, cfg: SimConfig) -> jax.Array:
-    """One pure-fluid LBM step as a single fused Pallas kernel."""
+def fused_step_fluid(f: jax.Array, cfg: SimConfig, prehalo: bool = False) -> jax.Array:
+    """One pure-fluid LBM step as a single fused Pallas kernel.
+
+    prehalo=True takes f of shape (9, ny + 16, nx) whose first/last 8
+    rows are exchanged neighbor halos (multi-chip shards); cfg.ny is the
+    local interior height and y-wall bounce-back is left to the caller."""
     assert f.dtype == jnp.float32, "Pallas path is float32 (use_pallas=False for f64)"
     th, tw = tile_dims(cfg)
-    kernel = functools.partial(_fluid_kernel, cfg=cfg, th=th, tw=tw)
+    assert f.shape[1] == cfg.ny + (2 * _HY if prehalo else 0)
+    kernel = functools.partial(_fluid_kernel, cfg=cfg, th=th, tw=tw,
+                               prehalo=prehalo)
     return pl.pallas_call(
         kernel,
         grid=(cfg.ny // th, cfg.nx // tw),
@@ -285,7 +308,7 @@ def fused_step_fluid(f: jax.Array, cfg: SimConfig) -> jax.Array:
 
 def _imb_kernel(
     f_hbm, s_hbm, out_ref, phi_ref, win, swin, sems, ssems, *,
-    cfg: SimConfig, th: int, tw: int
+    cfg: SimConfig, th: int, tw: int, prehalo: bool = False
 ):
     iy = pl.program_id(0)
     ix = pl.program_id(1)
@@ -297,9 +320,11 @@ def _imb_kernel(
     def copies_for(step_lin, s):
         y0, x0 = _tile_xy(step_lin, ntx, th, tw)
         return _window_copies(
-            f_hbm, win.at[s], sems.at[s], y0, x0, th, tw, cfg.ny, cfg.nx
+            f_hbm, win.at[s], sems.at[s], y0, x0, th, tw, cfg.ny, cfg.nx,
+            prehalo,
         ) + _window_copies(
-            s_hbm, swin.at[s], ssems.at[s], y0, x0, th, tw, cfg.ny, cfg.nx
+            s_hbm, swin.at[s], ssems.at[s], y0, x0, th, tw, cfg.ny, cfg.nx,
+            prehalo,
         )
 
     @pl.when(lin == 0)
@@ -317,7 +342,8 @@ def _imb_kernel(
     wv = win[slot, :, _HY - 1 : _HY + th + 1, :]
     sv = swin[slot, :, _HY - 1 : _HY + th + 1, :]
     fpost, phi = _collide_window(wv, cfg, eps=sv[0], usx=sv[1], usy=sv[2])
-    out_ref[:] = _stream_and_bb(fpost, cfg, th, tw, iy, ix, nty, ntx)
+    out_ref[:] = _stream_and_bb(fpost, cfg, th, tw, iy, ix, nty, ntx,
+                                skip_y_bb=prehalo)
     phi_ref[:] = jax.lax.slice(phi, (0, 1, _HX), (2, 1 + th, _HX + tw))
 
 
@@ -327,6 +353,7 @@ def fused_step_imb(
     usx: jax.Array,
     usy: jax.Array,
     cfg: SimConfig,
+    prehalo: bool = False,
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """One coupled (Noble-Torczynski) LBM step as a fused Pallas kernel.
 
@@ -335,10 +362,12 @@ def fused_step_imb(
     """
     assert f.dtype == jnp.float32
     th, tw = tile_dims(cfg)
+    assert f.shape[1] == cfg.ny + (2 * _HY if prehalo else 0)
     solid = jnp.stack(
         [eps.astype(jnp.float32), usx.astype(jnp.float32), usy.astype(jnp.float32)]
     )
-    kernel = functools.partial(_imb_kernel, cfg=cfg, th=th, tw=tw)
+    kernel = functools.partial(_imb_kernel, cfg=cfg, th=th, tw=tw,
+                               prehalo=prehalo)
     fnew, phi = pl.pallas_call(
         kernel,
         grid=(cfg.ny // th, cfg.nx // tw),

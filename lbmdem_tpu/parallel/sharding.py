@@ -174,12 +174,17 @@ def _apply_bounce_back_sharded(
 
 
 def make_sharded_step(
-    cfg: SimConfig, grid: Optional[DemGrid], mesh: Mesh
+    cfg: SimConfig, grid: Optional[DemGrid], mesh: Mesh,
+    use_pallas: bool = False,
 ) -> Callable:
     """The full coupled step as a shard_map over the mesh.
 
     Returns step(SimState) -> SimState operating on globally-shaped
-    arrays with shardings from `state_specs()`.
+    arrays with shardings from `state_specs()`. With use_pallas=True the
+    per-shard lattice update runs the fused Pallas kernels (1D ('y',)
+    decomposition: halo rows come from a ppermute exchange feeding the
+    kernels' pre-haloed mode; global y-edge bounce-back is fixed up on
+    the edge shards).
     """
     from lbmdem_tpu.simulation import SimState
 
@@ -189,6 +194,12 @@ def make_sharded_step(
         f"lattice {cfg.ny}x{cfg.nx} must tile the mesh {ny_sh}x{nx_sh}"
     )
     h, w = cfg.ny // ny_sh, cfg.nx // nx_sh
+    if use_pallas:
+        assert nx_sh == 1, (
+            "the fused-kernel multi-chip path shards over 'y' only "
+            "(use make_mesh(devices, (n, 1)))"
+        )
+        return _make_sharded_step_pallas(cfg, grid, mesh, h)
     # Local view: the shard behaves like a small lattice of shape (h, w)
     # whose cells map to globals via the (oy, ox) offset.
     local_cfg = cfg.replace(nx=w, ny=h)
@@ -235,3 +246,112 @@ def make_sharded_step(
 
     specs = state_specs()
     return jax.shard_map(local_step, mesh=mesh, in_specs=(specs,), out_specs=specs)
+
+
+_HY = 8  # halo rows exchanged for the fused-kernel path (kernel granule)
+
+
+def _make_sharded_step_pallas(cfg: SimConfig, grid, mesh: Mesh, h: int):
+    """1D ('y',) decomposition running the fused Pallas kernels per shard.
+
+    Per step: ppermute-exchange 8-row f halos (pre-collision - collision
+    is pointwise, so the kernel collides the halo rows itself), stamp the
+    solid fields directly on the halo-extended local frame (disks are
+    replicated - no field exchange needed), run the pre-haloed fused
+    kernel, fix up global y-edge bounce-back rows on the edge shards,
+    reduce per-disk forces on the extended frame with zero-padded phi
+    (halo rows belong to the neighbor shard) and psum them.
+    """
+    from lbmdem_tpu.ops import pallas_lbm, pallas_stamp
+    from lbmdem_tpu.simulation import SimState
+
+    coupled = cfg.max_disks > 0
+    ny_sh = mesh.shape["y"]
+    local_cfg = cfg.replace(ny=h)
+    # The stamp canvas is padded by 32 rows per side (keeps the stamp
+    # tile height a 64/32 divisor of the canvas; the kernel consumes the
+    # [PAD-8, PAD+h+8) slice matching its pre-halo window).
+    PAD = 32
+    ext_cfg = cfg.replace(ny=h + 2 * PAD)
+    opp = lattice.OPP
+
+    def fix_y_walls(fnew, fpost_bot, fpost_top):
+        iy = jax.lax.axis_index("y")
+        if cfg.bc_south == WALL:
+            at = iy == 0
+            for i in (int(j) for j in lattice.IN_N):
+                io = int(opp[i])
+                fnew = fnew.at[i, 0, :].set(
+                    jnp.where(at, fpost_bot[io, 0, :], fnew[i, 0, :])
+                )
+        if cfg.bc_north == WALL:
+            at = iy == ny_sh - 1
+            for i in (int(j) for j in lattice.IN_S):
+                io = int(opp[i])
+                fnew = fnew.at[i, -1, :].set(
+                    jnp.where(at, fpost_top[io, 0, :], fnew[i, -1, :])
+                )
+        return fnew
+
+    def local_step(state: SimState) -> SimState:
+        f = state.f  # (9, h, nx) local
+        lo = jax.lax.ppermute(f[:, -_HY:, :], "y", _ring_perm(ny_sh, +1))
+        hi = jax.lax.ppermute(f[:, :_HY, :], "y", _ring_perm(ny_sh, -1))
+        f_ext = jnp.concatenate([lo, f, hi], axis=1)
+
+        if coupled:
+            d = state.disks
+            oy = (jax.lax.axis_index("y") * h).astype(f.dtype)
+            shift = jnp.stack([jnp.zeros_like(oy), oy - PAD])
+            xloc = d.x - shift[None, :]
+            binned = pallas_stamp.bin_disks_to_tiles(
+                xloc, d.v, d.omega, d.r, d.active, ext_cfg
+            )
+            tile_data, counts, entry_slots, bovf = binned
+            eps, usx, usy, _ = pallas_stamp.stamp_solid_fraction(
+                xloc, d.v, d.omega, d.r, d.active, ext_cfg, binned=binned
+            )
+            sl = slice(PAD - _HY, PAD + h + _HY)  # the kernel's window
+            fnew, phix, phiy = pallas_lbm.fused_step_imb(
+                f_ext, eps[sl], usx[sl], usy[sl], local_cfg, prehalo=True
+            )
+            # global y-edge bounce-back: recompute fpost on the edge rows
+            # with the oracle (identical formulas; 1-row slices)
+            fp_bot, _, _ = imb.collide_imb(
+                f[:, 0:1, :], eps[PAD : PAD + 1], usx[PAD : PAD + 1],
+                usy[PAD : PAD + 1], cfg,
+            )
+            fp_top, _, _ = imb.collide_imb(
+                f[:, -1:, :], eps[PAD + h - 1 : PAD + h],
+                usx[PAD + h - 1 : PAD + h], usy[PAD + h - 1 : PAD + h], cfg,
+            )
+            fnew = fix_y_walls(fnew, fp_bot, fp_top)
+            zpad = jnp.zeros((PAD, cfg.nx), phix.dtype)
+            phix_e = jnp.concatenate([zpad, phix, zpad], axis=0)
+            phiy_e = jnp.concatenate([zpad, phiy, zpad], axis=0)
+            fh_p, th_p = pallas_stamp.reduce_hydro_forces(
+                xloc, d.r, d.active, eps, phix_e, phiy_e, ext_cfg,
+                tile_data, counts, entry_slots,
+            )
+            fh = jax.lax.psum(fh_p, ("y", "x"))
+            th = jax.lax.psum(th_p, ("y", "x"))
+            disks, ovf, nc = dem.dem_subcycle(d, fh, th, grid, cfg)
+            return SimState(
+                f=fnew,
+                disks=disks,
+                step=state.step + 1,
+                overflow=jnp.maximum(state.overflow, jnp.maximum(ovf, bovf)),
+                n_contacts=nc,
+            )
+        fnew = pallas_lbm.fused_step_fluid(f_ext, local_cfg, prehalo=True)
+        fp_bot = lbm.collide(f[:, 0:1, :], cfg.tau, cfg.gx, cfg.gy, cfg.smagorinsky)
+        fp_top = lbm.collide(f[:, -1:, :], cfg.tau, cfg.gx, cfg.gy, cfg.smagorinsky)
+        fnew = fix_y_walls(fnew, fp_bot, fp_top)
+        return state._replace(f=fnew, step=state.step + 1)
+
+    specs = state_specs()
+    # check_vma=False: pallas_call outputs carry no varying-axis metadata
+    return jax.shard_map(
+        local_step, mesh=mesh, in_specs=(specs,), out_specs=specs,
+        check_vma=False,
+    )

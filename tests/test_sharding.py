@@ -85,3 +85,54 @@ def test_sharded_mass_conservation():
     for _ in range(20):
         s = step(s)
     assert abs(float(jnp.sum(s.f)) - m0) < 1e-10 * m0
+
+
+def _run_both_pallas(cfg, disks, mesh, nsteps):
+    """Sharded fused-kernel path vs unsharded fused-kernel path."""
+    sim = Simulation(cfg, disks, use_pallas=True)
+    step_ref = jax.jit(make_step_fn(sim.cfg, sim.grid, True))
+    step_sh = jax.jit(make_sharded_step(sim.cfg, sim.grid, mesh, use_pallas=True))
+    s_ref = sim.state
+    s_sh = shard_state(sim.state, mesh)
+    for _ in range(nsteps):
+        s_ref = step_ref(s_ref)
+        s_sh = step_sh(s_sh)
+    return s_ref, s_sh
+
+
+def test_pallas_sharded_fluid_matches():
+    """1D y-mesh fused-kernel path == single-device fused path (fluid)."""
+    mesh = _mesh(4, 1)
+    cfg = SimConfig(nx=128, ny=64, tau=0.8, gx=1e-5, dtype="float32")
+    sref, ssh = _run_both_pallas(cfg, [], mesh, 4)
+    np.testing.assert_allclose(np.asarray(sref.f), np.asarray(ssh.f),
+                               rtol=0, atol=1e-7)
+
+
+def test_pallas_sharded_fluid_walls_matches():
+    mesh = _mesh(4, 1)
+    cfg = SimConfig(nx=128, ny=64, tau=0.7, gy=-1e-5, dtype="float32",
+                    bc_west="wall", bc_east="wall")
+    sref, ssh = _run_both_pallas(cfg, [], mesh, 4)
+    np.testing.assert_allclose(np.asarray(sref.f), np.asarray(ssh.f),
+                               rtol=0, atol=1e-7)
+
+
+def test_pallas_sharded_coupled_matches():
+    """Disks straddling y-shard boundaries through the fused kernels."""
+    mesh = _mesh(4, 1)
+    cfg = SimConfig(nx=128, ny=128, tau=0.8, dtype="float32", g_py=-1e-4,
+                    buoyancy=True, rho_s=2.0, kn=0.5, gamma_n=0.5, n_sub=5,
+                    bc_west="wall", bc_east="wall")
+    disks = [
+        DiskSpec(64.0, 64.0, 3.0),        # on the 2nd/3rd shard boundary
+        DiskSpec(32.2, 96.1, 2.5),        # interior
+        DiskSpec(90.0, 31.9, 2.0, vx=0.01),  # near the 1st/2nd boundary
+    ]
+    sref, ssh = _run_both_pallas(cfg, disks, mesh, 3)
+    np.testing.assert_allclose(np.asarray(sref.f), np.asarray(ssh.f),
+                               rtol=0, atol=2e-6)
+    np.testing.assert_allclose(np.asarray(sref.disks.x), np.asarray(ssh.disks.x),
+                               rtol=0, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(sref.disks.v), np.asarray(ssh.disks.v),
+                               rtol=0, atol=1e-7)
