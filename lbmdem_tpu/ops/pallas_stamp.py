@@ -67,32 +67,39 @@ def default_tile_cap(tile_h: int, tile_w: int, r_min: float, window: int) -> int
     return min((cap + 7) & ~7, 4096)  # round up to sublane multiple
 
 
-def bin_disks_to_tiles(
+def build_tile_lists(
     xp: jax.Array,
-    vp: jax.Array,
-    omega: jax.Array,
-    r: jax.Array,
     active: jax.Array,
     cfg: SimConfig,
-) -> Tuple[jax.Array, jax.Array, jax.Array]:
-    """Returns (tile_data (n_tiles, 1, cap*8) f32, counts (n_tiles,1,1)
-    i32, entry_slots (N, 4) i32 - the flat tile*cap+rank slot of each of
-    the disk's <=4 tile entries, -1 if unused - and overflow () i32)."""
+    margin: int = 0,
+) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
+    """Bucket disks into per-tile lists by stamp-window intersection.
+
+    Returns (lists (n_tiles, cap) i32, counts (n_tiles,1,1) i32,
+    entry_slots (N, 4) i32 - the flat tile*cap+rank slot of each of the
+    disk's <=4 tile entries, -1 if unused - and overflow () i32).
+
+    `margin` widens the intersection test by that many cells per side so
+    the lists stay valid while disks travel < margin (Verlet-cadence
+    rebuilds; the caller checks travel and counts violations)."""
     th, tw = tile_dims(cfg)
     nty, ntx = cfg.ny // th, cfg.nx // tw
     n_tiles = nty * ntx
     cap = cfg.tile_cap
     assert cap > 0, "cfg.tile_cap must be set (Simulation derives it)"
     n = xp.shape[0]
-    half = cfg.window // 2
-    f32 = jnp.float32
+    window = cfg.window + 2 * margin
+    assert window <= min(th, tw), (
+        f"stamp window {cfg.window} + margins exceeds tile {th}x{tw}"
+    )
+    half = window // 2
 
     bx = jnp.floor(xp[:, 0] + 0.5).astype(jnp.int32) - half
     by = jnp.floor(xp[:, 1] + 0.5).astype(jnp.int32) - half
     ty0 = jnp.floor_divide(by, th)
-    ty1 = jnp.floor_divide(by + cfg.window - 1, th)
+    ty1 = jnp.floor_divide(by + window - 1, th)
     tx0 = jnp.floor_divide(bx, tw)
-    tx1 = jnp.floor_divide(bx + cfg.window - 1, tw)
+    tx1 = jnp.floor_divide(bx + window - 1, tw)
 
     tys = jnp.stack([ty0, ty0, ty1, ty1], 1)  # (N, 4)
     txs = jnp.stack([tx0, tx1, tx0, tx1], 1)
@@ -141,6 +148,17 @@ def bin_disks_to_tiles(
         .reshape(n, 4)
     )
 
+    return lists, counts, entry_slots, overflow
+
+
+def gather_tile_data(
+    lists: jax.Array, xp, vp, omega, r, active
+) -> jax.Array:
+    """Per-tile disk SoA (n_tiles, 1, cap*8) f32 gathered at the CURRENT
+    positions (refreshed every step; the lists may be older)."""
+    n = xp.shape[0]
+    n_tiles, cap = lists.shape
+    f32 = jnp.float32
     j = jnp.maximum(lists, 0)
     packed = jnp.stack(
         [
@@ -155,9 +173,24 @@ def bin_disks_to_tiles(
         ],
         axis=1,
     )
-    tile_data = jnp.where(
+    return jnp.where(
         (lists >= 0)[..., None], packed[j], 0.0
     ).reshape(n_tiles, 1, cap * 8)
+
+
+def bin_disks_to_tiles(
+    xp: jax.Array,
+    vp: jax.Array,
+    omega: jax.Array,
+    r: jax.Array,
+    active: jax.Array,
+    cfg: SimConfig,
+) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
+    """Fresh lists + data in one call: (tile_data, counts, entry_slots,
+    overflow). Per-step callers on a Verlet cadence use build_tile_lists
+    + gather_tile_data instead."""
+    lists, counts, entry_slots, overflow = build_tile_lists(xp, active, cfg)
+    tile_data = gather_tile_data(lists, xp, vp, omega, r, active)
     return tile_data, counts, entry_slots, overflow
 
 

@@ -40,8 +40,16 @@ class SimState(NamedTuple):
     n_contacts: jax.Array  # () int32, contacts at last step
 
 
+# Verlet-style cadence for the stamp tile lists: rebuilt every
+# BIN_CADENCE steps with BIN_MARGIN cells of slack; per-step travel
+# beyond the margin is detected and counted in state.overflow.
+BIN_CADENCE = 8
+BIN_MARGIN = 2
+
+
 def make_step_fn(
-    cfg: SimConfig, grid: Optional[DemGrid], use_pallas: bool = False
+    cfg: SimConfig, grid: Optional[DemGrid], use_pallas: bool = False,
+    tile_lists=None,
 ) -> Callable[[SimState], SimState]:
     """Build the fused per-step function (SURVEY SS3.2 rebuilt).
 
@@ -49,6 +57,10 @@ def make_step_fn(
     -> hydro force reduction -> DEM subcycle. Without: pure collide-
     stream-BB fast path (SS3.3). `use_pallas` swaps the lattice update
     for the fused Pallas kernel (ops/pallas_lbm.py) where available.
+
+    `tile_lists` = (lists, counts, entry_slots, x_bin) lets the caller
+    amortize the stamp binning over several steps (see BIN_CADENCE);
+    travel beyond BIN_MARGIN is counted into state.overflow.
     """
     coupled = cfg.max_disks > 0
     if use_pallas:
@@ -58,12 +70,27 @@ def make_step_fn(
         if coupled:
             d = state.disks
             if use_pallas:
-                binned = pallas_stamp.bin_disks_to_tiles(
-                    d.x, d.v, d.omega, d.r, d.active, cfg
-                )
-                tile_data, counts, entry_slots, bovf = binned
+                if tile_lists is not None:
+                    lists, counts, entry_slots, x_bin = tile_lists
+                    travel2 = jnp.where(
+                        d.active, jnp.sum((d.x - x_bin) ** 2, axis=-1), 0.0
+                    )
+                    bovf = jnp.sum(
+                        travel2 > float(BIN_MARGIN) ** 2, dtype=jnp.int32
+                    )
+                    tile_data = pallas_stamp.gather_tile_data(
+                        lists, d.x, d.v, d.omega, d.r, d.active
+                    )
+                else:
+                    lists, counts, entry_slots, bovf = (
+                        pallas_stamp.build_tile_lists(d.x, d.active, cfg)
+                    )
+                    tile_data = pallas_stamp.gather_tile_data(
+                        lists, d.x, d.v, d.omega, d.r, d.active
+                    )
                 eps, usx, usy, _ = pallas_stamp.stamp_solid_fraction(
-                    d.x, d.v, d.omega, d.r, d.active, cfg, binned=binned
+                    d.x, d.v, d.omega, d.r, d.active, cfg,
+                    binned=(tile_data, counts, None, None),
                 )
                 fnew, phix, phiy = pallas_lbm.fused_step_imb(
                     state.f, eps, usx, usy, cfg
@@ -130,7 +157,9 @@ class Simulation:
             th, tw = pallas_stamp.tile_dims(cfg)
             r_min = min(d.r for d in disks)
             cfg = cfg.replace(
-                tile_cap=pallas_stamp.default_tile_cap(th, tw, r_min, cfg.window)
+                tile_cap=pallas_stamp.default_tile_cap(
+                    th, tw, r_min, cfg.window + 2 * BIN_MARGIN
+                )
             )
         self.cfg = cfg
         self.use_pallas = use_pallas
@@ -153,8 +182,42 @@ class Simulation:
         if n not in self._chunk_cache:
             step = self._step
 
-            def chunk(state):
-                return jax.lax.fori_loop(0, n, lambda _, s: step(s), state)
+            if self.use_pallas and self.cfg.max_disks > 0:
+                # Verlet-cadence chunk: rebuild the stamp tile lists every
+                # BIN_CADENCE steps (margin-validated), amortizing the
+                # sort/scatter binning cost.
+                from lbmdem_tpu.ops import pallas_stamp
+
+                cfg, grid = self.cfg, self.grid
+                n_outer, n_rem = divmod(n, BIN_CADENCE)
+
+                def k_steps(st, k):
+                    d = st.disks
+                    lists, counts, entry_slots, bovf = (
+                        pallas_stamp.build_tile_lists(
+                            d.x, d.active, cfg, margin=BIN_MARGIN
+                        )
+                    )
+                    st = st._replace(overflow=jnp.maximum(st.overflow, bovf))
+                    kstep = make_step_fn(
+                        cfg, grid, True,
+                        tile_lists=(lists, counts, entry_slots, d.x),
+                    )
+                    return jax.lax.fori_loop(0, k, lambda _, s: kstep(s), st)
+
+                def chunk(state):
+                    if n_outer:
+                        state = jax.lax.fori_loop(
+                            0, n_outer, lambda _, s: k_steps(s, BIN_CADENCE),
+                            state,
+                        )
+                    if n_rem:
+                        state = k_steps(state, n_rem)
+                    return state
+            else:
+
+                def chunk(state):
+                    return jax.lax.fori_loop(0, n, lambda _, s: step(s), state)
 
             self._chunk_cache[n] = jax.jit(chunk, donate_argnums=0)
         return self._chunk_cache[n]
