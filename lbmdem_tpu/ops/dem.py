@@ -197,10 +197,16 @@ def prune_candidates(
     Returns (tight (N, cap), overflow count)."""
     mask = cand >= 0
     j = jnp.maximum(cand, 0)
-    d = disks.x[:, None, :] - disks.x[j]
+    dt = disks.x.dtype
+    # one wide gather (TPU gather cost is per row, not per byte)
+    packed = jnp.concatenate(
+        [disks.x, disks.r[:, None], disks.active[:, None].astype(dt)], axis=1
+    )
+    g = packed[j]  # (N, S, 4)
+    d = disks.x[:, None, :] - g[..., 0:2]
     dist2 = jnp.sum(d * d, axis=-1)
-    reach = disks.r[:, None] + disks.r[j] + skin
-    keep = mask & disks.active[j] & (dist2 <= reach * reach)
+    reach = disks.r[:, None] + g[..., 2] + skin
+    keep = mask & (g[..., 3] > 0) & (dist2 <= reach * reach)
     # compact kept entries to the front via top_k (a row-wise argsort
     # here costs ~20 ms/step at 10k disks on TPU; top_k over 9K slots
     # is cheap and deterministic)
