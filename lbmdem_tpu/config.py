@@ -88,8 +88,9 @@ class SimConfig:
     g_px: float = 0.0
     g_py: float = 0.0
     buoyancy: bool = True
-    # Max simultaneous near-contacts per disk (pruned Verlet list slots).
-    contact_cap: int = 16
+    # Max simultaneous near-contacts per disk (pruned Verlet list slots;
+    # hex-packing coordination is 6 - overflow is counted, never dropped).
+    contact_cap: int = 10
     # Solid-fraction stamping: subgrid sample count per axis, and the
     # static per-disk stamp window (cells per axis). window=0 -> derived
     # from max radius at scene build time. eps_method "sample" uses

@@ -123,12 +123,13 @@ def column_collapse(
 ) -> Scene:
     """#5: submerged granular column collapse at 4096^2 with 10k disks
     (the headline benchmark config; shard over the ICI mesh)."""
-    # n_sub=10: dt_dem = 0.1 resolves the softest contact period
-    # (pi sqrt(m/kn) ~ 35 lattice times for r=8, kn=4) by ~350 points.
+    # kn sized so bottom-of-column overlap stays ~5% of r; n_sub=10
+    # (dt_dem = 0.1) resolves the contact period 2 pi sqrt(m/kn) ~ 20
+    # lattice times by ~200 points.
     cfg = SimConfig(
         nx=nx, ny=ny, tau=tau, steps=20000, out_interval=1000,
         bc_west="wall", bc_east="wall",
-        rho_s=rho_s, kn=4.0, gamma_n=4.0, gamma_t=1.0, mu=0.5, n_sub=10,
+        rho_s=rho_s, kn=50.0, gamma_n=60.0, gamma_t=15.0, mu=0.5, n_sub=10,
         g_py=-g, buoyancy=True, max_disks=n_disks,
     )
     # initial column against the west wall, ~aspect ratio 2
