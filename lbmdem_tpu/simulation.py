@@ -64,7 +64,13 @@ def make_step_fn(
     """
     coupled = cfg.max_disks > 0
     if use_pallas:
-        from lbmdem_tpu.ops import pallas_lbm, pallas_stamp
+        from lbmdem_tpu.ops import pallas_dem, pallas_lbm, pallas_stamp
+
+        use_slab_dem = (
+            coupled
+            and cfg.kt == 0.0
+            and pallas_dem.slab_supported(grid, cfg.max_disks)
+        )
 
     def step(state: SimState) -> SimState:
         if coupled:
@@ -99,6 +105,17 @@ def make_step_fn(
                     d.x, d.r, d.active, eps, phix, phiy, cfg,
                     tile_data, counts, entry_slots,
                 )
+                if use_slab_dem:
+                    disks, ovf, nc = pallas_dem.dem_subcycle(d, fh, th, grid, cfg)
+                    return SimState(
+                        f=fnew,
+                        disks=disks,
+                        step=state.step + 1,
+                        overflow=jnp.maximum(
+                            state.overflow, jnp.maximum(ovf, bovf)
+                        ),
+                        n_contacts=nc,
+                    )
             else:
                 bovf = jnp.zeros((), jnp.int32)
                 eps, usx, usy = imb.stamp_solid_fraction(

@@ -1,0 +1,81 @@
+"""Slab-kernel DEM subcycle vs the XLA oracle (interpret mode)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from lbmdem_tpu.config import DiskSpec, SimConfig
+from lbmdem_tpu.ops import dem, pallas_dem
+from lbmdem_tpu.ops.dem import DemGrid
+
+
+def _cfg(**kw):
+    base = dict(nx=128, ny=128, tau=0.8, dtype="float32", max_disks=24,
+                kn=2.0, gamma_n=1.0, gamma_t=0.3, mu=0.4, rho_s=2.0,
+                n_sub=10, bc_west="wall", bc_east="wall", g_py=-1e-4,
+                buoyancy=False)
+    base.update(kw)
+    return SimConfig(**base)
+
+
+def _disks(cfg, n, r=3.0, seed=0, lo=6.0, hi=None):
+    rng = np.random.default_rng(seed)
+    specs = [DiskSpec(rng.uniform(lo, hi or cfg.nx - 6),
+                      rng.uniform(lo, hi or cfg.ny - 6), r,
+                      rng.uniform(-0.05, 0.05), rng.uniform(-0.05, 0.05),
+                      rng.uniform(-0.01, 0.01)) for _ in range(n)]
+    return dem.make_disk_state(specs, cfg, "float32")
+
+
+def test_slab_subcycle_matches_oracle():
+    cfg = _cfg()
+    disks = _disks(cfg, 24, r=3.0, seed=3, lo=20.0, hi=60.0)  # dense
+    grid = DemGrid.build(cfg, 3.0)
+    fh = jnp.zeros((24, 2), jnp.float32)
+    th = jnp.zeros((24,), jnp.float32)
+    d_ref, ovf_r, _ = jax.jit(dem.dem_subcycle, static_argnums=(3, 4))(
+        disks, fh, th, grid, cfg)
+    d_pal, ovf_p, nc = jax.jit(pallas_dem.dem_subcycle, static_argnums=(3, 4))(
+        disks, fh, th, grid, cfg)
+    assert int(ovf_p) == 0
+    np.testing.assert_allclose(np.asarray(d_pal.x), np.asarray(d_ref.x),
+                               rtol=0, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(d_pal.v), np.asarray(d_ref.v),
+                               rtol=0, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(d_pal.omega), np.asarray(d_ref.omega),
+                               rtol=0, atol=2e-5)
+    assert int(nc) > 0
+
+
+def test_slab_subcycle_with_hydro_and_gravity():
+    cfg = _cfg(buoyancy=True, g_py=-2e-4, max_disks=12)
+    disks = _disks(cfg, 12, r=3.0, seed=5)
+    grid = DemGrid.build(cfg, 3.0)
+    rng = np.random.default_rng(1)
+    fh = jnp.asarray(rng.uniform(-1e-3, 1e-3, (12, 2)), jnp.float32)
+    th = jnp.asarray(rng.uniform(-1e-4, 1e-4, (12,)), jnp.float32)
+    d_ref, *_ = jax.jit(dem.dem_subcycle, static_argnums=(3, 4))(
+        disks, fh, th, grid, cfg)
+    d_pal, ovf, _ = jax.jit(pallas_dem.dem_subcycle, static_argnums=(3, 4))(
+        disks, fh, th, grid, cfg)
+    assert int(ovf) == 0
+    np.testing.assert_allclose(np.asarray(d_pal.x), np.asarray(d_ref.x),
+                               rtol=0, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(d_pal.v), np.asarray(d_ref.v),
+                               rtol=0, atol=2e-5)
+
+
+def test_slab_wall_contact():
+    """Disk resting on the south wall stays put in both paths."""
+    cfg = _cfg(g_py=-1e-3, gamma_n=8.0, n_sub=50)
+    disks = dem.make_disk_state([DiskSpec(64.0, 2.4, 3.0)], cfg, "float32")
+    grid = DemGrid.build(cfg, 3.0)
+    fh = jnp.zeros((1, 2), jnp.float32)
+    th = jnp.zeros((1,), jnp.float32)
+    sub_r = jax.jit(dem.dem_subcycle, static_argnums=(3, 4))
+    sub_p = jax.jit(pallas_dem.dem_subcycle, static_argnums=(3, 4))
+    dr, dp = disks, disks
+    for _ in range(20):
+        dr, *_ = sub_r(dr, fh, th, grid, cfg)
+        dp, *_ = sub_p(dp, fh, th, grid, cfg)
+    np.testing.assert_allclose(np.asarray(dp.x), np.asarray(dr.x), atol=5e-5)

@@ -1,0 +1,59 @@
+"""Scenario zoo smoke tests: every BASELINE config builds and runs
+(scaled down), stays finite, conserves mass, and behaves qualitatively."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from lbmdem_tpu.models import SCENARIOS, make_scenario
+from lbmdem_tpu.simulation import Simulation, make_step_fn
+
+
+SMALL = {
+    "poiseuille": dict(nx=32, ny=32),
+    "sedimentation": dict(nx=64, ny=128, r=4.0),
+    "dkt": dict(nx=64, ny=160, r=4.0),
+    "settling_column": dict(nx=128, ny=128, n_disks=40, r=4.0),
+    "column_collapse": dict(nx=128, ny=128, n_disks=30, r=4.0),
+}
+
+
+@pytest.mark.parametrize("name", sorted(SCENARIOS))
+def test_scenario_runs(name):
+    cfg, disks = make_scenario(name, **SMALL[name])
+    cfg = cfg.replace(steps=50, out_interval=25, dtype="float64", n_sub=5)
+    sim = Simulation(cfg, disks)
+    step = make_step_fn(sim.cfg, sim.grid, False)
+    chunk = jax.jit(lambda s: jax.lax.fori_loop(0, 50, lambda _, x: step(x), s))
+    s = chunk(sim.state)
+    f = np.asarray(s.f)
+    assert np.isfinite(f).all()
+    assert abs(f.sum() / (cfg.nx * cfg.ny) - 1.0) < 1e-6  # mass
+    assert int(s.overflow) == 0
+    if cfg.max_disks:
+        x = np.asarray(s.disks.x)[np.asarray(s.disks.active)]
+        assert np.isfinite(x).all()
+        assert (x[:, 0] > -1).all() and (x[:, 0] < cfg.nx).all()
+        assert (x[:, 1] > -1).all() and (x[:, 1] < cfg.ny).all()
+
+
+def test_column_collapse_runout():
+    """Submerged collapse: the column spreads rightward along the floor."""
+    cfg, disks = make_scenario("column_collapse", nx=192, ny=96, n_disks=60,
+                               r=4.0)
+    cfg = cfg.replace(steps=0, out_interval=0, dtype="float64", n_sub=10,
+                      g_py=-2e-4)
+    sim = Simulation(cfg, disks)
+    step = make_step_fn(sim.cfg, sim.grid, False)
+    chunk = jax.jit(lambda s: jax.lax.fori_loop(0, 250, lambda _, x: step(x), s))
+    s = sim.state
+    x0 = np.asarray(s.disks.x)[np.asarray(s.disks.active)]
+    front0 = x0[:, 0].max()
+    for _ in range(8):
+        s = chunk(s)
+    x1 = np.asarray(s.disks.x)[np.asarray(s.disks.active)]
+    front1 = x1[:, 0].max()
+    assert front1 > front0 + 1.0, f"no runout: {front0} -> {front1}"
+    # center of mass dropped
+    assert x1[:, 1].mean() < x0[:, 1].mean()
