@@ -2,6 +2,7 @@
 
 from lbmdem_tpu.models.scenarios import (
     SCENARIOS,
+    cavity,
     column_collapse,
     dkt,
     make_scenario,
@@ -14,6 +15,7 @@ __all__ = [
     "SCENARIOS",
     "make_scenario",
     "poiseuille",
+    "cavity",
     "single_disk_sedimentation",
     "dkt",
     "settling_column",

@@ -138,8 +138,18 @@ def column_collapse(
     return cfg, disks
 
 
+def cavity(nx: int = 128, ny: int = 128, tau: float = 0.6, u_lid: float = 0.1) -> Scene:
+    """Lid-driven cavity (moving north wall; oracle path exercises the
+    moving-wall bounce-back, SURVEY C6). Run via lbm.step_pure_fluid
+    with wall_speed=(0, 0, 0, u_lid)."""
+    cfg = SimConfig(nx=nx, ny=ny, tau=tau, steps=50 * nx * nx // 100,
+                    out_interval=1000, bc_west="wall", bc_east="wall")
+    return cfg, []
+
+
 SCENARIOS = {
     "poiseuille": poiseuille,
+    "cavity": cavity,
     "sedimentation": single_disk_sedimentation,
     "dkt": dkt,
     "settling_column": settling_column,

@@ -12,6 +12,7 @@ from lbmdem_tpu.simulation import Simulation, make_step_fn
 
 SMALL = {
     "poiseuille": dict(nx=32, ny=32),
+    "cavity": dict(nx=32, ny=32),
     "sedimentation": dict(nx=64, ny=128, r=4.0),
     "dkt": dict(nx=64, ny=160, r=4.0),
     "settling_column": dict(nx=128, ny=128, n_disks=40, r=4.0),
