@@ -180,7 +180,10 @@ def _dem_kernel(s_ref, out_ref, *, cfg: SimConfig, grid: DemGrid, ncxp: int):
         ft = jnp.where(touching, ft, 0.0)
         return (fn * nx_ + ft * tx_, fn * ny_ + ft * ty_, -li * ft, touching)
 
-    def forces(X, Y, VX, VY, OM, R):
+    def forces(state_ref, X, Y, VX, VY, OM, R):
+        # partners are read from state_ref planes (dynamic rank index
+        # k2 via fori_loop keeps the unroll at 9 pair bodies instead of
+        # 9*K^2 - Mosaic compile time blows up otherwise)
         Fx = [None] * K
         Fy = [None] * K
         Tq = [None] * K
@@ -193,19 +196,28 @@ def _dem_kernel(s_ref, out_ref, *, cfg: SimConfig, grid: DemGrid, ncxp: int):
             for dy in (-1, 0, 1):
                 for dc in (-1, 0, 1):
                     ok = edge_ok(dy, dc)
-                    for k2 in range(K):
-                        if dy == 0 and dc == 0 and k2 == k:
-                            continue
-                        sh = lambda a: _shift2(a, dy, dc, ncy, grid.ncx)
+                    same_cell = dy == 0 and dc == 0
+
+                    def inner(k2, acc, dy=dy, dc=dc, ok=ok,
+                              same_cell=same_cell, k=k):
+                        afx, afy, atq, anc = acc
+                        sh = lambda ch: _shift2(
+                            state_ref[ch, k2], dy, dc, ncy, grid.ncx
+                        )
+                        okk = ok
+                        if same_cell:
+                            okk = ok & (k2 != k)
                         dfx, dfy, dtq, tt = pair(
                             X[k], Y[k], VX[k], VY[k], OM[k], R[k],
-                            sh(X[k2]), sh(Y[k2]), sh(VX[k2]), sh(VY[k2]),
-                            sh(OM[k2]), sh(R[k2]), ok,
+                            sh(_X), sh(_Y), sh(_VX), sh(_VY),
+                            sh(_OM), sh(_R), okk,
                         )
-                        fx += dfx
-                        fy += dfy
-                        tq += dtq
-                        nc += tt.astype(jnp.float32)
+                        return (afx + dfx, afy + dfy, atq + dtq,
+                                anc + tt.astype(jnp.float32))
+
+                    fx, fy, tq, nc = jax.lax.fori_loop(
+                        0, K, inner, (fx, fy, tq, nc)
+                    )
             # walls: mirror disk of radius 0 on the plane
             for on, wpos, axis, horizontal in walls:
                 if not on:
@@ -245,7 +257,9 @@ def _dem_kernel(s_ref, out_ref, *, cfg: SimConfig, grid: DemGrid, ncxp: int):
     act = [(R[k] > 0).astype(jnp.float32) for k in range(K)]
 
     def total(X, Y, VX, VY, OM):
-        Fx, Fy, Tq, NC = forces(X, Y, VX, VY, OM, R)
+        # callers guarantee state_ref (= out_ref) holds exactly
+        # (X, Y, VX, VY, OM) before calling
+        Fx, Fy, Tq, NC = forces(out_ref, X, Y, VX, VY, OM, R)
         for k in range(K):
             Fx[k] = (Fx[k] + FHX[k]) * act[k]
             Fy[k] = (Fy[k] + FHY[k]) * act[k]
@@ -279,9 +293,13 @@ def _dem_kernel(s_ref, out_ref, *, cfg: SimConfig, grid: DemGrid, ncxp: int):
         X = [X[k] + h * VXh[k] * act[k] for k in range(K)]
         Y = [Y[k] + h * VYh[k] * act[k] for k in range(K)]
         TH = [TH[k] + h * OMh[k] * act[k] for k in range(K)]
+        # publish (x_new, v_half) so the force eval reads them
         wr(_X, X)
         wr(_Y, Y)
         wr(_TH, TH)
+        wr(_VX, VXh)
+        wr(_VY, VYh)
+        wr(_OM, OMh)
         Fx2, Fy2, Tq2, NC2 = total(X, Y, VXh, VYh, OMh)
         wr(_VX, [(VXh[k] + (0.5 * h) * Fx2[k] * inv_m[k]) * act[k] for k in range(K)])
         wr(_VY, [(VYh[k] + (0.5 * h) * Fy2[k] * inv_m[k]) * act[k] for k in range(K)])
