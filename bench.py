@@ -42,6 +42,22 @@ def _run(nx, ny, n_disks, chunk, repeats, use_pallas):
 
 
 def main():
+    # Hang protection: the remote TPU attachment can wedge (observed
+    # after killed mid-compile clients); emit a sentinel line rather
+    # than hanging the driver.
+    import signal
+
+    def _on_alarm(sig, frm):
+        print(json.dumps({
+            "metric": "coupled LBM-DEM MLUPS/chip (TIMED OUT - TPU "
+                      "attachment wedged)",
+            "value": 0.0, "unit": "MLUPS", "vs_baseline": 0.0,
+        }), flush=True)
+        os._exit(3)
+
+    signal.signal(signal.SIGALRM, _on_alarm)
+    signal.alarm(int(os.environ.get("BENCH_TIMEOUT_S", "2700")))
+
     nx = int(os.environ.get("BENCH_NX", 4096))
     ny = int(os.environ.get("BENCH_NY", 4096))
     nd = int(os.environ.get("BENCH_DISKS", 10000))

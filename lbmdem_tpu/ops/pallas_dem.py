@@ -50,8 +50,13 @@ _NCH = 10
 
 
 def slab_supported(grid: DemGrid, n: int) -> bool:
-    """VMEM feasibility: ~10 f32 planes of (K, ncy, ncx_pad)."""
+    """Feasibility gate: VMEM for ~10 f32 rank-plane sets, and a plane
+    size cap (large planes drive Mosaic compile times into the tens of
+    minutes through the remote-compile path - verified up to ~2048^2
+    domains; raise after validating larger compiles)."""
     ncxp = -(-grid.ncx // 128) * 128
+    if grid.ncy * ncxp > 20000:
+        return False
     bytes_ = _NCH * SLAB_K * grid.ncy * ncxp * 4
     return bytes_ <= 48 * 2**20
 
