@@ -108,3 +108,23 @@ def test_dkt_drafting():
     assert float(s.disks.v[0, 1]) < 0 and float(s.disks.v[1, 1]) < 0
     # trailing disk falls faster (wake suction)
     assert float(s.disks.v[0, 1]) < float(s.disks.v[1, 1])
+
+
+def test_dkt_golden_trajectory():
+    """Regression-pin the DKT two-disk trajectory (f64 oracle)."""
+    cfg = SimConfig(nx=64, ny=256, tau=0.56, dtype="float64", g_py=-1e-4,
+                    rho_s=2.0, kn=1.0, gamma_n=1.0, mu=0.1, n_sub=10,
+                    buoyancy=True, bc_west="wall", bc_east="wall")
+    disks = [DiskSpec(32.2, 220.0, 5.0), DiskSpec(31.8, 204.0, 5.0)]
+    sim = Simulation(cfg, disks)
+    step = make_step_fn(sim.cfg, sim.grid, False)
+    chunk = jax.jit(lambda st: jax.lax.fori_loop(0, 250, lambda _, x: step(x), st))
+    s = sim.state
+    rows = []
+    for _ in range(12):
+        s = chunk(s)
+        rows.append((int(s.step),
+                     float(s.disks.x[0, 0]), float(s.disks.x[0, 1]),
+                     float(s.disks.x[1, 0]), float(s.disks.x[1, 1])))
+    gold = np.loadtxt(os.path.join(GOLDEN, "dkt_f64.csv"))
+    np.testing.assert_allclose(np.asarray(rows), gold, rtol=1e-7, atol=1e-9)
