@@ -17,7 +17,6 @@ import time
 
 
 def _run(nx, ny, n_disks, chunk, repeats, use_pallas):
-    import jax
     from lbmdem_tpu.models import column_collapse
     from lbmdem_tpu.simulation import Simulation
 

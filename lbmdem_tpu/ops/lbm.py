@@ -17,7 +17,7 @@ Array convention: `f` has shape (9, ny, nx), indexed [i, y, x]; cell
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

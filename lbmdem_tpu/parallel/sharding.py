@@ -28,7 +28,6 @@ Validated by tests/test_sharding.py: the sharded step on a simulated
 
 from __future__ import annotations
 
-import functools
 from typing import Callable, Optional, Tuple
 
 import jax

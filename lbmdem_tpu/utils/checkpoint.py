@@ -10,7 +10,6 @@ trajectory resume is enforced by tests/test_aux.py.
 from __future__ import annotations
 
 import os
-from typing import Tuple
 
 import jax
 import numpy as np

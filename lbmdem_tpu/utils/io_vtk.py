@@ -10,7 +10,6 @@ reference's ParaView workflow (SURVEY SS1 L6).
 from __future__ import annotations
 
 import os
-import struct
 from typing import Optional
 
 import numpy as np

@@ -18,7 +18,6 @@ from typing import Dict, Optional
 import jax
 import jax.numpy as jnp
 
-from lbmdem_tpu import lattice
 from lbmdem_tpu.config import SimConfig
 from lbmdem_tpu.ops import lbm
 
