@@ -102,3 +102,38 @@ def test_smagorinsky_reduces_to_bgk_at_equilibrium():
     f_les = lbm.collide(f, cfg.tau, smagorinsky=0.1)
     f_bgk = lbm.collide(f, cfg.tau)
     np.testing.assert_allclose(np.asarray(f_les), np.asarray(f_bgk), atol=1e-14)
+
+
+def test_taylor_green_viscosity():
+    """Taylor-Green vortex decay: the measured exponential decay rate
+    recovers nu = (tau - 1/2)/3 within 1% (quantitative transport
+    validation, fully periodic)."""
+    n = 64
+    tau = 0.8
+    cfg = SimConfig(nx=n, ny=n, tau=tau, dtype="float64",
+                    bc_south="periodic", bc_north="periodic")
+    k = 2.0 * np.pi / n
+    u0 = 0.01
+    x = np.arange(n)[None, :] * 1.0
+    y = np.arange(n)[:, None] * 1.0
+    ux = -u0 * np.cos(k * x) * np.sin(k * y)
+    uy = u0 * np.sin(k * x) * np.cos(k * y)
+    rho = 1.0 - (3.0 * u0 * u0 / 4.0) * (np.cos(2 * k * x) + np.cos(2 * k * y))
+    f = lbm.equilibrium(jnp.asarray(rho), jnp.asarray(ux), jnp.asarray(uy))
+
+    step = jax.jit(lambda g: lbm.step_pure_fluid(g, cfg))
+    def ke(g):
+        r, vx, vy = lbm.moments(g)
+        return float(jnp.sum(r * (vx * vx + vy * vy)))
+
+    t_skip, t_meas = 200, 800  # skip the initialization transient
+    for _ in range(t_skip):
+        f = step(f)
+    e1 = ke(f)
+    for _ in range(t_meas):
+        f = step(f)
+    e2 = ke(f)
+    # KE ~ exp(-4 nu k^2 t)
+    nu_meas = -np.log(e2 / e1) / (4.0 * k * k * t_meas)
+    nu_true = (tau - 0.5) / 3.0
+    assert abs(nu_meas / nu_true - 1.0) < 0.01, (nu_meas, nu_true)
