@@ -110,6 +110,12 @@ class SimConfig:
     rho0: float = 1.0
     u0x: float = 0.0
     u0y: float = 0.0
+    # Tangential wall speeds (moving-wall bounce-back, e.g. lid-driven
+    # cavity): west/east walls move along y, south/north along x.
+    uw_west: float = 0.0
+    uw_east: float = 0.0
+    uw_south: float = 0.0
+    uw_north: float = 0.0
 
     def __post_init__(self):
         for s in (self.bc_west, self.bc_east, self.bc_south, self.bc_north):
@@ -177,7 +183,8 @@ def load_param_file(path: str) -> Tuple[SimConfig, Optional[str]]:
                 kw[key] = bool(int(vals[0]))
             elif key in ("tau", "gx", "gy", "kn", "kt", "gamma_n", "gamma_t",
                          "mu", "rho_s", "g_px", "g_py", "smagorinsky",
-                         "rho0", "u0x", "u0y"):
+                         "rho0", "u0x", "u0y", "uw_west", "uw_east",
+                         "uw_south", "uw_north"):
                 kw[key] = float(vals[0])
             else:
                 raise ValueError(f"unknown parameter keyword {key!r}")

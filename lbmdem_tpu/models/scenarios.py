@@ -139,11 +139,11 @@ def column_collapse(
 
 
 def cavity(nx: int = 128, ny: int = 128, tau: float = 0.6, u_lid: float = 0.1) -> Scene:
-    """Lid-driven cavity (moving north wall; oracle path exercises the
-    moving-wall bounce-back, SURVEY C6). Run via lbm.step_pure_fluid
-    with wall_speed=(0, 0, 0, u_lid)."""
+    """Lid-driven cavity (moving north wall - moving-wall bounce-back,
+    SURVEY C6; plain-JAX path)."""
     cfg = SimConfig(nx=nx, ny=ny, tau=tau, steps=50 * nx * nx // 100,
-                    out_interval=1000, bc_west="wall", bc_east="wall")
+                    out_interval=1000, bc_west="wall", bc_east="wall",
+                    uw_north=u_lid)
     return cfg, []
 
 

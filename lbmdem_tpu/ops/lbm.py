@@ -133,7 +133,7 @@ def apply_bounce_back(
     fnew: jax.Array,
     fpost: jax.Array,
     cfg: SimConfig,
-    wall_speed: Tuple[float, float, float, float] = (0.0, 0.0, 0.0, 0.0),
+    wall_speed: Tuple[float, float, float, float] = None,
 ) -> jax.Array:
     """Half-way bounce-back at wall sides (C6).
 
@@ -151,6 +151,8 @@ def apply_bounce_back(
     w = lattice.W
     e = lattice.E
     opp = lattice.OPP
+    if wall_speed is None:
+        wall_speed = (cfg.uw_west, cfg.uw_east, cfg.uw_south, cfg.uw_north)
     uw_w, uw_e, uw_s, uw_n = wall_speed
     rho0 = cfg.rho0
 
@@ -178,7 +180,7 @@ def apply_bounce_back(
 def step_pure_fluid(
     f: jax.Array,
     cfg: SimConfig,
-    wall_speed: Tuple[float, float, float, float] = (0.0, 0.0, 0.0, 0.0),
+    wall_speed: Tuple[float, float, float, float] = None,
 ) -> jax.Array:
     """One pure-fluid LBM step (SURVEY SS3.3 fast path): collide-stream-BB."""
     fpost = collide(f, cfg.tau, cfg.gx, cfg.gy, cfg.smagorinsky)

@@ -55,6 +55,11 @@ _HX = 128  # halo chunk cols (lane granularity)
 
 
 def tile_dims(cfg: SimConfig) -> Tuple[int, int]:
+    assert (cfg.uw_west == cfg.uw_east == cfg.uw_south == cfg.uw_north
+            == 0.0), (
+        "moving walls are not in the fused kernels yet; use the plain-"
+        "JAX path (use_pallas=False)"
+    )
     th = next((t for t in (64, 32, 16, 8) if cfg.ny % t == 0), None)
     tw = next((t for t in (512, 256, 128) if cfg.nx % t == 0), None)
     assert th and tw, (
