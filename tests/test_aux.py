@@ -164,3 +164,29 @@ def test_native_writer_matches_python(tmp_path):
     assert rows[0] == "step,id,x,y,vx,vy,theta,omega"
     vals = rows[1].split(",")
     assert vals[0] == "7" and float(vals[2]) == 16.25 and float(vals[4]) == 0.125
+
+
+def test_profiling_timer_and_mlups():
+    from lbmdem_tpu.utils import profiling
+    import jax.numpy as jnp
+
+    x = jnp.ones((64, 64))
+    with profiling.Timer(sync=x * 2.0) as t:
+        y = (x * 2.0).sum()
+    assert t.seconds > 0
+    assert profiling.mlups(1024, 1024, 100, 1.0) == 1024 * 1024 * 100 / 1e6
+
+
+def test_unit_system_workflow():
+    """Physical-units workflow: water in a 0.1 mm grid, tau from nu."""
+    from lbmdem_tpu import units, lattice
+
+    us = units.UnitSystem(dx=1e-4, dt=2e-6, rho0=1000.0)
+    nu_lat = us.nu_to_lattice(1e-6)  # water
+    tau = lattice.tau_from_nu(nu_lat)
+    assert 0.5 < tau < 2.0
+    g_lat = us.accel_to_lattice(9.81)
+    assert 0 < g_lat < 1e-2
+    # round trip a settling velocity
+    v = us.velocity_from_lattice(0.01)
+    assert abs(us.velocity_to_lattice(v) - 0.01) < 1e-15
