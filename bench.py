@@ -1,19 +1,67 @@
-"""Headline benchmark: MLUPS/chip on the BASELINE.json north-star config
-(4096^2 lattice, 10k disks, coupled LBM-DEM), printed as one JSON line.
+"""Headline benchmark: coupled LBM-DEM MLUPS/chip on the BASELINE.json
+north-star config (4096^2 lattice, 10k disks), printed as one JSON line.
 
 vs_baseline is measured against the 1000 MLUPS/chip north-star target
 (BASELINE.json `published` is empty - the reference publishes no MLUPS).
 
+Hardened per VERDICT r1 (both round-1 driver artifacts timed out):
+- staged output: ONE JSON line is (re)printed after every completed
+  config, smallest first, so even a driver kill mid-run leaves the
+  best-so-far number as the last line of stdout;
+- the self-alarm defaults well under typical driver budgets (1200 s)
+  and on firing prints the best result seen so far, not a zero;
+- TPU attachment health is probed with a short timeout before any big
+  compile, so a wedged axon runtime yields a sentinel in seconds, not
+  a hang.
+
 Timing uses explicit device-fetch synchronization: on the axon TPU
 runtime `block_until_ready` can return before remote execution finishes
-(see Simulation._sync), so we difference two run lengths to cancel the
-fixed dispatch overhead.
+(see Simulation._sync), so we re-run one already-compiled chunk length
+and take the best of several repeats.
 """
 
 import json
 import os
 import sys
 import time
+
+_last_line = None
+
+
+def _emit(metric, value):
+    global _last_line
+    _last_line = json.dumps({
+        "metric": metric,
+        "value": round(value, 1),
+        "unit": "MLUPS",
+        "vs_baseline": round(value / 1000.0, 3),
+    })
+    print(_last_line, flush=True)
+
+
+def _probe_device(timeout_s: int = 240):
+    """Fail fast if the TPU attachment is wedged (observed r1: axon init
+    hang after a killed mid-compile client)."""
+    import signal
+
+    def _boom(sig, frm):
+        print(json.dumps({
+            "metric": "coupled LBM-DEM MLUPS/chip (TPU attachment wedged "
+                      "at init)",
+            "value": 0.0, "unit": "MLUPS", "vs_baseline": 0.0,
+        }), flush=True)
+        os._exit(3)
+
+    old = signal.signal(signal.SIGALRM, _boom)
+    signal.alarm(timeout_s)
+    import jax
+    import jax.numpy as jnp
+
+    x = jax.device_get(jnp.ones((8, 128)).sum())  # forces a real round-trip
+    assert float(x) == 8 * 128
+    signal.alarm(0)
+    signal.signal(signal.SIGALRM, old)
+    return jax.devices()[0].platform
 
 
 def _run(nx, ny, n_disks, chunk, repeats, use_pallas):
@@ -37,44 +85,53 @@ def _run(nx, ny, n_disks, chunk, repeats, use_pallas):
     import numpy as np
 
     assert np.isfinite(np.asarray(sim.state.f[0, ::64, ::64])).all()
-    return mlups, int(sim.state.overflow)
+    return mlups
 
 
 def main():
-    # Hang protection: the remote TPU attachment can wedge (observed
-    # after killed mid-compile clients); emit a sentinel line rather
-    # than hanging the driver.
     import signal
 
     def _on_alarm(sig, frm):
-        print(json.dumps({
-            "metric": "coupled LBM-DEM MLUPS/chip (TIMED OUT - TPU "
-                      "attachment wedged)",
-            "value": 0.0, "unit": "MLUPS", "vs_baseline": 0.0,
-        }), flush=True)
+        if _last_line is not None:
+            print(_last_line, flush=True)  # best-so-far wins, not a zero
+        else:
+            print(json.dumps({
+                "metric": "coupled LBM-DEM MLUPS/chip (timed out before "
+                          "any config finished)",
+                "value": 0.0, "unit": "MLUPS", "vs_baseline": 0.0,
+            }), flush=True)
         os._exit(3)
 
     signal.signal(signal.SIGALRM, _on_alarm)
-    signal.alarm(int(os.environ.get("BENCH_TIMEOUT_S", "2700")))
+    signal.alarm(int(os.environ.get("BENCH_TIMEOUT_S", "1200")))
 
-    nx = int(os.environ.get("BENCH_NX", 4096))
-    ny = int(os.environ.get("BENCH_NY", 4096))
-    nd = int(os.environ.get("BENCH_DISKS", 10000))
+    _probe_device()
+
     use_pallas = os.environ.get("BENCH_PALLAS", "1") == "1"
-    try:
-        mlups, overflow = _run(nx, ny, nd, 100, 3, use_pallas)
-    except Exception as e:  # smaller fallback so the driver always gets a number
-        print(f"bench: full config failed ({type(e).__name__}: {e}); "
-              f"falling back to 2048^2/2500", file=sys.stderr)
-        nx = ny = 2048
-        nd = 2500
-        mlups, overflow = _run(nx, ny, nd, 100, 3, use_pallas)
-    print(json.dumps({
-        "metric": f"coupled LBM-DEM MLUPS/chip ({nx}x{ny}, {nd} disks)",
-        "value": round(mlups, 1),
-        "unit": "MLUPS",
-        "vs_baseline": round(mlups / 1000.0, 3),
-    }))
+    # Smallest first: every completed stage refreshes the JSON line, so
+    # the last line of stdout is always the biggest config that finished.
+    stages = [
+        (1024, 1024, 640, 100, 2),
+        (2048, 2048, 2500, 100, 2),
+        (4096, 4096, 10000, 100, 3),
+    ]
+    only = os.environ.get("BENCH_ONLY")  # e.g. "4096" to skip warmup stages
+    if only:
+        stages = [s for s in stages if s[0] == int(only)]
+    for nx, ny, nd, chunk, repeats in stages:
+        try:
+            mlups = _run(nx, ny, nd, chunk, repeats, use_pallas)
+        except Exception as e:
+            print(f"bench: {nx}x{ny}/{nd} failed "
+                  f"({type(e).__name__}: {e})", file=sys.stderr)
+            continue
+        _emit(f"coupled LBM-DEM MLUPS/chip ({nx}x{ny}, {nd} disks)", mlups)
+    if _last_line is None:
+        print(json.dumps({
+            "metric": "coupled LBM-DEM MLUPS/chip (all configs failed)",
+            "value": 0.0, "unit": "MLUPS", "vs_baseline": 0.0,
+        }), flush=True)
+        sys.exit(1)
 
 
 if __name__ == "__main__":

@@ -29,6 +29,10 @@ def main(argv=None) -> int:
     ap.add_argument("--restore", default=None, metavar="CKPT",
                     help="resume from checkpoint file")
     ap.add_argument("--ascii-vtk", action="store_true")
+    ap.add_argument("--paranoid", action="store_true",
+                    help="validate f/rho/disks after every step inside "
+                         "the jitted chunk; abort at the exact failing "
+                         "step (SURVEY 5.2/5.3 debug mode)")
     ap.add_argument("--profile", default=None, metavar="LOGDIR",
                     help="capture a jax.profiler trace of the run")
     ap.add_argument("--scenario", default=None,
@@ -51,9 +55,11 @@ def main(argv=None) -> int:
         cfg, disks = make_scenario(args.scenario)
     else:
         cfg, pfile = load_param_file(args.paramfile)
-        disks = load_particle_file(pfile) if pfile else []
+        disks = load_particle_file(pfile, units=cfg.units) if pfile else []
     if args.steps is not None:
         cfg = cfg.replace(steps=args.steps)
+    if args.paranoid:
+        cfg = cfg.replace(paranoia=True)
     if cfg.dtype == "float64":
         import jax
 

@@ -104,6 +104,12 @@ class SimConfig:
     tile_cap: int = 0
     # Smagorinsky LES constant (0 = plain BGK).
     smagorinsky: float = 0.0
+    # Paranoid/debug mode (SURVEY SS5.2/5.3): validate f finite, rho>0,
+    # disk state finite and zero overflow after EVERY step inside the
+    # jitted chunk; the first failing step number lands in
+    # SimState.fail_step and the state freezes there. Costs one extra
+    # pass over f per step - off in production.
+    paranoia: bool = False
     # Numerics
     dtype: str = "float32"
     # Initial fluid density / velocity.
@@ -116,6 +122,14 @@ class SimConfig:
     uw_east: float = 0.0
     uw_south: float = 0.0
     uw_north: float = 0.0
+    # Physical base scales of the deck (SURVEY C17): 0 = the deck was
+    # written directly in lattice units. When set (SI decks: `dx`,
+    # `dt_phys`, `rho_phys` keywords), every other field above is
+    # already converted to lattice units; these record the scales for
+    # output conversion (`cfg.units`).
+    phys_dx: float = 0.0
+    phys_dt: float = 0.0
+    phys_rho: float = 0.0
 
     def __post_init__(self):
         for s in (self.bc_west, self.bc_east, self.bc_south, self.bc_north):
@@ -127,10 +141,32 @@ class SimConfig:
             raise ValueError("periodic bc must pair: south/north")
         if self.tau <= 0.5:
             raise ValueError(f"tau must exceed 0.5 (got {self.tau})")
+        if self.max_disks > 0 and PERIODIC in (
+            self.bc_west, self.bc_east, self.bc_south, self.bc_north
+        ):
+            # DEM state does not wrap: a disk drifting past a periodic
+            # edge would silently leave the coupled domain (its contacts
+            # and eps stamp never cross the boundary). Rejected here
+            # rather than failing silently at runtime.
+            raise ValueError(
+                "periodic boundaries are unsupported with DEM disks "
+                "(max_disks > 0): disk coordinates, contacts and the "
+                "solid-fraction stamp do not wrap - use walls"
+            )
 
     @property
     def nu(self) -> float:
         return (self.tau - 0.5) / 3.0
+
+    @property
+    def units(self):
+        """UnitSystem of a physical-units deck, or None (lattice deck)."""
+        if self.phys_dx > 0 and self.phys_dt > 0 and self.phys_rho > 0:
+            from lbmdem_tpu.units import UnitSystem
+
+            return UnitSystem(dx=self.phys_dx, dt=self.phys_dt,
+                              rho0=self.phys_rho)
+        return None
 
     @property
     def np_dtype(self):
@@ -148,16 +184,84 @@ def window_for_radius(r_max: float) -> int:
     return 2 * (int(math.ceil(r_max + 0.5)) + 1) + 1
 
 
+# SI-deck keywords (SURVEY C17 physical<->lattice workflow): each maps
+# to (target lattice-unit field, converter name on UnitSystem or a scale
+# property to divide by). Requires `dx`, `dt_phys`, `rho_phys` in the
+# same deck.
+_PHYS_KEYS = {
+    "nu_phys": ("tau", "nu"),            # m^2/s -> tau = 3 nu_lat + 1/2
+    "gx_phys": ("gx", "accel"),          # m/s^2 fluid driving accel
+    "gy_phys": ("gy", "accel"),
+    "g_px_phys": ("g_px", "accel"),      # m/s^2 particle gravity
+    "g_py_phys": ("g_py", "accel"),
+    "rho_s_phys": ("rho_s", "density"),  # kg/m^3 solid density
+    "kn_phys": ("kn", "stiffness"),      # N/m contact springs
+    "kt_phys": ("kt", "stiffness"),
+    "gamma_n_phys": ("gamma_n", "damping"),  # N s/m dashpots
+    "gamma_t_phys": ("gamma_t", "damping"),
+    "u0x_phys": ("u0x", "velocity"),     # m/s
+    "u0y_phys": ("u0y", "velocity"),
+    "uw_west_phys": ("uw_west", "velocity"),
+    "uw_east_phys": ("uw_east", "velocity"),
+    "uw_south_phys": ("uw_south", "velocity"),
+    "uw_north_phys": ("uw_north", "velocity"),
+    "t_end_phys": ("steps", "time"),         # s -> step count
+    "out_interval_phys": ("out_interval", "time"),
+}
+
+
+def _convert_phys(phys: dict, kw: dict) -> dict:
+    """Fold `*_phys` deck keys into lattice-unit SimConfig kwargs."""
+    from lbmdem_tpu.units import UnitSystem
+
+    base = {k: phys.pop(k, None) for k in ("dx", "dt_phys", "rho_phys")}
+    if phys and any(v is None for v in base.values()):
+        missing = [k for k, v in base.items() if v is None]
+        raise ValueError(
+            f"physical-units keywords {sorted(phys)} require base scales "
+            f"{missing} in the same deck"
+        )
+    if all(v is None for v in base.values()):
+        return kw
+    if any(v is None for v in base.values()):
+        missing = [k for k, v in base.items() if v is None]
+        raise ValueError(f"physical base scales incomplete: missing {missing}")
+    us = UnitSystem(dx=base["dx"], dt=base["dt_phys"], rho0=base["rho_phys"])
+    kw["phys_dx"], kw["phys_dt"], kw["phys_rho"] = us.dx, us.dt, us.rho0
+    for key, val in phys.items():
+        field, kind = _PHYS_KEYS[key]
+        if kind == "nu":
+            kw[field] = 3.0 * us.nu_to_lattice(val) + 0.5
+        elif kind == "accel":
+            kw[field] = us.accel_to_lattice(val)
+        elif kind == "density":
+            kw[field] = us.density_to_lattice(val)
+        elif kind == "stiffness":
+            kw[field] = val / us.stiffness_scale
+        elif kind == "damping":
+            kw[field] = val / us.damping_scale
+        elif kind == "velocity":
+            kw[field] = us.velocity_to_lattice(val)
+        elif kind == "time":
+            kw[field] = int(round(us.time_to_lattice(val)))
+    return kw
+
+
 def load_param_file(path: str) -> Tuple[SimConfig, Optional[str]]:
     """Parse a reference-style keyword parameter file.
 
     Returns (config, particle_file_path_or_None). The particle file path
-    is resolved relative to the parameter file's directory.
+    is resolved relative to the parameter file's directory. Decks may be
+    written in lattice units (bare keywords) or SI (`dx dt_phys rho_phys`
+    base scales plus `*_phys` keywords; see _PHYS_KEYS) - mixing is
+    allowed, `*_phys` wins over its lattice twin only if both appear
+    because conversion happens after parsing.
     """
     import os
 
     kw = {}
     bc = {}
+    phys = {}
     particles = None
     with open(path) as fh:
         for raw in fh:
@@ -176,10 +280,12 @@ def load_param_file(path: str) -> Tuple[SimConfig, Optional[str]]:
                 kw["tau"] = 3.0 * float(vals[0]) + 0.5
             elif key == "dtype":
                 kw["dtype"] = vals[0]
+            elif key in ("dx", "dt_phys", "rho_phys") or key in _PHYS_KEYS:
+                phys[key] = float(vals[0])
             elif key in ("nx", "ny", "steps", "out_interval", "n_sub",
                          "eps_samples", "window", "max_disks"):
                 kw[key] = int(float(vals[0]))
-            elif key == "buoyancy":
+            elif key in ("buoyancy", "paranoia"):
                 kw[key] = bool(int(vals[0]))
             elif key in ("tau", "gx", "gy", "kn", "kt", "gamma_n", "gamma_t",
                          "mu", "rho_s", "g_px", "g_py", "smagorinsky",
@@ -188,11 +294,17 @@ def load_param_file(path: str) -> Tuple[SimConfig, Optional[str]]:
                 kw[key] = float(vals[0])
             else:
                 raise ValueError(f"unknown parameter keyword {key!r}")
+    kw = _convert_phys(phys, kw)
     return SimConfig(**kw, **bc), particles
 
 
-def load_particle_file(path: str) -> list[DiskSpec]:
-    """Parse a particle list file: `x y r [vx vy omega]` per line."""
+def load_particle_file(path: str, units=None) -> list[DiskSpec]:
+    """Parse a particle list file: `x y r [vx vy omega]` per line.
+
+    With `units` (a UnitSystem, e.g. `cfg.units` of an SI deck) the file
+    is read as SI — x/y/r in m, vx/vy in m/s, omega in rad/s — and
+    converted to lattice units.
+    """
     disks = []
     with open(path) as fh:
         for raw in fh:
@@ -202,6 +314,12 @@ def load_particle_file(path: str) -> list[DiskSpec]:
             v = [float(t) for t in line.split()]
             if len(v) not in (3, 6):
                 raise ValueError(f"bad particle line: {raw!r}")
+            if units is not None:
+                v[0:3] = [q / units.dx for q in v[0:3]]
+                if len(v) == 6:
+                    v[3] /= units.velocity_scale
+                    v[4] /= units.velocity_scale
+                    v[5] *= units.dt  # rad/s -> rad/step
             disks.append(DiskSpec(*v))
     return disks
 

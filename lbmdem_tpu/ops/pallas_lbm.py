@@ -55,11 +55,6 @@ _HX = 128  # halo chunk cols (lane granularity)
 
 
 def tile_dims(cfg: SimConfig) -> Tuple[int, int]:
-    assert (cfg.uw_west == cfg.uw_east == cfg.uw_south == cfg.uw_north
-            == 0.0), (
-        "moving walls are not in the fused kernels yet; use the plain-"
-        "JAX path (use_pallas=False)"
-    )
     th = next((t for t in (64, 32, 16, 8) if cfg.ny % t == 0), None)
     tw = next((t for t in (512, 256, 128) if cfg.nx % t == 0), None)
     assert th and tw, (
@@ -163,9 +158,11 @@ def _window_copies(src_hbm, dst_vmem, sems, y0, x0, th, tw, ny, nx,
     .start() on one grid step and reconstruct + .wait() on the next
     (the double-buffering pattern from the Pallas guide).
 
-    prehalo=True: the source array already carries 2*_HY extra rows
+    prehalo "y": the source array already carries 2*_HY extra rows
     (multi-chip shards get their y halos from a ppermute exchange, not
-    from periodic wrap), so row offsets shift by +_HY and never wrap."""
+    from periodic wrap), so row offsets shift by +_HY and never wrap.
+    prehalo "yx": additionally 2*_HX extra columns (2D mesh: x halos
+    exchanged too), col offsets shift by +_HX."""
     ny32 = jnp.int32(ny)
     nx32 = jnp.int32(nx)
     # all offsets are congruent 0 mod the tile granule (y0 = i*th,
@@ -183,11 +180,18 @@ def _window_copies(src_hbm, dst_vmem, sems, y0, x0, th, tw, ny, nx,
             (pl.multiple_of(y0, _HY), _HY, th),
             (pl.multiple_of(jax.lax.rem(y0 + th, ny32), _HY), _HY + th, _HY),
         ]
-    cols = [
-        (pl.multiple_of(jax.lax.rem(x0 - _HX + nx32, nx32), _HX), 0, _HX),
-        (pl.multiple_of(x0, _HX), _HX, tw),
-        (pl.multiple_of(jax.lax.rem(x0 + tw, nx32), _HX), _HX + tw, _HX),
-    ]
+    if prehalo == "yx":
+        cols = [
+            (pl.multiple_of(x0, _HX), 0, _HX),
+            (pl.multiple_of(x0 + _HX, _HX), _HX, tw),
+            (pl.multiple_of(x0 + _HX + tw, _HX), _HX + tw, _HX),
+        ]
+    else:
+        cols = [
+            (pl.multiple_of(jax.lax.rem(x0 - _HX + nx32, nx32), _HX), 0, _HX),
+            (pl.multiple_of(x0, _HX), _HX, tw),
+            (pl.multiple_of(jax.lax.rem(x0 + tw, nx32), _HX), _HX + tw, _HX),
+        ]
     copies = []
     k = 0
     for ys, yd, rh in rows:
@@ -207,7 +211,7 @@ def _tile_xy(lin, ntx, th, tw):
     return (lin // ntx) * th, jax.lax.rem(lin, jnp.int32(ntx)) * tw
 
 
-def _stream_and_bb(fpost, cfg, th, tw, iy, ix, nty, ntx, skip_y_bb=False):
+def _stream_and_bb(fpost, cfg, th, tw, iy, ix, nty, ntx, prehalo=False):
     """Pull-stream 9 (th+2, tw+2*_HX) planes into the (9, th, tw) output
     tile, with bounce-back at global walls. iy/ix are tile grid coords."""
     outs = []
@@ -223,27 +227,48 @@ def _stream_and_bb(fpost, cfg, th, tw, iy, ix, nty, ntx, skip_y_bb=False):
     col = jax.lax.broadcasted_iota(jnp.int32, (th, tw), 1)
     row = jax.lax.broadcasted_iota(jnp.int32, (th, tw), 0)
 
-    def bbslice(io):
-        return jax.lax.slice(fpost[io], (1, _HX), (1 + th, _HX + tw))
+    def bbslice(io, corr):
+        # corr = 6 w_i rho0 (e_i . u_w): the half-way moving-wall term
+        # (oracle: lbm.apply_bounce_back). Static per population, 0.0
+        # for resting walls, so the add folds away in the common case.
+        sl = jax.lax.slice(fpost[io], (1, _HX), (1 + th, _HX + tw))
+        return sl + np.float32(corr) if corr != 0.0 else sl
 
-    # skip_y_bb: multi-chip shards apply global y-edge bounce-back in
-    # the caller (it needs shard position); x walls stay in-kernel.
-    if cfg.bc_west == WALL:
-        at = (col == 0) & (ix == 0)
-        for i in (int(j) for j in lattice.IN_E):
-            outs[i] = jnp.where(at, bbslice(int(lattice.OPP[i])), outs[i])
-    if cfg.bc_east == WALL:
-        at = (col == tw - 1) & (ix == ntx - 1)
-        for i in (int(j) for j in lattice.IN_W):
-            outs[i] = jnp.where(at, bbslice(int(lattice.OPP[i])), outs[i])
+    def wall_corr(i, uwx, uwy):
+        return (6.0 * float(lattice.W[i]) * cfg.rho0
+                * (float(lattice.E[i, 0]) * uwx + float(lattice.E[i, 1]) * uwy))
+
+    # prehalo: multi-chip shards apply global y-edge (and, on a 2D
+    # mesh, x-edge) bounce-back in the caller (it needs shard position).
+    # Order matches the oracle (south, north, THEN west, east): at a
+    # corner cell both rules target the same diagonal population with
+    # different moving-wall corrections, and the x-wall rule wins.
+    skip_y_bb = bool(prehalo)
+    skip_x_bb = prehalo == "yx"
     if cfg.bc_south == WALL and not skip_y_bb:
         at = (row == 0) & (iy == 0)
         for i in (int(j) for j in lattice.IN_N):
-            outs[i] = jnp.where(at, bbslice(int(lattice.OPP[i])), outs[i])
+            outs[i] = jnp.where(
+                at, bbslice(int(lattice.OPP[i]), wall_corr(i, cfg.uw_south, 0.0)),
+                outs[i])
     if cfg.bc_north == WALL and not skip_y_bb:
         at = (row == th - 1) & (iy == nty - 1)
         for i in (int(j) for j in lattice.IN_S):
-            outs[i] = jnp.where(at, bbslice(int(lattice.OPP[i])), outs[i])
+            outs[i] = jnp.where(
+                at, bbslice(int(lattice.OPP[i]), wall_corr(i, cfg.uw_north, 0.0)),
+                outs[i])
+    if cfg.bc_west == WALL and not skip_x_bb:
+        at = (col == 0) & (ix == 0)
+        for i in (int(j) for j in lattice.IN_E):
+            outs[i] = jnp.where(
+                at, bbslice(int(lattice.OPP[i]), wall_corr(i, 0.0, cfg.uw_west)),
+                outs[i])
+    if cfg.bc_east == WALL and not skip_x_bb:
+        at = (col == tw - 1) & (ix == ntx - 1)
+        for i in (int(j) for j in lattice.IN_W):
+            outs[i] = jnp.where(
+                at, bbslice(int(lattice.OPP[i]), wall_corr(i, 0.0, cfg.uw_east)),
+                outs[i])
     return jnp.stack(outs)
 
 
@@ -278,7 +303,7 @@ def _fluid_kernel(f_hbm, out_ref, win, sems, *, cfg: SimConfig, th: int,
     wv = win[slot, :, _HY - 1 : _HY + th + 1, :]  # (9, th+2, tw+2*_HX)
     fpost, _ = _collide_window(wv, cfg)
     out_ref[:] = _stream_and_bb(fpost, cfg, th, tw, iy, ix, nty, ntx,
-                                skip_y_bb=prehalo)
+                                prehalo=prehalo)
 
 
 def fused_step_fluid(f: jax.Array, cfg: SimConfig, prehalo: bool = False) -> jax.Array:
@@ -290,6 +315,7 @@ def fused_step_fluid(f: jax.Array, cfg: SimConfig, prehalo: bool = False) -> jax
     assert f.dtype == jnp.float32, "Pallas path is float32 (use_pallas=False for f64)"
     th, tw = tile_dims(cfg)
     assert f.shape[1] == cfg.ny + (2 * _HY if prehalo else 0)
+    assert f.shape[2] == cfg.nx + (2 * _HX if prehalo == "yx" else 0)
     kernel = functools.partial(_fluid_kernel, cfg=cfg, th=th, tw=tw,
                                prehalo=prehalo)
     return pl.pallas_call(
@@ -348,7 +374,7 @@ def _imb_kernel(
     sv = swin[slot, :, _HY - 1 : _HY + th + 1, :]
     fpost, phi = _collide_window(wv, cfg, eps=sv[0], usx=sv[1], usy=sv[2])
     out_ref[:] = _stream_and_bb(fpost, cfg, th, tw, iy, ix, nty, ntx,
-                                skip_y_bb=prehalo)
+                                prehalo=prehalo)
     phi_ref[:] = jax.lax.slice(phi, (0, 1, _HX), (2, 1 + th, _HX + tw))
 
 
@@ -368,6 +394,7 @@ def fused_step_imb(
     assert f.dtype == jnp.float32
     th, tw = tile_dims(cfg)
     assert f.shape[1] == cfg.ny + (2 * _HY if prehalo else 0)
+    assert f.shape[2] == cfg.nx + (2 * _HX if prehalo == "yx" else 0)
     solid = jnp.stack(
         [eps.astype(jnp.float32), usx.astype(jnp.float32), usy.astype(jnp.float32)]
     )

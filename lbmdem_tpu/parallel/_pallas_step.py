@@ -1,0 +1,234 @@
+"""Fused-Pallas multi-chip step: 1D ('y',) or 2D ('y','x') decomposition.
+
+Split out of sharding.py for readability; see make_sharded_step. The
+design (SURVEY.md SS5.7): pre-collision halos are ppermute-exchanged at
+kernel DMA granularity (8 rows / 128 columns - collision is pointwise,
+so the kernel simply collides the halo cells too), the fused kernels run
+in pre-halo mode on the extended local frame, and global-edge bounce-
+back is fixed up outside the kernel on the shards that hold a domain
+edge (the kernel cannot know the shard's mesh position statically).
+
+Corner (diagonal) halo blocks are correct because the x exchange sends
+columns of the ALREADY y-extended frame: the west neighbor's y-halo rows
+are exactly this shard's diagonal neighbors' corner cells - the same
+two-hop trick as the XLA path's exchange_halo.
+
+Wall fixup order matches the oracle (south/north rows first, then
+west/east columns overwrite the shared corner populations).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from lbmdem_tpu import lattice
+from lbmdem_tpu.config import SimConfig, WALL
+from lbmdem_tpu.ops import dem, imb, lbm
+
+_HY = 8  # halo rows exchanged (kernel sublane DMA granule)
+_HX = 128  # halo cols exchanged for 2D meshes (lane DMA granule)
+_PAD = 32  # stamp-canvas padding rows/cols per side (tile divisor)
+
+
+def _ring_perm(n: int, shift: int):
+    return [(i, (i + shift) % n) for i in range(n)]
+
+
+def _wall_corr(i: int, uwx: float, uwy: float, cfg: SimConfig) -> float:
+    return (6.0 * float(lattice.W[i]) * cfg.rho0
+            * (float(lattice.E[i, 0]) * uwx + float(lattice.E[i, 1]) * uwy))
+
+
+def make_sharded_step_pallas(cfg: SimConfig, grid, mesh, h: int, w: int):
+    from lbmdem_tpu.ops import pallas_lbm, pallas_stamp
+    from lbmdem_tpu.simulation import SimState
+    from lbmdem_tpu.parallel.sharding import state_specs
+
+    coupled = cfg.max_disks > 0
+    ny_sh, nx_sh = mesh.shape["y"], mesh.shape["x"]
+    two_d = nx_sh > 1
+    prehalo = "yx" if two_d else True
+    padx = _PAD if two_d else 0
+    hx = _HX if two_d else 0
+    local_cfg = cfg.replace(ny=h, nx=w)
+    # Stamp canvas: local frame padded by _PAD cells per side (rows
+    # always; cols only on 2D meshes) so disks straddling the shard
+    # boundary stamp their full window; the kernel consumes the
+    # [PAD-8, PAD+h+8) x [PAD-128, PAD+w+128) slice matching its
+    # pre-halo window. _PAD < _HX is fine for columns: the kernel's
+    # x halo beyond the canvas pad is zero-filled, and only +-1 column
+    # of it is ever consumed by streaming.
+    ext_cfg = cfg.replace(ny=h + 2 * _PAD, nx=w + 2 * padx)
+    opp = lattice.OPP
+
+    def _y_row_cols(i):
+        # 1D mode: x-wall rules ran in-kernel and win at corners; the
+        # external y fixup must leave those entries alone. 2D mode: the
+        # external x fixup runs after this one and overwrites corners,
+        # so full rows are correct here.
+        if two_d:
+            return slice(0, w)
+        lo = 1 if cfg.bc_west == WALL and int(lattice.E[i, 0]) == 1 else 0
+        hi = w - 1 if cfg.bc_east == WALL and int(lattice.E[i, 0]) == -1 else w
+        return slice(lo, hi)
+
+    def fix_y_walls(fnew, fpost_bot, fpost_top):
+        iy = jax.lax.axis_index("y")
+        if cfg.bc_south == WALL:
+            at = iy == 0
+            for i in (int(j) for j in lattice.IN_N):
+                io = int(opp[i])
+                corr = _wall_corr(i, cfg.uw_south, 0.0, cfg)
+                sl = _y_row_cols(i)
+                fnew = fnew.at[i, 0, sl].set(
+                    jnp.where(at, fpost_bot[io, 0, sl] + corr, fnew[i, 0, sl])
+                )
+        if cfg.bc_north == WALL:
+            at = iy == ny_sh - 1
+            for i in (int(j) for j in lattice.IN_S):
+                io = int(opp[i])
+                corr = _wall_corr(i, cfg.uw_north, 0.0, cfg)
+                sl = _y_row_cols(i)
+                fnew = fnew.at[i, -1, sl].set(
+                    jnp.where(at, fpost_top[io, 0, sl] + corr, fnew[i, -1, sl])
+                )
+        return fnew
+
+    def fix_x_walls(fnew, fpost_w, fpost_e):
+        # 2D mode only (1D applies x walls in-kernel): runs after
+        # fix_y_walls, so corners take the x-wall value (oracle order).
+        ix = jax.lax.axis_index("x")
+        if cfg.bc_west == WALL:
+            at = ix == 0
+            for i in (int(j) for j in lattice.IN_E):
+                io = int(opp[i])
+                corr = _wall_corr(i, 0.0, cfg.uw_west, cfg)
+                fnew = fnew.at[i, :, 0].set(
+                    jnp.where(at, fpost_w[io, :, 0] + corr, fnew[i, :, 0])
+                )
+        if cfg.bc_east == WALL:
+            at = ix == nx_sh - 1
+            for i in (int(j) for j in lattice.IN_W):
+                io = int(opp[i])
+                corr = _wall_corr(i, 0.0, cfg.uw_east, cfg)
+                fnew = fnew.at[i, :, -1].set(
+                    jnp.where(at, fpost_e[io, :, 0] + corr, fnew[i, :, -1])
+                )
+        return fnew
+
+    def exchange(f):
+        """(9, h, w) -> (9, h+2*_HY, w [+ 2*_HX]) pre-collision frame."""
+        lo = jax.lax.ppermute(f[:, -_HY:, :], "y", _ring_perm(ny_sh, +1))
+        hi = jax.lax.ppermute(f[:, :_HY, :], "y", _ring_perm(ny_sh, -1))
+        ext = jnp.concatenate([lo, f, hi], axis=1)
+        if two_d:
+            le = jax.lax.ppermute(ext[:, :, -_HX:], "x", _ring_perm(nx_sh, +1))
+            ri = jax.lax.ppermute(ext[:, :, :_HX], "x", _ring_perm(nx_sh, -1))
+            ext = jnp.concatenate([le, ext, ri], axis=2)
+        return ext
+
+    # slices of the stamp canvas matching the kernel's pre-halo window
+    sl_y = slice(_PAD - _HY, _PAD + h + _HY)
+    if two_d:
+        # canvas cols cover [PAD-128, PAD+w+128) relative to the local
+        # frame; the canvas itself is only padded by _PAD(=32) cols, so
+        # prepend/append zero blocks up to the 128-col DMA granule.
+        def kernel_cols(a):
+            zw = jnp.zeros((a.shape[0], _HX - padx), a.dtype)
+            return jnp.concatenate([zw, a, zw], axis=1)
+    else:
+        def kernel_cols(a):
+            return a
+
+    ix_int = slice(padx, padx + w)  # interior cols of the stamp canvas
+
+    def local_step(state: SimState) -> SimState:
+        f = state.f  # (9, h, w) local
+        f_ext = exchange(f)
+
+        if coupled:
+            d = state.disks
+            oy = (jax.lax.axis_index("y") * h).astype(f.dtype)
+            ox = (jax.lax.axis_index("x") * w).astype(f.dtype)
+            shift = jnp.stack([ox - padx, oy - _PAD])
+            xloc = d.x - shift[None, :]
+            binned = pallas_stamp.bin_disks_to_tiles(
+                xloc, d.v, d.omega, d.r, d.active, ext_cfg
+            )
+            tile_data, counts, entry_slots, bovf = binned
+            eps, usx, usy, _ = pallas_stamp.stamp_solid_fraction(
+                xloc, d.v, d.omega, d.r, d.active, ext_cfg, binned=binned
+            )
+            fnew, phix, phiy = pallas_lbm.fused_step_imb(
+                f_ext,
+                kernel_cols(eps[sl_y]),
+                kernel_cols(usx[sl_y]),
+                kernel_cols(usy[sl_y]),
+                local_cfg, prehalo=prehalo,
+            )
+            # global-edge bounce-back: recompute fpost on the edge
+            # rows/cols with the oracle (identical formulas; 1-row/col)
+            fp_bot, _, _ = imb.collide_imb(
+                f[:, 0:1, :], eps[_PAD : _PAD + 1, ix_int],
+                usx[_PAD : _PAD + 1, ix_int], usy[_PAD : _PAD + 1, ix_int],
+                cfg,
+            )
+            fp_top, _, _ = imb.collide_imb(
+                f[:, -1:, :], eps[_PAD + h - 1 : _PAD + h, ix_int],
+                usx[_PAD + h - 1 : _PAD + h, ix_int],
+                usy[_PAD + h - 1 : _PAD + h, ix_int], cfg,
+            )
+            fnew = fix_y_walls(fnew, fp_bot, fp_top)
+            if two_d:
+                iy_int = slice(_PAD, _PAD + h)
+                fp_w, _, _ = imb.collide_imb(
+                    f[:, :, 0:1], eps[iy_int, padx : padx + 1],
+                    usx[iy_int, padx : padx + 1],
+                    usy[iy_int, padx : padx + 1], cfg,
+                )
+                fp_e, _, _ = imb.collide_imb(
+                    f[:, :, -1:], eps[iy_int, padx + w - 1 : padx + w],
+                    usx[iy_int, padx + w - 1 : padx + w],
+                    usy[iy_int, padx + w - 1 : padx + w], cfg,
+                )
+                fnew = fix_x_walls(fnew, fp_w, fp_e)
+            # reduce on the extended canvas: zero-pad phi into it (halo
+            # cells belong to the neighbor shard)
+            phix_e = jnp.zeros(
+                (h + 2 * _PAD, w + 2 * padx), phix.dtype
+            ).at[_PAD : _PAD + h, ix_int].set(phix)
+            phiy_e = jnp.zeros_like(phix_e).at[_PAD : _PAD + h, ix_int].set(phiy)
+            fh_p, th_p = pallas_stamp.reduce_hydro_forces(
+                xloc, d.r, d.active, eps, phix_e, phiy_e, ext_cfg,
+                tile_data, counts, entry_slots,
+            )
+            fh = jax.lax.psum(fh_p, ("y", "x"))
+            th = jax.lax.psum(th_p, ("y", "x"))
+            disks, ovf, nc = dem.dem_subcycle(d, fh, th, grid, cfg)
+            return SimState(
+                f=fnew,
+                disks=disks,
+                step=state.step + 1,
+                overflow=jnp.maximum(state.overflow, jnp.maximum(ovf, bovf)),
+                n_contacts=nc,
+                fail_step=state.fail_step,
+            )
+        fnew = pallas_lbm.fused_step_fluid(f_ext, local_cfg, prehalo=prehalo)
+        col = lambda a: lbm.collide(a, cfg.tau, cfg.gx, cfg.gy, cfg.smagorinsky)
+        fnew = fix_y_walls(fnew, col(f[:, 0:1, :]), col(f[:, -1:, :]))
+        if two_d:
+            fnew = fix_x_walls(fnew, col(f[:, :, 0:1]), col(f[:, :, -1:]))
+        return state._replace(f=fnew, step=state.step + 1)
+
+    specs = state_specs()
+    # check_vma=False: pallas_call outputs carry no varying-axis metadata
+    stepfn = jax.shard_map(
+        local_step, mesh=mesh, in_specs=(specs,), out_specs=specs,
+        check_vma=False,
+    )
+    if cfg.paranoia:
+        from lbmdem_tpu.simulation import paranoid_wrap
+
+        stepfn = paranoid_wrap(stepfn, cfg)
+    return stepfn

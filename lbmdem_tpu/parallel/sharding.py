@@ -73,6 +73,7 @@ def state_specs():
         step=P(),
         overflow=P(),
         n_contacts=P(),
+        fail_step=P(),
     )
 
 
@@ -135,40 +136,52 @@ def stream_from_halo(ext: jax.Array) -> jax.Array:
     return jnp.stack(outs)
 
 
+def _wall_corr(i: int, uwx: float, uwy: float, cfg: SimConfig) -> float:
+    """Half-way moving-wall term 6 w_i rho0 (e_i . u_w) (oracle:
+    lbm.apply_bounce_back); 0.0 for resting walls."""
+    return (6.0 * float(lattice.W[i]) * cfg.rho0
+            * (float(lattice.E[i, 0]) * uwx + float(lattice.E[i, 1]) * uwy))
+
+
 def _apply_bounce_back_sharded(
     fnew: jax.Array, fpost: jax.Array, cfg: SimConfig, ny_sh: int, nx_sh: int
 ) -> jax.Array:
-    """Half-way bounce-back, applied only on shards at a global edge."""
+    """Half-way bounce-back (incl. moving walls), applied only on shards
+    at a global edge."""
     opp = lattice.OPP
 
-    def fix_row(fnew, idxs, row, is_edge):
+    def fix_row(fnew, idxs, row, is_edge, uwx):
         for i in idxs:
             i = int(i)
             cur = fnew[i, row, :]
             fnew = fnew.at[i, row, :].set(
-                jnp.where(is_edge, fpost[int(opp[i]), row, :], cur)
+                jnp.where(is_edge,
+                          fpost[int(opp[i]), row, :] + _wall_corr(i, uwx, 0.0, cfg),
+                          cur)
             )
         return fnew
 
-    def fix_col(fnew, idxs, col, is_edge):
+    def fix_col(fnew, idxs, col, is_edge, uwy):
         for i in idxs:
             i = int(i)
             cur = fnew[i, :, col]
             fnew = fnew.at[i, :, col].set(
-                jnp.where(is_edge, fpost[int(opp[i]), :, col], cur)
+                jnp.where(is_edge,
+                          fpost[int(opp[i]), :, col] + _wall_corr(i, 0.0, uwy, cfg),
+                          cur)
             )
         return fnew
 
     iy = jax.lax.axis_index("y")
     ix = jax.lax.axis_index("x")
     if cfg.bc_south == WALL:
-        fnew = fix_row(fnew, lattice.IN_N, 0, iy == 0)
+        fnew = fix_row(fnew, lattice.IN_N, 0, iy == 0, cfg.uw_south)
     if cfg.bc_north == WALL:
-        fnew = fix_row(fnew, lattice.IN_S, -1, iy == ny_sh - 1)
+        fnew = fix_row(fnew, lattice.IN_S, -1, iy == ny_sh - 1, cfg.uw_north)
     if cfg.bc_west == WALL:
-        fnew = fix_col(fnew, lattice.IN_E, 0, ix == 0)
+        fnew = fix_col(fnew, lattice.IN_E, 0, ix == 0, cfg.uw_west)
     if cfg.bc_east == WALL:
-        fnew = fix_col(fnew, lattice.IN_W, -1, ix == nx_sh - 1)
+        fnew = fix_col(fnew, lattice.IN_W, -1, ix == nx_sh - 1, cfg.uw_east)
     return fnew
 
 
@@ -180,10 +193,11 @@ def make_sharded_step(
 
     Returns step(SimState) -> SimState operating on globally-shaped
     arrays with shardings from `state_specs()`. With use_pallas=True the
-    per-shard lattice update runs the fused Pallas kernels (1D ('y',)
-    decomposition: halo rows come from a ppermute exchange feeding the
-    kernels' pre-haloed mode; global y-edge bounce-back is fixed up on
-    the edge shards).
+    per-shard lattice update runs the fused Pallas kernels (1D ('y',) or
+    2D ('y','x') decomposition: pre-collision halos come from ppermute
+    exchanges at kernel DMA granularity feeding the kernels' pre-haloed
+    mode; global-edge bounce-back is fixed up on the edge shards - see
+    parallel/_pallas_step.py).
     """
     from lbmdem_tpu.simulation import SimState
 
@@ -194,11 +208,9 @@ def make_sharded_step(
     )
     h, w = cfg.ny // ny_sh, cfg.nx // nx_sh
     if use_pallas:
-        assert nx_sh == 1, (
-            "the fused-kernel multi-chip path shards over 'y' only "
-            "(use make_mesh(devices, (n, 1)))"
-        )
-        return _make_sharded_step_pallas(cfg, grid, mesh, h)
+        from lbmdem_tpu.parallel._pallas_step import make_sharded_step_pallas
+
+        return make_sharded_step_pallas(cfg, grid, mesh, h, w)
     # Local view: the shard behaves like a small lattice of shape (h, w)
     # whose cells map to globals via the (oy, ox) offset.
     local_cfg = cfg.replace(nx=w, ny=h)
@@ -240,117 +252,14 @@ def make_sharded_step(
                 step=state.step + 1,
                 overflow=jnp.maximum(state.overflow, ovf),
                 n_contacts=nc,
+                fail_step=state.fail_step,
             )
         return state._replace(f=fnew, step=state.step + 1)
 
     specs = state_specs()
-    return jax.shard_map(local_step, mesh=mesh, in_specs=(specs,), out_specs=specs)
+    stepfn = jax.shard_map(local_step, mesh=mesh, in_specs=(specs,), out_specs=specs)
+    if cfg.paranoia:
+        from lbmdem_tpu.simulation import paranoid_wrap
 
-
-_HY = 8  # halo rows exchanged for the fused-kernel path (kernel granule)
-
-
-def _make_sharded_step_pallas(cfg: SimConfig, grid, mesh: Mesh, h: int):
-    """1D ('y',) decomposition running the fused Pallas kernels per shard.
-
-    Per step: ppermute-exchange 8-row f halos (pre-collision - collision
-    is pointwise, so the kernel collides the halo rows itself), stamp the
-    solid fields directly on the halo-extended local frame (disks are
-    replicated - no field exchange needed), run the pre-haloed fused
-    kernel, fix up global y-edge bounce-back rows on the edge shards,
-    reduce per-disk forces on the extended frame with zero-padded phi
-    (halo rows belong to the neighbor shard) and psum them.
-    """
-    from lbmdem_tpu.ops import pallas_lbm, pallas_stamp
-    from lbmdem_tpu.simulation import SimState
-
-    coupled = cfg.max_disks > 0
-    ny_sh = mesh.shape["y"]
-    local_cfg = cfg.replace(ny=h)
-    # The stamp canvas is padded by 32 rows per side (keeps the stamp
-    # tile height a 64/32 divisor of the canvas; the kernel consumes the
-    # [PAD-8, PAD+h+8) slice matching its pre-halo window).
-    PAD = 32
-    ext_cfg = cfg.replace(ny=h + 2 * PAD)
-    opp = lattice.OPP
-
-    def fix_y_walls(fnew, fpost_bot, fpost_top):
-        iy = jax.lax.axis_index("y")
-        if cfg.bc_south == WALL:
-            at = iy == 0
-            for i in (int(j) for j in lattice.IN_N):
-                io = int(opp[i])
-                fnew = fnew.at[i, 0, :].set(
-                    jnp.where(at, fpost_bot[io, 0, :], fnew[i, 0, :])
-                )
-        if cfg.bc_north == WALL:
-            at = iy == ny_sh - 1
-            for i in (int(j) for j in lattice.IN_S):
-                io = int(opp[i])
-                fnew = fnew.at[i, -1, :].set(
-                    jnp.where(at, fpost_top[io, 0, :], fnew[i, -1, :])
-                )
-        return fnew
-
-    def local_step(state: SimState) -> SimState:
-        f = state.f  # (9, h, nx) local
-        lo = jax.lax.ppermute(f[:, -_HY:, :], "y", _ring_perm(ny_sh, +1))
-        hi = jax.lax.ppermute(f[:, :_HY, :], "y", _ring_perm(ny_sh, -1))
-        f_ext = jnp.concatenate([lo, f, hi], axis=1)
-
-        if coupled:
-            d = state.disks
-            oy = (jax.lax.axis_index("y") * h).astype(f.dtype)
-            shift = jnp.stack([jnp.zeros_like(oy), oy - PAD])
-            xloc = d.x - shift[None, :]
-            binned = pallas_stamp.bin_disks_to_tiles(
-                xloc, d.v, d.omega, d.r, d.active, ext_cfg
-            )
-            tile_data, counts, entry_slots, bovf = binned
-            eps, usx, usy, _ = pallas_stamp.stamp_solid_fraction(
-                xloc, d.v, d.omega, d.r, d.active, ext_cfg, binned=binned
-            )
-            sl = slice(PAD - _HY, PAD + h + _HY)  # the kernel's window
-            fnew, phix, phiy = pallas_lbm.fused_step_imb(
-                f_ext, eps[sl], usx[sl], usy[sl], local_cfg, prehalo=True
-            )
-            # global y-edge bounce-back: recompute fpost on the edge rows
-            # with the oracle (identical formulas; 1-row slices)
-            fp_bot, _, _ = imb.collide_imb(
-                f[:, 0:1, :], eps[PAD : PAD + 1], usx[PAD : PAD + 1],
-                usy[PAD : PAD + 1], cfg,
-            )
-            fp_top, _, _ = imb.collide_imb(
-                f[:, -1:, :], eps[PAD + h - 1 : PAD + h],
-                usx[PAD + h - 1 : PAD + h], usy[PAD + h - 1 : PAD + h], cfg,
-            )
-            fnew = fix_y_walls(fnew, fp_bot, fp_top)
-            zpad = jnp.zeros((PAD, cfg.nx), phix.dtype)
-            phix_e = jnp.concatenate([zpad, phix, zpad], axis=0)
-            phiy_e = jnp.concatenate([zpad, phiy, zpad], axis=0)
-            fh_p, th_p = pallas_stamp.reduce_hydro_forces(
-                xloc, d.r, d.active, eps, phix_e, phiy_e, ext_cfg,
-                tile_data, counts, entry_slots,
-            )
-            fh = jax.lax.psum(fh_p, ("y", "x"))
-            th = jax.lax.psum(th_p, ("y", "x"))
-            disks, ovf, nc = dem.dem_subcycle(d, fh, th, grid, cfg)
-            return SimState(
-                f=fnew,
-                disks=disks,
-                step=state.step + 1,
-                overflow=jnp.maximum(state.overflow, jnp.maximum(ovf, bovf)),
-                n_contacts=nc,
-            )
-        fnew = pallas_lbm.fused_step_fluid(f_ext, local_cfg, prehalo=True)
-        fp_bot = lbm.collide(f[:, 0:1, :], cfg.tau, cfg.gx, cfg.gy, cfg.smagorinsky)
-        fp_top = lbm.collide(f[:, -1:, :], cfg.tau, cfg.gx, cfg.gy, cfg.smagorinsky)
-        fnew = fix_y_walls(fnew, fp_bot, fp_top)
-        return state._replace(f=fnew, step=state.step + 1)
-
-    specs = state_specs()
-    # check_vma=False: pallas_call outputs carry no varying-axis metadata
-    return jax.shard_map(
-        local_step, mesh=mesh, in_specs=(specs,), out_specs=specs,
-        check_vma=False,
-    )
+        stepfn = paranoid_wrap(stepfn, cfg)
+    return stepfn

@@ -24,6 +24,14 @@ from lbmdem_tpu.ops import dem, imb, lbm
 from lbmdem_tpu.ops.dem import DemGrid, DiskState
 
 
+class SimulationDiverged(RuntimeError):
+    """Raised by paranoid mode; .step is the first failing step."""
+
+    def __init__(self, msg: str, step: int):
+        super().__init__(msg)
+        self.step = step
+
+
 class FluidState(NamedTuple):
     """Fluid-only view (kept for API symmetry with the reference's arrays)."""
 
@@ -38,6 +46,41 @@ class SimState(NamedTuple):
     step: jax.Array  # () int32
     overflow: jax.Array  # () int32, max cell-list overflow seen
     n_contacts: jax.Array  # () int32, contacts at last step
+    # () int32: first step whose state failed paranoid validation
+    # (-1 = healthy). Only written when cfg.paranoia; once set, the
+    # step function freezes the state so the failing fields survive
+    # the rest of the fori_loop chunk (SURVEY SS5.2/5.3).
+    fail_step: jax.Array = None
+
+
+def paranoid_wrap(step: Callable, cfg: SimConfig) -> Callable:
+    """Per-step in-chunk validation (SURVEY SS5.2/5.3 paranoid mode).
+
+    After each step: all f finite, rho > 0 everywhere, disk state finite,
+    no capacity overflow. On the first violation the state freezes (the
+    remaining fori_loop iterations become identity), so `state.fail_step`
+    reports the exact failing step and the failing fields are inspectable
+    - instead of a NaN silently surfacing at the next out_interval.
+    """
+    coupled = cfg.max_disks > 0
+
+    def wrapped(state: SimState) -> SimState:
+        def run(s):
+            new = step(s)
+            ok = jnp.all(jnp.isfinite(new.f))
+            ok &= jnp.all(jnp.sum(new.f, axis=0) > 0.0)
+            if coupled:
+                d = new.disks
+                ok &= jnp.all(jnp.isfinite(d.x)) & jnp.all(jnp.isfinite(d.v))
+                ok &= jnp.all(jnp.isfinite(d.omega))
+            ok &= new.overflow == 0
+            return new._replace(
+                fail_step=jnp.where(ok, jnp.int32(-1), new.step)
+            )
+
+        return jax.lax.cond(state.fail_step < 0, run, lambda s: s, state)
+
+    return wrapped
 
 
 # Verlet-style cadence for the stamp tile lists: rebuilt every
@@ -115,6 +158,7 @@ def make_step_fn(
                             state.overflow, jnp.maximum(ovf, bovf)
                         ),
                         n_contacts=nc,
+                        fail_step=state.fail_step,
                     )
             else:
                 bovf = jnp.zeros((), jnp.int32)
@@ -134,6 +178,7 @@ def make_step_fn(
                 step=state.step + 1,
                 overflow=jnp.maximum(state.overflow, jnp.maximum(ovf, bovf)),
                 n_contacts=nc,
+                fail_step=state.fail_step,
             )
         else:
             if use_pallas:
@@ -142,6 +187,8 @@ def make_step_fn(
                 fnew = lbm.step_pure_fluid(state.f, cfg)
             return state._replace(f=fnew, step=state.step + 1)
 
+    if cfg.paranoia:
+        step = paranoid_wrap(step, cfg)
     return step
 
 
@@ -186,6 +233,7 @@ class Simulation:
             step=jnp.zeros((), jnp.int32),
             overflow=jnp.zeros((), jnp.int32),
             n_contacts=jnp.zeros((), jnp.int32),
+            fail_step=jnp.full((), -1, jnp.int32),
         )
         self._step = make_step_fn(cfg, self.grid, use_pallas)
         self._chunk_cache = {}
@@ -254,6 +302,8 @@ class Simulation:
             n = min(interval, steps - done)
             self.state = self._chunk_fn(n)(self.state)
             done += n
+            if self.cfg.paranoia:
+                self.check_health()
             if callback is not None:
                 self._sync()
                 callback(self)
@@ -261,6 +311,17 @@ class Simulation:
         dt_s = time.perf_counter() - t0
         self.mlups_last = self.cfg.nx * self.cfg.ny * steps / dt_s / 1e6
         return self.mlups_last
+
+    def check_health(self) -> None:
+        """Raise if paranoid validation tripped (reports the exact step)."""
+        fail = int(self.state.fail_step)
+        if fail >= 0:
+            raise SimulationDiverged(
+                f"paranoid check failed at step {fail}: non-finite f, "
+                f"rho <= 0, non-finite disk state, or capacity overflow "
+                f"(overflow={int(self.state.overflow)}); state frozen at "
+                f"the failing step for inspection", fail,
+            )
 
     def _sync(self) -> None:
         """Wait for all queued device work.

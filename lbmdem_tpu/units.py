@@ -55,6 +55,16 @@ class UnitSystem:
     def pressure_scale(self) -> float:
         return self.rho0 * self.velocity_scale**2
 
+    @property
+    def stiffness_scale(self) -> float:
+        # contact spring k [N/m]: force per overlap length
+        return self.force_scale / self.dx
+
+    @property
+    def damping_scale(self) -> float:
+        # contact dashpot gamma [N s/m]: force per relative velocity
+        return self.force_scale / self.velocity_scale
+
     # --- physical -> lattice ---
     def length_to_lattice(self, x: float) -> float:
         return x / self.dx

@@ -190,3 +190,50 @@ def test_unit_system_workflow():
     # round trip a settling velocity
     v = us.velocity_from_lattice(0.01)
     assert abs(us.velocity_to_lattice(v) - 0.01) < 1e-15
+
+
+def test_paranoid_mode_reports_failing_step():
+    """SURVEY 5.2/5.3: a NaN injected mid-run is caught AT its step
+    inside the jitted chunk (not at the next out_interval), the state
+    freezes there, and run() raises with the step number."""
+    import jax.numpy as jnp
+    import pytest
+
+    from lbmdem_tpu.config import SimConfig
+    from lbmdem_tpu.simulation import Simulation, SimulationDiverged
+
+    cfg = SimConfig(nx=32, ny=16, tau=0.8, gx=1e-5, paranoia=True,
+                    out_interval=100)
+    sim = Simulation(cfg)
+    sim.run(3)
+    assert int(sim.state.fail_step) == -1
+    sim.state = sim.state._replace(
+        f=sim.state.f.at[0, 5, 7].set(jnp.nan)
+    )
+    with pytest.raises(SimulationDiverged) as ei:
+        sim.run(50)  # one 50-step chunk; must stop at step 4
+    assert ei.value.step == 4
+    assert int(sim.state.step) == 4  # frozen at the failing step
+
+
+def test_paranoid_mode_coupled_and_clean():
+    """Healthy coupled run: paranoia on, no false positives; and the
+    coupled validation catches a NaN disk position."""
+    import jax.numpy as jnp
+    import pytest
+
+    from lbmdem_tpu.config import DiskSpec, SimConfig
+    from lbmdem_tpu.simulation import Simulation, SimulationDiverged
+
+    cfg = SimConfig(nx=32, ny=32, tau=0.8, paranoia=True, g_py=-1e-4,
+                    rho_s=2.0, kn=0.5, gamma_n=0.5, n_sub=5,
+                    bc_west="wall", bc_east="wall", out_interval=100)
+    sim = Simulation(cfg, [DiskSpec(16.0, 20.0, 3.0)])
+    sim.run(5)
+    assert int(sim.state.fail_step) == -1
+    d = sim.state.disks
+    sim.state = sim.state._replace(
+        disks=d._replace(x=d.x.at[0, 1].set(jnp.nan))
+    )
+    with pytest.raises(SimulationDiverged):
+        sim.run(10)

@@ -67,3 +67,100 @@ def test_window_covers_disk():
         # the window half-width must exceed r + sample slack
         assert w // 2 >= r + 0.5
         assert w % 2 == 1
+
+
+def test_dem_periodic_rejected():
+    # disks + periodic sides would silently lose disks at the boundary
+    with pytest.raises(ValueError, match="periodic"):
+        SimConfig(nx=8, ny=8, max_disks=2)  # default x sides periodic
+    SimConfig(nx=8, ny=8, max_disks=2, bc_west="wall", bc_east="wall")
+
+
+def _write_si_deck(tmp_path):
+    """An SI deck and its hand-converted lattice-unit twin.
+
+    Scales: dx=1e-3 m, dt=1e-4 s, rho=1000 kg/m^3 =>
+    stiffness_scale = rho dx^3/dt^2 = 100 N/m per lattice unit,
+    damping_scale = rho dx^3/dt = 1e-2 N s/m per lattice unit,
+    accel_scale = dx/dt^2 = 1e5 m/s^2.
+    """
+    import textwrap
+
+    si = tmp_path / "si.par"
+    si.write_text(textwrap.dedent("""
+        nx 64
+        ny 32
+        dx 1e-3
+        dt_phys 1e-4
+        rho_phys 1000.0
+        nu_phys 2e-4        # -> nu_lat=0.02, tau=0.56
+        g_py_phys -9.81     # m/s^2
+        rho_s_phys 2500.0   # -> rho_s 2.5
+        kn_phys 10.0        # N/m
+        gamma_n_phys 1e-2   # N s/m
+        t_end_phys 0.05     # -> 500 steps
+        bc west wall
+        bc east wall
+        n_sub 5
+        particles si_disks.txt
+    """))
+    # same disk at x=16e-3 m = 16 lat, r=2e-3 m = 2 lat, vy=-0.1 m/s=-0.01 lat
+    (tmp_path / "si_disks.txt").write_text("16e-3 24e-3 2e-3 0 -1.0 5.0\n")
+    lat = tmp_path / "lat.par"
+    lat.write_text(textwrap.dedent("""
+        nx 64
+        ny 32
+        nu 0.02
+        g_py -9.81e-5
+        rho_s 2.5
+        kn 0.1
+        gamma_n 1.0
+        steps 500
+        bc west wall
+        bc east wall
+        n_sub 5
+        particles lat_disks.txt
+    """))
+    (tmp_path / "lat_disks.txt").write_text("16 24 2 0 -0.1 5e-4\n")
+    return si, lat
+
+
+def test_si_deck_matches_lattice_deck(tmp_path):
+    """SURVEY C17/C18: a deck written in SI reproduces the lattice deck's
+    trajectory exactly (same lattice-unit parameters after conversion)."""
+    import numpy as np
+
+    from lbmdem_tpu.simulation import Simulation
+
+    si, lat = _write_si_deck(tmp_path)
+    cfg_si, pf_si = load_param_file(str(si))
+    cfg_lat, pf_lat = load_param_file(str(lat))
+    assert cfg_si.units is not None and cfg_lat.units is None
+    for fld in ("tau", "g_py", "rho_s", "kn", "gamma_n", "steps"):
+        np.testing.assert_allclose(
+            getattr(cfg_si, fld), getattr(cfg_lat, fld), rtol=1e-12,
+            err_msg=fld,
+        )
+    d_si = load_particle_file(pf_si, units=cfg_si.units)
+    d_lat = load_particle_file(pf_lat)
+    np.testing.assert_allclose(
+        [d_si[0].x, d_si[0].y, d_si[0].r, d_si[0].vy, d_si[0].omega],
+        [d_lat[0].x, d_lat[0].y, d_lat[0].r, d_lat[0].vy, d_lat[0].omega],
+        rtol=1e-12,
+    )
+    # identical lattice-unit inputs => identical trajectories
+    s1 = Simulation(cfg_si.replace(steps=50), d_si)
+    s2 = Simulation(cfg_lat.replace(steps=50), d_lat)
+    s1.run(50)
+    s2.run(50)
+    np.testing.assert_allclose(
+        np.asarray(s1.state.disks.x), np.asarray(s2.state.disks.x),
+        rtol=0, atol=1e-12,
+    )
+
+
+def test_si_deck_requires_base_scales(tmp_path):
+    p = tmp_path / "bad.par"
+    p.write_text("nx 8\nny 8\nnu_phys 1e-6\n")
+    with pytest.raises(ValueError, match="base scales"):
+        load_param_file(str(p))

@@ -30,6 +30,10 @@ CFGS = [
     dict(gx=1e-5, gy=-2e-5),
     dict(bc_west="wall", bc_east="wall", gy=-1e-5),
     dict(smagorinsky=0.16, gx=2e-5),  # LES path
+    # moving walls (C6): lid-driven cavity + mixed moving sides
+    dict(bc_west="wall", bc_east="wall", uw_north=0.08),
+    dict(bc_west="wall", bc_east="wall", uw_west=0.05, uw_south=-0.02,
+         uw_east=-0.03, uw_north=0.04),
 ]
 
 

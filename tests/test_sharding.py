@@ -75,6 +75,16 @@ def test_coupled_sharded_matches():
     assert int(ssh.overflow) == 0
 
 
+def test_cavity_sharded_matches():
+    """Moving-wall (lid-driven cavity) corrections on edge shards."""
+    mesh = _mesh(2, 2)
+    cfg = SimConfig(nx=16, ny=16, tau=0.7, dtype="float64",
+                    bc_west="wall", bc_east="wall", uw_north=0.08,
+                    uw_west=0.02)
+    sref, ssh = _run_both(cfg, [], mesh, 6)
+    np.testing.assert_array_equal(np.asarray(sref.f), np.asarray(ssh.f))
+
+
 def test_sharded_mass_conservation():
     mesh = _mesh(2, 4)
     cfg = SimConfig(nx=64, ny=32, tau=0.9, gx=1e-6, dtype="float64")
@@ -100,34 +110,50 @@ def _run_both_pallas(cfg, disks, mesh, nsteps):
     return s_ref, s_sh
 
 
-def test_pallas_sharded_fluid_matches():
-    """1D y-mesh fused-kernel path == single-device fused path (fluid)."""
-    mesh = _mesh(4, 1)
-    cfg = SimConfig(nx=128, ny=64, tau=0.8, gx=1e-5, dtype="float32")
+@pytest.mark.parametrize("meshdims", [(4, 1), (2, 2), (2, 4)])
+def test_pallas_sharded_fluid_matches(meshdims):
+    """Fused-kernel path on 1D and 2D meshes == single-device fused path."""
+    mesh = _mesh(*meshdims)
+    cfg = SimConfig(nx=512, ny=64, tau=0.8, gx=1e-5, dtype="float32")
     sref, ssh = _run_both_pallas(cfg, [], mesh, 4)
     np.testing.assert_allclose(np.asarray(sref.f), np.asarray(ssh.f),
                                rtol=0, atol=1e-7)
 
 
-def test_pallas_sharded_fluid_walls_matches():
-    mesh = _mesh(4, 1)
-    cfg = SimConfig(nx=128, ny=64, tau=0.7, gy=-1e-5, dtype="float32",
+@pytest.mark.parametrize("meshdims", [(4, 1), (2, 2)])
+def test_pallas_sharded_fluid_walls_matches(meshdims):
+    mesh = _mesh(*meshdims)
+    cfg = SimConfig(nx=512, ny=64, tau=0.7, gy=-1e-5, dtype="float32",
                     bc_west="wall", bc_east="wall")
     sref, ssh = _run_both_pallas(cfg, [], mesh, 4)
     np.testing.assert_allclose(np.asarray(sref.f), np.asarray(ssh.f),
                                rtol=0, atol=1e-7)
 
 
-def test_pallas_sharded_coupled_matches():
-    """Disks straddling y-shard boundaries through the fused kernels."""
-    mesh = _mesh(4, 1)
-    cfg = SimConfig(nx=128, ny=128, tau=0.8, dtype="float32", g_py=-1e-4,
+@pytest.mark.parametrize("meshdims", [(4, 1), (2, 2)])
+def test_pallas_sharded_cavity_matches(meshdims):
+    """Moving walls via the external fixups, incl. the corner cells
+    where the x-wall rule must win (oracle ordering)."""
+    mesh = _mesh(*meshdims)
+    cfg = SimConfig(nx=512, ny=64, tau=0.7, dtype="float32",
+                    bc_west="wall", bc_east="wall", uw_north=0.08,
+                    uw_south=-0.03, uw_east=0.02)
+    sref, ssh = _run_both_pallas(cfg, [], mesh, 4)
+    np.testing.assert_allclose(np.asarray(sref.f), np.asarray(ssh.f),
+                               rtol=0, atol=1e-7)
+
+
+@pytest.mark.parametrize("meshdims", [(4, 1), (2, 2)])
+def test_pallas_sharded_coupled_matches(meshdims):
+    """Disks straddling shard boundaries through the fused kernels."""
+    mesh = _mesh(*meshdims)
+    cfg = SimConfig(nx=256, ny=128, tau=0.8, dtype="float32", g_py=-1e-4,
                     buoyancy=True, rho_s=2.0, kn=0.5, gamma_n=0.5, n_sub=5,
                     bc_west="wall", bc_east="wall")
     disks = [
-        DiskSpec(64.0, 64.0, 3.0),        # on the 2nd/3rd shard boundary
+        DiskSpec(128.0, 64.0, 3.0),       # straddles the mesh center
         DiskSpec(32.2, 96.1, 2.5),        # interior
-        DiskSpec(90.0, 31.9, 2.0, vx=0.01),  # near the 1st/2nd boundary
+        DiskSpec(90.0, 31.9, 2.0, vx=0.01),  # near a boundary
     ]
     sref, ssh = _run_both_pallas(cfg, disks, mesh, 3)
     np.testing.assert_allclose(np.asarray(sref.f), np.asarray(ssh.f),
