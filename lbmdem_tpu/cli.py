@@ -33,6 +33,12 @@ def main(argv=None) -> int:
                     help="validate f/rho/disks after every step inside "
                          "the jitted chunk; abort at the exact failing "
                          "step (SURVEY 5.2/5.3 debug mode)")
+    ap.add_argument("--mesh", default=None, metavar="YxX",
+                    help="shard the lattice over a device mesh, e.g. "
+                         "'2x4' (y-by-x) or 'auto' for all devices")
+    ap.add_argument("--distributed", action="store_true",
+                    help="call jax.distributed.initialize() first "
+                         "(multi-host pods; see parallel/launch.py)")
     ap.add_argument("--profile", default=None, metavar="LOGDIR",
                     help="capture a jax.profiler trace of the run")
     ap.add_argument("--scenario", default=None,
@@ -69,7 +75,24 @@ def main(argv=None) -> int:
               file=sys.stderr)
         args.pallas = False
 
-    sim = Simulation(cfg, disks, use_pallas=args.pallas)
+    mesh = None
+    if args.distributed:
+        from lbmdem_tpu.parallel import init_distributed, process_info
+
+        init_distributed()
+        pid, pn, loc, glob = process_info()
+        print(f"distributed: process {pid}/{pn}, {loc} local / "
+              f"{glob} global devices", file=sys.stderr)
+    if args.mesh:
+        from lbmdem_tpu.parallel import make_mesh
+
+        if args.mesh == "auto":
+            mesh = make_mesh()
+        else:
+            ysz, xsz = (int(t) for t in args.mesh.lower().split("x"))
+            mesh = make_mesh(shape=(ysz, xsz))
+
+    sim = Simulation(cfg, disks, use_pallas=args.pallas, mesh=mesh)
     cfg = sim.cfg  # Simulation derives max_disks/window/tile_cap
     if args.restore:
         sim.state = ckpt.load_state(args.restore, sim.state)

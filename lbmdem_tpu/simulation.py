@@ -200,7 +200,12 @@ class Simulation:
         cfg: SimConfig,
         disks: Sequence[DiskSpec] = (),
         use_pallas: bool = False,
+        mesh=None,
     ):
+        """`mesh` (a jax.sharding.Mesh with axes ('y','x'), e.g. from
+        parallel.make_mesh) shards the lattice spatially over the mesh
+        devices and replicates disks with force-psum - the run()/step()
+        API is unchanged (SURVEY SS5.7/5.8)."""
         disks = list(disks)
         if disks:
             r_max = max(d.r for d in disks)
@@ -227,6 +232,7 @@ class Simulation:
             )
         self.cfg = cfg
         self.use_pallas = use_pallas
+        self.mesh = mesh
         self.state = SimState(
             f=lbm.init_equilibrium(cfg),
             disks=dem.make_disk_state(disks, cfg),
@@ -235,7 +241,13 @@ class Simulation:
             n_contacts=jnp.zeros((), jnp.int32),
             fail_step=jnp.full((), -1, jnp.int32),
         )
-        self._step = make_step_fn(cfg, self.grid, use_pallas)
+        if mesh is not None:
+            from lbmdem_tpu.parallel import make_sharded_step, shard_state
+
+            self._step = make_sharded_step(cfg, self.grid, mesh, use_pallas)
+            self.state = shard_state(self.state, mesh)
+        else:
+            self._step = make_step_fn(cfg, self.grid, use_pallas)
         self._chunk_cache = {}
         self.mlups_last = 0.0
 
@@ -247,7 +259,7 @@ class Simulation:
         if n not in self._chunk_cache:
             step = self._step
 
-            if self.use_pallas and self.cfg.max_disks > 0:
+            if self.use_pallas and self.cfg.max_disks > 0 and self.mesh is None:
                 # Verlet-cadence chunk: rebuild the stamp tile lists every
                 # BIN_CADENCE steps (margin-validated), amortizing the
                 # sort/scatter binning cost.

@@ -162,3 +162,42 @@ def test_pallas_sharded_coupled_matches(meshdims):
                                rtol=0, atol=1e-6)
     np.testing.assert_allclose(np.asarray(sref.disks.v), np.asarray(ssh.disks.v),
                                rtol=0, atol=1e-7)
+
+
+def test_simulation_mesh_api_matches():
+    """User-facing Simulation(mesh=...) == unsharded Simulation.run."""
+    mesh = _mesh(2, 4)
+    cfg = SimConfig(nx=64, ny=32, tau=0.8, gx=1e-5, dtype="float64",
+                    out_interval=4)
+    s1 = Simulation(cfg)
+    s2 = Simulation(cfg, mesh=mesh)
+    s1.run(8)
+    s2.run(8)
+    np.testing.assert_array_equal(np.asarray(s1.state.f), np.asarray(s2.state.f))
+
+
+def test_init_distributed_single_process():
+    """SURVEY 5.8: the multi-process launch path, exercised with the
+    1-process topology (same code path a pod launch takes). Runs in a
+    subprocess: jax.distributed.initialize must precede any backend use,
+    and this pytest process has long since initialized it."""
+    import subprocess
+    import sys
+
+    code = """
+import jax
+jax.config.update('jax_platforms', 'cpu')
+from lbmdem_tpu.parallel import init_distributed, process_info
+init_distributed(coordinator_address='localhost:12399',
+                 num_processes=1, process_id=0)
+pid, pn, loc, glob = process_info()
+assert (pid, pn) == (0, 1), (pid, pn)
+assert loc == glob == len(jax.devices())
+init_distributed()  # idempotent
+print('DIST_OK')
+"""
+    out = subprocess.run(
+        [sys.executable, "-c", code], capture_output=True, text=True,
+        timeout=240,
+    )
+    assert "DIST_OK" in out.stdout, out.stderr[-2000:]
