@@ -51,11 +51,11 @@ _NCH = 10
 
 def slab_supported(grid: DemGrid, n: int) -> bool:
     """Feasibility gate: VMEM for ~10 f32 rank-plane sets, and a plane
-    size cap (large planes drive Mosaic compile times into the tens of
-    minutes through the remote-compile path - verified up to ~2048^2
-    domains; raise after validating larger compiles)."""
+    size cap. Qualified on TPU v5e up to 241x256 planes (4096^2 domains
+    at cell_size 17): Mosaic compile 74 s, bit-exact vs the XLA oracle.
+    The cap tracks the largest *verified* compile, scaled ~1.3x."""
     ncxp = -(-grid.ncx // 128) * 128
-    if grid.ncy * ncxp > 20000:
+    if grid.ncy * ncxp > 80000:
         return False
     bytes_ = _NCH * SLAB_K * grid.ncy * ncxp * 4
     return bytes_ <= 48 * 2**20

@@ -1,0 +1,160 @@
+"""Live-dataflow stage ablation of the coupled Pallas step on TPU.
+
+Measures the MARGINAL cost of each pipeline stage at a given config by
+timing jitted fori_loop chunks where one stage is replaced by a cheap
+substitute that keeps the dataflow live (every remaining stage still
+consumes values derived from the ablated stage's inputs, so XLA cannot
+dead-code or loop-hoist the rest of the pipeline — see
+docs/performance.md "Measurement pitfalls").
+
+Usage:  python tools/ablate.py [nx] [n_disks] [chunk]
+"""
+
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+
+from lbmdem_tpu.models import column_collapse
+from lbmdem_tpu.ops import dem as dem_ops
+from lbmdem_tpu.ops import pallas_dem, pallas_lbm, pallas_stamp
+from lbmdem_tpu.simulation import BIN_MARGIN, SimState, Simulation
+
+
+def build_variants(cfg, grid):
+    """dict name -> step(state, lists, counts, entry_slots) -> state.
+
+    The tile lists are passed in (built outside the loop at the Verlet
+    cadence in production; their per-step share is measured separately
+    by the 'binning' row which rebuilds them every step).
+    """
+    n = cfg.max_disks
+
+    def tiny(x):
+        return x.astype(jnp.float32) * jnp.float32(1e-30)
+
+    def assemble(do_bin, do_stamp, do_lbm, do_reduce, dem_kind):
+        def step(state, lists, counts, entry_slots):
+            d = state.disks
+            if do_bin:
+                lists, counts, entry_slots, _ = pallas_stamp.build_tile_lists(
+                    d.x, d.active, cfg, margin=BIN_MARGIN
+                )
+            tile_data = pallas_stamp.gather_tile_data(
+                lists, d.x, d.v, d.omega, d.r, d.active
+            )
+            if do_stamp:
+                eps, usx, usy, _ = pallas_stamp.stamp_solid_fraction(
+                    d.x, d.v, d.omega, d.r, d.active, cfg,
+                    binned=(tile_data, counts, None, None),
+                )
+            else:
+                live = jnp.sum(tiny(tile_data))
+                eps = jnp.zeros((cfg.ny, cfg.nx), jnp.float32) + live
+                usx = eps
+                usy = eps
+            if do_lbm:
+                fnew, phix, phiy = pallas_lbm.fused_step_imb(
+                    state.f, eps, usx, usy, cfg
+                )
+            else:
+                fnew = state.f + tiny(eps)[None] + tiny(usx) + tiny(usy)
+                phix = tiny(state.f[0]) + tiny(eps)
+                phiy = phix
+            if do_reduce:
+                fh, th = pallas_stamp.reduce_hydro_forces(
+                    d.x, d.r, d.active, eps, phix, phiy, cfg,
+                    tile_data, counts, entry_slots,
+                )
+            else:
+                live = tiny(phix[0, :n]) + tiny(phiy[0, :n]) + tiny(eps[0, :n])
+                fh = jnp.stack([live, live], 1).astype(d.x.dtype)
+                th = live.astype(d.x.dtype)
+            if dem_kind == "slab":
+                disks, ovf, nc = pallas_dem.dem_subcycle(d, fh, th, grid, cfg)
+            elif dem_kind == "xla":
+                disks, ovf, nc = dem_ops.dem_subcycle(d, fh, th, grid, cfg)
+            else:  # ablated: advance positions by a live function of fh
+                disks = d._replace(
+                    x=d.x + tiny(fh).astype(d.x.dtype),
+                    v=d.v + tiny(fh).astype(d.x.dtype),
+                )
+                ovf = state.overflow
+                nc = state.n_contacts
+            return state._replace(
+                f=fnew, disks=disks, step=state.step + 1,
+                overflow=jnp.maximum(state.overflow, ovf), n_contacts=nc,
+            )
+
+        return step
+
+    return {
+        "full": assemble(False, True, True, True, "slab"),
+        "full+bin": assemble(True, True, True, True, "slab"),
+        "no-stamp": assemble(False, False, True, True, "slab"),
+        "no-lbm": assemble(False, True, False, True, "slab"),
+        "no-reduce": assemble(False, True, True, False, "slab"),
+        "no-dem": assemble(False, True, True, True, None),
+        "xla-dem": assemble(False, True, True, True, "xla"),
+    }
+
+
+def main():
+    nx = int(sys.argv[1]) if len(sys.argv) > 1 else 4096
+    nd = int(sys.argv[2]) if len(sys.argv) > 2 else 10000
+    chunk = int(sys.argv[3]) if len(sys.argv) > 3 else 50
+    names = sys.argv[4].split(",") if len(sys.argv) > 4 else None
+
+    cfg, disks = column_collapse(nx=nx, ny=nx, n_disks=nd)
+    cfg = cfg.replace(out_interval=10**9)
+    sim = Simulation(cfg, disks, use_pallas=True)
+    cfg, grid = sim.cfg, sim.grid
+    variants = build_variants(cfg, grid)
+    if names:
+        variants = {k: variants[k] for k in names}
+
+    d0 = sim.state.disks
+    lists, counts, entry_slots, _ = pallas_stamp.build_tile_lists(
+        d0.x, d0.active, cfg, margin=BIN_MARGIN
+    )
+    lists, counts, entry_slots = jax.device_put((lists, counts, entry_slots))
+
+    results = {}
+    for name, step in variants.items():
+        def chunk_fn(state, _step=step):
+            return jax.lax.fori_loop(
+                0, chunk,
+                lambda _, s: _step(s, lists, counts, entry_slots), state,
+            )
+
+        fn = jax.jit(chunk_fn)
+        t0 = time.time()
+        out = fn(sim.state)
+        jax.device_get(out.step)
+        compile_s = time.time() - t0
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.time()
+            out = fn(out._replace(step=jnp.zeros((), jnp.int32)))
+            jax.device_get(out.step)
+            best = min(best, time.time() - t0)
+        ms = best / chunk * 1e3
+        results[name] = ms
+        print(f"{name:10s} {ms:8.3f} ms/step   (compile {compile_s:.0f}s)",
+              flush=True)
+
+    full = results.get("full")
+    if full is not None:
+        print("\nmarginals vs full (slab DEM, lists prebuilt):")
+        for name, ms in results.items():
+            if name.startswith("no-"):
+                print(f"  {name[3:]:8s} {full - ms:8.3f} ms")
+            elif name == "full+bin":
+                print(f"  binning  {ms - full:8.3f} ms (per-step rebuild)")
+            elif name == "xla-dem":
+                print(f"  xla-dem  {ms - full:8.3f} ms (vs slab)")
+
+
+if __name__ == "__main__":
+    main()
