@@ -23,7 +23,8 @@ def main(argv=None) -> int:
     ap.add_argument("--out", default="out", help="output directory")
     ap.add_argument("--steps", type=int, default=None, help="override steps")
     ap.add_argument("--pallas", action=argparse.BooleanOptionalAction,
-                    default=True, help="use fused Pallas kernels (TPU)")
+                    default=None, help="use fused Pallas kernels (default: "
+                    "auto - on TPU when the config supports them)")
     ap.add_argument("--checkpoint-every", type=int, default=0,
                     metavar="N", help="write restart checkpoint every N steps")
     ap.add_argument("--restore", default=None, metavar="CKPT",
@@ -70,7 +71,30 @@ def main(argv=None) -> int:
         import jax
 
         jax.config.update("jax_enable_x64", True)
-    if cfg.dtype != "float32" and args.pallas:
+    if args.pallas is None:
+        # auto: fused kernels on a TPU backend when the config supports
+        # them; otherwise the plain-JAX oracle path (off-TPU the kernels
+        # only run in interpret mode - correct but slow).
+        import jax
+
+        from lbmdem_tpu.config import window_for_radius
+        from lbmdem_tpu.simulation import pallas_supported
+
+        probe = cfg  # mirror Simulation's window/max_disks derivation
+        if disks:
+            if probe.window <= 0:
+                probe = probe.replace(
+                    window=window_for_radius(max(d.r for d in disks))
+                )
+            if probe.max_disks < len(disks):
+                probe = probe.replace(max_disks=len(disks))
+        reason = pallas_supported(probe)
+        on_tpu = jax.default_backend() == "tpu"
+        args.pallas = on_tpu and reason is None
+        if on_tpu and reason is not None:
+            print(f"note: fused Pallas path unavailable ({reason}); "
+                  f"using the plain-JAX path", file=sys.stderr)
+    elif args.pallas and cfg.dtype != "float32":
         print("note: Pallas path is float32-only; using the plain-JAX path",
               file=sys.stderr)
         args.pallas = False

@@ -92,6 +92,9 @@ def build_slabs(
     )
 
     f32 = jnp.float32
+    f_hydro = jnp.broadcast_to(f_hydro, (n, 2))
+    t_hydro = jnp.broadcast_to(t_hydro, (n,))
+    body_f = jnp.broadcast_to(body_f, (n, 2))
     far = jnp.where(disks.active, 0.0, 1e6).astype(f32)
     fields = [
         disks.x[:, 0].astype(f32) + far,
@@ -107,15 +110,16 @@ def build_slabs(
     ]
     nslots = SLAB_K * grid.ncy * ncxp
     sdisk = order.astype(jnp.int32)
-    slabs = []
-    for ch, vals in enumerate(fields):
-        base = jnp.zeros((nslots,), f32)
-        slabs.append(
-            base.at[jnp.where(valid, slot, nslots)].set(
-                vals[sdisk], mode="drop"
-            )
-        )
-    slabs = jnp.stack(slabs).reshape(_NCH, SLAB_K, grid.ncy, ncxp)
+    # ONE row-scatter of (n, NCH) packed rows instead of NCH scalar
+    # scatters: XLA scatter serializes per call on TPU (~ms each at 10k
+    # rows), so channel-packed rows cut the build ~NCH-fold.
+    packed = jnp.stack(fields, axis=1)[sdisk]  # (n, NCH), slot-ordered
+    dense = (
+        jnp.zeros((nslots, _NCH), f32)
+        .at[jnp.where(valid, slot, nslots)]
+        .set(packed, mode="drop")
+    )
+    slabs = dense.T.reshape(_NCH, SLAB_K, grid.ncy, ncxp)
     return slabs, slot_of_disk, overflow
 
 

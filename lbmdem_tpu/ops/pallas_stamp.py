@@ -40,6 +40,10 @@ def _interpret() -> bool:
 
 _INTERPRET = False  # force-interpret override
 
+# disks evaluated per kernel loop iteration (issue-latency bound loops;
+# see _reduce_kernel). Effective factor is the largest divisor of cap.
+_ILP = 4
+
 
 def tile_dims(cfg: SimConfig) -> Tuple[int, int]:
     """Largest power-of-two tile <= 64x128 dividing the lattice.
@@ -207,8 +211,8 @@ def _stamp_kernel(data_ref, cnt_ref, out_ref, *, cfg: SimConfig, th: int,
     inv_s2 = np.float32(1.0 / (ns * ns))
     offs = ((np.arange(ns) + 0.5) / ns - 0.5).astype(np.float32)
 
-    def body(k, acc):
-        eps_a, mx_a, my_a = acc
+    def one(k):
+        """Per-disk (cov, cov*us_x, cov*us_y); zeroed slots give cov==0."""
         base = k * 8
         px = data_ref[0, 0, base + 0]
         py = data_ref[0, 0, base + 1]
@@ -221,7 +225,9 @@ def _stamp_kernel(data_ref, cnt_ref, out_ref, *, cfg: SimConfig, th: int,
         r2 = rr * rr
         if cfg.eps_method == "ramp":
             d = jnp.sqrt(rely * rely + relx * relx)
-            cov = jnp.clip(rr + 0.5 - d, 0.0, 1.0)
+            # rr==0 marks an empty (over-iterated) slot: mask it, the
+            # ramp would otherwise stamp phantom cover where d < 1/2
+            cov = jnp.where(rr > 0, jnp.clip(rr + 0.5 - d, 0.0, 1.0), 0.0)
         else:
             # factor the squares: ns + ns maps instead of ns^2 recomputes
             dy2s = [(rely + sy) * (rely + sy) for sy in offs]
@@ -230,13 +236,30 @@ def _stamp_kernel(data_ref, cnt_ref, out_ref, *, cfg: SimConfig, th: int,
             for dy2 in dy2s:
                 for dx2 in dx2s:
                     cov = cov + jnp.where(dy2 + dx2 <= r2, inv_s2, 0.0)
+            if ns % 2:  # odd ns has a 0-offset sample: empty slots
+                cov = jnp.where(rr > 0, cov, 0.0)  # (rr=0) would hit d=0
         usx = vx - om * rely
         usy = vy + om * relx
-        return (eps_a + cov, mx_a + cov * usx, my_a + cov * usy)
+        return cov, cov * usx, cov * usy
+
+    # interleave ilp independent disks per iteration (issue-latency
+    # bound loop; see _reduce_kernel)
+    cap = cfg.tile_cap
+    ilp = max(d for d in (_ILP, 2, 1) if cap % d == 0)
+
+    def body(g, acc):
+        eps_a, mx_a, my_a = acc
+        k0 = g * ilp
+        for j in range(ilp):
+            cov, cmx, cmy = one(k0 + j)
+            eps_a = eps_a + cov
+            mx_a = mx_a + cmx
+            my_a = my_a + cmy
+        return (eps_a, mx_a, my_a)
 
     zero = jnp.zeros((th, tw), jnp.float32)
     eps, mx, my = jax.lax.fori_loop(
-        0, cnt_ref[0, 0, 0], body, (zero, zero, zero)
+        0, (cnt_ref[0, 0, 0] + (ilp - 1)) // ilp, body, (zero, zero, zero)
     )
     inv = 1.0 / jnp.maximum(eps, eps_min)
     out_ref[0] = eps
@@ -306,7 +329,9 @@ def _reduce_kernel(
     wx = phi_ref[0] * share_den
     wy = phi_ref[1] * share_den
 
-    def body(k, acc):
+    def one(k):
+        """Per-disk partial (fx, fy, tq). Empty slots (zeroed data rows:
+        px=py=rr=0) yield cov==0 identically, so over-iteration is safe."""
         base = k * 8
         px = data_ref[0, 0, base + 0]
         py = data_ref[0, 0, base + 1]
@@ -316,7 +341,9 @@ def _reduce_kernel(
         r2 = rr * rr
         if cfg.eps_method == "ramp":
             d = jnp.sqrt(rely * rely + relx * relx)
-            cov = jnp.clip(rr + 0.5 - d, 0.0, 1.0)
+            # rr==0 marks an empty (over-iterated) slot: mask it, the
+            # ramp would otherwise stamp phantom cover where d < 1/2
+            cov = jnp.where(rr > 0, jnp.clip(rr + 0.5 - d, 0.0, 1.0), 0.0)
         else:
             # factor the squares: ns + ns maps instead of ns^2 recomputes
             dy2s = [(rely + sy) * (rely + sy) for sy in offs]
@@ -325,16 +352,34 @@ def _reduce_kernel(
             for dy2 in dy2s:
                 for dx2 in dx2s:
                     cov = cov + jnp.where(dy2 + dx2 <= r2, inv_s2, 0.0)
+            if ns % 2:  # odd ns has a 0-offset sample: empty slots
+                cov = jnp.where(rr > 0, cov, 0.0)  # (rr=0) would hit d=0
         fx_c = cov * wx
         fy_c = cov * wy
         fx = jnp.sum(fx_c)
         fy = jnp.sum(fy_c)
         tq = jnp.sum(relx * fy_c - rely * fx_c)
-        vals = jnp.stack([fx, fy, tq, jnp.float32(0.0)])[None, :]
-        return acc + jnp.where(slot_rows == k, vals, 0.0)
+        return fx, fy, tq
 
+    # ilp independent disks per iteration: a single-disk body is a
+    # serial dependency chain of small-vector ops whose ISSUE LATENCY
+    # (not VPU throughput) bounds the loop; interleaving independent
+    # chains fills the pipeline. ilp divides cap (cap is a shape bound),
+    # so the over-iteration up to ceil(count/ilp)*ilp stays in bounds.
+    ilp = max(d for d in (_ILP, 2, 1) if cap % d == 0)
+
+    def body(g, acc):
+        k0 = g * ilp
+        vals = jnp.zeros((cap, 4), jnp.float32)
+        for j in range(ilp):
+            fx, fy, tq = one(k0 + j)
+            row = jnp.stack([fx, fy, tq, jnp.float32(0.0)])[None, :]
+            vals = vals + jnp.where(slot_rows == k0 + j, row, 0.0)
+        return acc + vals
+
+    groups = (cnt_ref[0, 0, 0] + (ilp - 1)) // ilp
     acc = jax.lax.fori_loop(
-        0, cnt_ref[0, 0, 0], body, jnp.zeros((cap, 4), jnp.float32)
+        0, groups, body, jnp.zeros((cap, 4), jnp.float32)
     )
     out_ref[0] = acc
 

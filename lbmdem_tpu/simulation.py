@@ -90,6 +90,31 @@ BIN_CADENCE = 8
 BIN_MARGIN = 2
 
 
+def pallas_supported(cfg: SimConfig) -> Optional[str]:
+    """None if the fused Pallas path supports `cfg`, else the reason.
+
+    Checked at Simulation construction (use_pallas=True raises a clear
+    ValueError instead of a trace-time kernel assert) and by the CLI's
+    auto path selection. `cfg` must be the derived config (window set)."""
+    if cfg.dtype != "float32":
+        return f"Pallas path is float32-only (dtype={cfg.dtype})"
+    if cfg.ny % 8 or cfg.nx % 128:
+        return (
+            f"fused lattice kernel needs ny%8==0 and nx%128==0 "
+            f"(lattice {cfg.ny}x{cfg.nx})"
+        )
+    if cfg.max_disks > 0:
+        th = next(t for t in (64, 32, 16, 8, 4, 2, 1) if cfg.ny % t == 0)
+        tw = next(t for t in (128, 64, 32, 16, 8, 4, 2, 1) if cfg.nx % t == 0)
+        if cfg.window + 2 * BIN_MARGIN > min(th, tw):
+            return (
+                f"stamp window {cfg.window} (+{2 * BIN_MARGIN} Verlet "
+                f"margin) exceeds the {th}x{tw} stamp tile; disks too "
+                f"large for this lattice size"
+            )
+    return None
+
+
 def make_step_fn(
     cfg: SimConfig, grid: Optional[DemGrid], use_pallas: bool = False,
     tile_lists=None,
@@ -230,6 +255,10 @@ class Simulation:
                     th, tw, r_min, cfg.window + 2 * BIN_MARGIN
                 )
             )
+        if use_pallas:
+            reason = pallas_supported(cfg)
+            if reason is not None:
+                raise ValueError(f"use_pallas=True unsupported: {reason}")
         self.cfg = cfg
         self.use_pallas = use_pallas
         self.mesh = mesh

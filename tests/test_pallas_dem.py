@@ -75,7 +75,7 @@ def test_slab_wall_contact():
     sub_r = jax.jit(dem.dem_subcycle, static_argnums=(3, 4))
     sub_p = jax.jit(pallas_dem.dem_subcycle, static_argnums=(3, 4))
     dr, dp = disks, disks
-    for _ in range(20):
+    for _ in range(8):
         dr, *_ = sub_r(dr, fh, th, grid, cfg)
         dp, *_ = sub_p(dp, fh, th, grid, cfg)
     np.testing.assert_allclose(np.asarray(dp.x), np.asarray(dr.x), atol=5e-5)

@@ -34,16 +34,23 @@ def build_variants(cfg, grid):
     def tiny(x):
         return x.astype(jnp.float32) * jnp.float32(1e-30)
 
-    def assemble(do_bin, do_stamp, do_lbm, do_reduce, dem_kind):
+    def assemble(do_bin, do_stamp, do_lbm, do_reduce, dem_kind,
+                 do_gather=True):
         def step(state, lists, counts, entry_slots):
             d = state.disks
             if do_bin:
                 lists, counts, entry_slots, _ = pallas_stamp.build_tile_lists(
                     d.x, d.active, cfg, margin=BIN_MARGIN
                 )
-            tile_data = pallas_stamp.gather_tile_data(
-                lists, d.x, d.v, d.omega, d.r, d.active
-            )
+            if do_gather:
+                tile_data = pallas_stamp.gather_tile_data(
+                    lists, d.x, d.v, d.omega, d.r, d.active
+                )
+            else:
+                n_tiles, cap = lists.shape
+                tile_data = jnp.zeros(
+                    (n_tiles, 1, cap * 8), jnp.float32
+                ) + jnp.sum(tiny(d.x)) + jnp.sum(tiny(lists))
             if do_stamp:
                 eps, usx, usy, _ = pallas_stamp.stamp_solid_fraction(
                     d.x, d.v, d.omega, d.r, d.active, cfg,
@@ -68,7 +75,9 @@ def build_variants(cfg, grid):
                     tile_data, counts, entry_slots,
                 )
             else:
-                live = tiny(phix[0, :n]) + tiny(phiy[0, :n]) + tiny(eps[0, :n])
+                live = jnp.zeros((n,), jnp.float32) + jnp.sum(
+                    tiny(phix[0]) + tiny(phiy[0]) + tiny(eps[0])
+                )
                 fh = jnp.stack([live, live], 1).astype(d.x.dtype)
                 th = live.astype(d.x.dtype)
             if dem_kind == "slab":
@@ -96,6 +105,8 @@ def build_variants(cfg, grid):
         "no-lbm": assemble(False, True, False, True, "slab"),
         "no-reduce": assemble(False, True, True, False, "slab"),
         "no-dem": assemble(False, True, True, True, None),
+        "no-gather": assemble(False, True, True, True, "slab",
+                              do_gather=False),
         "xla-dem": assemble(False, True, True, True, "xla"),
     }
 
