@@ -63,8 +63,9 @@ def slab_supported(grid: DemGrid, n: int) -> bool:
 
 def build_slabs(
     disks: DiskState, f_hydro, t_hydro, body_f, grid: DemGrid
-) -> Tuple[jax.Array, jax.Array, jax.Array]:
-    """(slabs (NCH, K, ncy, ncxp) f32, slot_of_disk (N,) i32, overflow).
+) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
+    """(slabs (NCH, K, ncy, ncxp) f32, slot_of_disk (N,) i32, overflow,
+    kmax () i32 - max occupied rank + 1, bounds the kernel rank loops).
 
     Inactive/empty slots get r = 0 and positions far outside the domain.
     """
@@ -79,6 +80,10 @@ def build_slabs(
     first = jax.lax.cummax(jnp.where(is_start, iota, 0))
     rank = iota - first
     valid = (scid >= 0) & (rank < SLAB_K)
+    # max occupied rank + 1: ranks are contiguous from 0 within a cell,
+    # so the kernel can bound both rank loops by this scalar (cells
+    # rarely hold >2 disks; pair work scales with kmax^2, not SLAB_K^2)
+    kmax = jnp.clip(jnp.max(jnp.where(valid, rank, -1)) + 1, 0, SLAB_K)
     # slot layout: (k, cy, cx) -> k * (ncy*ncxp) + cy * ncxp + cx
     cy = scid // grid.ncx
     cx = scid - cy * grid.ncx
@@ -120,7 +125,7 @@ def build_slabs(
         .set(packed, mode="drop")
     )
     slabs = dense.T.reshape(_NCH, SLAB_K, grid.ncy, ncxp)
-    return slabs, slot_of_disk, overflow
+    return slabs, slot_of_disk, overflow, kmax.astype(jnp.int32)
 
 
 def _shift2(a, dy, dc, ncy, ncx):
@@ -133,7 +138,8 @@ def _shift2(a, dy, dc, ncy, ncx):
     return a
 
 
-def _dem_kernel(s_ref, out_ref, *, cfg: SimConfig, grid: DemGrid, ncxp: int):
+def _dem_kernel(kmax_ref, s_ref, out_ref, *, cfg: SimConfig, grid: DemGrid,
+                ncxp: int):
     K = SLAB_K
     ncy = grid.ncy
     h = np.float32(1.0 / cfg.n_sub)
@@ -189,10 +195,15 @@ def _dem_kernel(s_ref, out_ref, *, cfg: SimConfig, grid: DemGrid, ncxp: int):
         ft = jnp.where(touching, ft, 0.0)
         return (fn * nx_ + ft * tx_, fn * ny_ + ft * ty_, -li * ft, touching)
 
+    kmax = kmax_ref[0]
+
     def forces(state_ref, X, Y, VX, VY, OM, R):
         # partners are read from state_ref planes (dynamic rank index
         # k2 via fori_loop keeps the unroll at 9 pair bodies instead of
-        # 9*K^2 - Mosaic compile time blows up otherwise)
+        # 9*K^2 - Mosaic compile time blows up otherwise). Both rank
+        # loops are bounded by the step's max occupied rank (kmax):
+        # outer rank k >= kmax gets a zero-trip inner loop, so pair work
+        # scales with kmax^2 (cells rarely hold > 2 disks).
         Fx = [None] * K
         Fy = [None] * K
         Tq = [None] * K
@@ -202,6 +213,7 @@ def _dem_kernel(s_ref, out_ref, *, cfg: SimConfig, grid: DemGrid, ncxp: int):
             fy = jnp.zeros_like(fx)
             tq = jnp.zeros_like(fx)
             nc = jnp.zeros_like(fx)
+            trip = jnp.where(k < kmax, kmax, 0)
             for dy in (-1, 0, 1):
                 for dc in (-1, 0, 1):
                     ok = edge_ok(dy, dc)
@@ -225,25 +237,34 @@ def _dem_kernel(s_ref, out_ref, *, cfg: SimConfig, grid: DemGrid, ncxp: int):
                                 anc + tt.astype(jnp.float32))
 
                     fx, fy, tq, nc = jax.lax.fori_loop(
-                        0, K, inner, (fx, fy, tq, nc)
+                        0, trip, inner, (fx, fy, tq, nc)
                     )
-            # walls: mirror disk of radius 0 on the plane
-            for on, wpos, axis, horizontal in walls:
-                if not on:
-                    continue
-                if axis == 0:
-                    xj, yj = jnp.full_like(X[k], np.float32(wpos)), Y[k]
-                else:
-                    xj, yj = X[k], jnp.full_like(Y[k], np.float32(wpos))
-                zero = jnp.zeros_like(X[k])
-                dfx, dfy, dtq, _ = pair(
-                    X[k], Y[k], VX[k], VY[k], OM[k], R[k],
-                    xj, yj, zero, zero, zero, zero,
-                    jnp.ones_like(row, dtype=bool), j_act=True,
-                )
-                fx += dfx
-                fy += dfy
-                tq += dtq
+
+            # walls: mirror disk of radius 0 on the plane (skipped for
+            # ranks >= kmax via a 0/1-trip loop; planes there are empty)
+            def wall_forces(_, acc, k=k):
+                afx, afy, atq = acc
+                for on, wpos, axis, horizontal in walls:
+                    if not on:
+                        continue
+                    if axis == 0:
+                        xj, yj = jnp.full_like(X[k], np.float32(wpos)), Y[k]
+                    else:
+                        xj, yj = X[k], jnp.full_like(Y[k], np.float32(wpos))
+                    zero = jnp.zeros_like(X[k])
+                    dfx, dfy, dtq, _ = pair(
+                        X[k], Y[k], VX[k], VY[k], OM[k], R[k],
+                        xj, yj, zero, zero, zero, zero,
+                        jnp.ones_like(row, dtype=bool), j_act=True,
+                    )
+                    afx = afx + dfx
+                    afy = afy + dfy
+                    atq = atq + dtq
+                return (afx, afy, atq)
+
+            fx, fy, tq = jax.lax.fori_loop(
+                0, jnp.where(k < kmax, 1, 0), wall_forces, (fx, fy, tq)
+            )
             Fx[k], Fy[k], Tq[k] = fx, fy, tq
             NC = nc if NC is None else NC + nc
         return Fx, Fy, Tq, NC
@@ -334,19 +355,24 @@ def dem_subcycle(
     assert cfg.kt == 0.0, "history springs use the XLA subcycle"
     ncxp = -(-grid.ncx // 128) * 128
     body_f = dem_ops.body_forces(disks, cfg)
-    slabs, slot, overflow = build_slabs(disks, f_hydro, t_hydro, body_f, grid)
+    slabs, slot, overflow, kmax = build_slabs(
+        disks, f_hydro, t_hydro, body_f, grid
+    )
     kernel = functools.partial(_dem_kernel, cfg=cfg, grid=grid, ncxp=ncxp)
     out = pl.pallas_call(
         kernel,
-        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct(slabs.shape, jnp.float32),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 2**20,
         ),
-        input_output_aliases={0: 0},
+        input_output_aliases={1: 0},
         interpret=_interpret(),
-    )(slabs)
+    )(kmax.reshape(1), slabs)
     # one row-gather back to disk order
     flat_t = out.reshape(_NCH, -1).T  # (nslots, NCH)
     ok = slot >= 0
