@@ -337,6 +337,162 @@ def fused_step_fluid(f: jax.Array, cfg: SimConfig, prehalo: bool = False) -> jax
     )(f)
 
 
+def _imb_reduce_kernel(
+    f_hbm, s_hbm, data_ref, cnt_ref, out_ref, part_ref, win, swin, sems,
+    ssems, *, cfg: SimConfig, th: int, tw: int, cap: int, eps_min: float,
+    sub: int,
+):
+    """IMB collide-stream tile + in-kernel hydro force reduction.
+
+    The momentum-exchange field phi never leaves VMEM: after the collide
+    pass, each of the tile's `sub` stamp-granularity (th x 128) sub-tiles
+    reduces its binned disks' share-weighted phi into per-slot partials
+    (pallas_stamp.reduce_partials). Replaces the separate reduce kernel
+    pass (one less launch, no phi/eps HBM round-trip).
+    """
+    from lbmdem_tpu.ops.pallas_stamp import reduce_partials
+
+    iy = pl.program_id(0)
+    ix = pl.program_id(1)
+    nty = pl.num_programs(0)
+    ntx = pl.num_programs(1)
+    lin = iy * ntx + ix
+    slot = jax.lax.rem(lin, jnp.int32(2))
+
+    def copies_for(step_lin, s):
+        y0, x0 = _tile_xy(step_lin, ntx, th, tw)
+        return _window_copies(
+            f_hbm, win.at[s], sems.at[s], y0, x0, th, tw, cfg.ny, cfg.nx,
+        ) + _window_copies(
+            s_hbm, swin.at[s], ssems.at[s], y0, x0, th, tw, cfg.ny, cfg.nx,
+        )
+
+    @pl.when(lin == 0)
+    def _():
+        for c in copies_for(lin, slot):
+            c.start()
+
+    @pl.when(lin + 1 < nty * ntx)
+    def _():
+        for c in copies_for(lin + 1, jax.lax.rem(lin + 1, jnp.int32(2))):
+            c.start()
+
+    for c in copies_for(lin, slot):
+        c.wait()
+    wv = win[slot, :, _HY - 1 : _HY + th + 1, :]
+    sv = swin[slot, :, _HY - 1 : _HY + th + 1, :]
+    fpost, phi = _collide_window(wv, cfg, eps=sv[0], usx=sv[1], usy=sv[2])
+    out_ref[:] = _stream_and_bb(fpost, cfg, th, tw, iy, ix, nty, ntx)
+
+    # hydro reduction on the tile interior (rows 1..th+1 of the window)
+    eps_t = jax.lax.slice(sv[0], (1, _HX), (1 + th, _HX + tw))
+    share_den = 1.0 / jnp.maximum(eps_t, eps_min)
+    wx = jax.lax.slice(phi[0], (1, _HX), (1 + th, _HX + tw)) * share_den
+    wy = jax.lax.slice(phi[1], (1, _HX), (1 + th, _HX + tw)) * share_den
+    y0f = (iy * th).astype(jnp.float32)
+    yy = y0f + jax.lax.broadcasted_iota(
+        jnp.int32, (th, 128), 0
+    ).astype(jnp.float32)
+    xiota = jax.lax.broadcasted_iota(jnp.int32, (th, 128), 1).astype(
+        jnp.float32
+    )
+    for s in range(sub):
+        x0f = (ix * tw + s * 128).astype(jnp.float32)
+        # max_ilp=4: the reduce body is inlined `sub` times here, and
+        # Mosaic compile time scales with the inlined instruction count
+        # (ilp 8 pushed this kernel to ~8 min); 4 keeps the pipeline
+        # filled with a quarter of the code.
+        part_ref[0, s] = reduce_partials(
+            lambda i, s=s: data_ref[0, s, i],
+            cnt_ref[0, s, 0],
+            yy,
+            x0f + xiota,
+            jax.lax.slice(wx, (0, s * 128), (th, (s + 1) * 128)),
+            jax.lax.slice(wy, (0, s * 128), (th, (s + 1) * 128)),
+            cap,
+            cfg,
+            max_ilp=4,
+        )
+
+
+def fused_step_imb_reduce(
+    f: jax.Array,
+    eps: jax.Array,
+    usx: jax.Array,
+    usy: jax.Array,
+    cfg: SimConfig,
+    tile_data: jax.Array,
+    counts: jax.Array,
+) -> Tuple[jax.Array, jax.Array]:
+    """One coupled LBM step with the hydro force reduction fused in.
+
+    tile_data/counts are the stamp binning (pallas_stamp, (n_tiles, 1,
+    cap*8) / (n_tiles, 1, 1) at 128-column stamp-tile granularity).
+    Returns (f_new, partials (n_tiles*cap, 4)); feed the partials to
+    pallas_stamp.gather_partials. Single-chip path only (the pre-haloed
+    multi-chip kernels keep the separate reduce pass).
+    """
+    from lbmdem_tpu.ops.imb import _EPS_MIN
+
+    assert f.dtype == jnp.float32
+    th, tw = tile_dims(cfg)
+    sub = tw // 128
+    nty, ntx = cfg.ny // th, cfg.nx // tw
+    n_tiles, one_, cap8 = tile_data.shape
+    cap = cap8 // 8
+    assert one_ == 1 and n_tiles == nty * ntx * sub
+    solid = jnp.stack(
+        [eps.astype(jnp.float32), usx.astype(jnp.float32),
+         usy.astype(jnp.float32)]
+    )
+    # stamp tile t_s = iy*ntx_s + ix*sub + s  <->  grid block (iy, ix)
+    # sub-row s: reshaping to (nty*ntx, sub, ...) keeps slot numbering
+    # (t_s*cap + rank) identical to the standalone reduce kernel's.
+    data3 = tile_data.reshape(nty * ntx, sub, cap8)
+    cnt3 = counts.reshape(nty * ntx, sub, 1)
+    kernel = functools.partial(
+        _imb_reduce_kernel, cfg=cfg, th=th, tw=tw, cap=cap,
+        eps_min=_EPS_MIN, sub=sub,
+    )
+    fnew, partials = pl.pallas_call(
+        kernel,
+        grid=(nty, ntx),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(
+                (1, sub, cap8), lambda i, j: (i * ntx + j, 0, 0),
+                memory_space=pltpu.SMEM,
+            ),
+            pl.BlockSpec(
+                (1, sub, 1), lambda i, j: (i * ntx + j, 0, 0),
+                memory_space=pltpu.SMEM,
+            ),
+        ],
+        out_specs=(
+            pl.BlockSpec((9, th, tw), lambda i, j: (0, i, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, sub, cap, 4), lambda i, j: (i * ntx + j, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((9, cfg.ny, cfg.nx), jnp.float32),
+            jax.ShapeDtypeStruct((nty * ntx, sub, cap, 4), jnp.float32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2, 9, th + 2 * _HY, tw + 2 * _HX), jnp.float32),
+            pltpu.VMEM((2, 3, th + 2 * _HY, tw + 2 * _HX), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, 9)),
+            pltpu.SemaphoreType.DMA((2, 9)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+        ),
+        interpret=_interpret(),
+    )(f, solid, data3, cnt3)
+    return fnew, partials.reshape(nty * ntx * sub * cap, 4)
+
+
 def _imb_kernel(
     f_hbm, s_hbm, out_ref, phi_ref, win, swin, sems, ssems, *,
     cfg: SimConfig, th: int, tw: int, prehalo: bool = False

@@ -42,7 +42,7 @@ _INTERPRET = False  # force-interpret override
 
 # disks evaluated per kernel loop iteration (issue-latency bound loops;
 # see _reduce_kernel). Effective factor is the largest divisor of cap.
-_ILP = 4
+_ILP = 8
 
 
 def tile_dims(cfg: SimConfig) -> Tuple[int, int]:
@@ -310,32 +310,29 @@ def stamp_solid_fraction(
     return fields[0], fields[1], fields[2], overflow
 
 
-def _reduce_kernel(
-    data_ref, cnt_ref, eps_ref, phi_ref, out_ref, *, cfg: SimConfig,
-    th: int, tw: int, cap: int, eps_min: float
-):
-    ty = pl.program_id(0)
-    tx = pl.program_id(1)
-    y0 = (ty * th).astype(jnp.float32)
-    x0 = (tx * tw).astype(jnp.float32)
-    yy = y0 + jax.lax.broadcasted_iota(jnp.int32, (th, tw), 0).astype(jnp.float32)
-    xx = x0 + jax.lax.broadcasted_iota(jnp.int32, (th, tw), 1).astype(jnp.float32)
+def reduce_partials(get, cnt, yy, xx, wx, wy, cap: int, cfg: SimConfig,
+                    max_ilp: int = 0):
+    """(cap, 4) per-slot [fx, fy, tq, 0] partials over one stamp tile.
+
+    `get(i)` reads scalar i of the tile's SMEM disk-data row (layout per
+    gather_tile_data); `cnt` is the tile's disk count; yy/xx are global
+    cell-center coordinate fields; wx/wy the share-denominated momentum
+    exchange. Shared by the standalone _reduce_kernel and the fused
+    IMB+reduce kernel (pallas_lbm._imb_reduce_kernel).
+    """
     ns = cfg.eps_samples
     inv_s2 = np.float32(1.0 / (ns * ns))
     offs = ((np.arange(ns) + 0.5) / ns - 0.5).astype(np.float32)
     slot_rows = jax.lax.broadcasted_iota(jnp.int32, (cap, 4), 0)
-
-    share_den = 1.0 / jnp.maximum(eps_ref[0], eps_min)
-    wx = phi_ref[0] * share_den
-    wy = phi_ref[1] * share_den
+    shape = yy.shape
 
     def one(k):
         """Per-disk partial (fx, fy, tq). Empty slots (zeroed data rows:
         px=py=rr=0) yield cov==0 identically, so over-iteration is safe."""
         base = k * 8
-        px = data_ref[0, 0, base + 0]
-        py = data_ref[0, 0, base + 1]
-        rr = data_ref[0, 0, base + 5]
+        px = get(base + 0)
+        py = get(base + 1)
+        rr = get(base + 5)
         rely = yy - py
         relx = xx - px
         r2 = rr * rr
@@ -348,7 +345,7 @@ def _reduce_kernel(
             # factor the squares: ns + ns maps instead of ns^2 recomputes
             dy2s = [(rely + sy) * (rely + sy) for sy in offs]
             dx2s = [(relx + sx) * (relx + sx) for sx in offs]
-            cov = jnp.zeros((th, tw), jnp.float32)
+            cov = jnp.zeros(shape, jnp.float32)
             for dy2 in dy2s:
                 for dx2 in dx2s:
                     cov = cov + jnp.where(dy2 + dx2 <= r2, inv_s2, 0.0)
@@ -366,7 +363,7 @@ def _reduce_kernel(
     # (not VPU throughput) bounds the loop; interleaving independent
     # chains fills the pipeline. ilp divides cap (cap is a shape bound),
     # so the over-iteration up to ceil(count/ilp)*ilp stays in bounds.
-    ilp = max(d for d in (_ILP, 2, 1) if cap % d == 0)
+    ilp = max(d for d in (max_ilp or _ILP, 2, 1) if cap % d == 0)
 
     def body(g, acc):
         k0 = g * ilp
@@ -377,11 +374,41 @@ def _reduce_kernel(
             vals = vals + jnp.where(slot_rows == k0 + j, row, 0.0)
         return acc + vals
 
-    groups = (cnt_ref[0, 0, 0] + (ilp - 1)) // ilp
-    acc = jax.lax.fori_loop(
+    groups = (cnt + (ilp - 1)) // ilp
+    return jax.lax.fori_loop(
         0, groups, body, jnp.zeros((cap, 4), jnp.float32)
     )
-    out_ref[0] = acc
+
+
+def gather_partials(flat, entry_slots, dtype) -> Tuple[jax.Array, jax.Array]:
+    """Sum each disk's <=4 per-tile partials via the binning's inverse
+    map (one small row-gather, no scatter): (F (N,2), T (N,))."""
+    pos = entry_slots  # (N, 4), -1 unused
+    got = jnp.where(
+        (pos >= 0)[..., None], flat[jnp.maximum(pos, 0)], 0.0
+    )  # (N, 4, 4)
+    tot = jnp.sum(got, axis=1)
+    return tot[:, :2].astype(dtype), tot[:, 2].astype(dtype)
+
+
+def _reduce_kernel(
+    data_ref, cnt_ref, eps_ref, phi_ref, out_ref, *, cfg: SimConfig,
+    th: int, tw: int, cap: int, eps_min: float
+):
+    ty = pl.program_id(0)
+    tx = pl.program_id(1)
+    y0 = (ty * th).astype(jnp.float32)
+    x0 = (tx * tw).astype(jnp.float32)
+    yy = y0 + jax.lax.broadcasted_iota(jnp.int32, (th, tw), 0).astype(jnp.float32)
+    xx = x0 + jax.lax.broadcasted_iota(jnp.int32, (th, tw), 1).astype(jnp.float32)
+
+    share_den = 1.0 / jnp.maximum(eps_ref[0], eps_min)
+    wx = phi_ref[0] * share_den
+    wy = phi_ref[1] * share_den
+    out_ref[0] = reduce_partials(
+        lambda i: data_ref[0, 0, i], cnt_ref[0, 0, 0], yy, xx, wx, wy,
+        cap, cfg,
+    )
 
 
 def reduce_hydro_forces(
@@ -432,12 +459,6 @@ def reduce_hydro_forces(
         ),
         interpret=_interpret(),
     )(tile_data, counts, eps_raw[None], phi)
-    flat = partials.reshape(nty * ntx * cap, 4)
-    pos = entry_slots  # (N, 4), -1 unused
-    got = jnp.where(
-        (pos >= 0)[..., None], flat[jnp.maximum(pos, 0)], 0.0
-    )  # (N, 4, 4)
-    tot = jnp.sum(got, axis=1)
-    F = tot[:, :2].astype(xp.dtype)
-    T = tot[:, 2].astype(xp.dtype)
-    return F, T
+    return gather_partials(
+        partials.reshape(nty * ntx * cap, 4), entry_slots, xp.dtype
+    )

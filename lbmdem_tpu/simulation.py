@@ -166,12 +166,13 @@ def make_step_fn(
                     d.x, d.v, d.omega, d.r, d.active, cfg,
                     binned=(tile_data, counts, None, None),
                 )
-                fnew, phix, phiy = pallas_lbm.fused_step_imb(
-                    state.f, eps, usx, usy, cfg
+                # IMB collide-stream with the hydro reduction fused in:
+                # phi never round-trips HBM (one less kernel pass)
+                fnew, partials = pallas_lbm.fused_step_imb_reduce(
+                    state.f, eps, usx, usy, cfg, tile_data, counts
                 )
-                fh, th = pallas_stamp.reduce_hydro_forces(
-                    d.x, d.r, d.active, eps, phix, phiy, cfg,
-                    tile_data, counts, entry_slots,
+                fh, th = pallas_stamp.gather_partials(
+                    partials, entry_slots, d.x.dtype
                 )
                 if use_slab_dem:
                     disks, ovf, nc = pallas_dem.dem_subcycle(d, fh, th, grid, cfg)

@@ -87,6 +87,36 @@ def test_bin_overflow_detected():
     assert int(ovf) > 0
 
 
+def test_fused_imb_reduce_matches_separate_passes():
+    """fused_step_imb_reduce == fused_step_imb + reduce_hydro_forces."""
+    from lbmdem_tpu.ops import pallas_lbm as pk
+
+    cfg, xp, vp, om, r, act = _setup(seed=5)
+    rng = np.random.default_rng(11)
+    with pytest.MonkeyPatch.context() as mp:
+        mp.setattr(pk, "_INTERPRET", True)
+        eps, usx, usy, _ = ps.stamp_solid_fraction(xp, vp, om, r, act, cfg)
+        f = lbm.init_equilibrium(cfg) * (
+            1.0 + 0.02 * jnp.asarray(
+                rng.standard_normal((9, 128, 256)), jnp.float32
+            )
+        )
+        tile_data, counts, entry_slots, _ = ps.bin_disks_to_tiles(
+            xp, vp, om, r, act, cfg
+        )
+        f1, phix, phiy = pk.fused_step_imb(f, eps, usx, usy, cfg)
+        F1, T1 = ps.reduce_hydro_forces(
+            xp, r, act, eps, phix, phiy, cfg, tile_data, counts, entry_slots
+        )
+        f2, partials = pk.fused_step_imb_reduce(
+            f, eps, usx, usy, cfg, tile_data, counts
+        )
+        F2, T2 = ps.gather_partials(partials, entry_slots, xp.dtype)
+    np.testing.assert_array_equal(np.asarray(f1), np.asarray(f2))
+    np.testing.assert_allclose(np.asarray(F1), np.asarray(F2), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(T1), np.asarray(T2), atol=1e-6)
+
+
 def test_coupled_step_pallas_path_matches_oracle():
     """Full coupled step via Simulation(use_pallas=True) vs oracle path
     (stamp+reduce kernels swapped in; lattice still oracle on CPU)."""

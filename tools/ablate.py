@@ -38,6 +38,14 @@ def build_variants(cfg, grid):
                  do_gather=True):
         def step(state, lists, counts, entry_slots):
             d = state.disks
+            if do_lbm == "floor":
+                # minimal live step: one f pass + disk touch = the
+                # irreducible fori/donation/traffic floor
+                return state._replace(
+                    f=state.f + jnp.float32(1e-30),
+                    disks=d._replace(x=d.x + tiny(d.v).astype(d.x.dtype)),
+                    step=state.step + 1,
+                )
             if do_bin:
                 lists, counts, entry_slots, _ = pallas_stamp.build_tile_lists(
                     d.x, d.active, cfg, margin=BIN_MARGIN
@@ -61,6 +69,19 @@ def build_variants(cfg, grid):
                 eps = jnp.zeros((cfg.ny, cfg.nx), jnp.float32) + live
                 usx = eps
                 usy = eps
+            if do_lbm == "fused":
+                # production path: IMB + in-kernel hydro reduction
+                fnew, partials = pallas_lbm.fused_step_imb_reduce(
+                    state.f, eps, usx, usy, cfg, tile_data, counts
+                )
+                fh, th = pallas_stamp.gather_partials(
+                    partials, entry_slots, d.x.dtype
+                )
+                disks, ovf, nc = pallas_dem.dem_subcycle(d, fh, th, grid, cfg)
+                return state._replace(
+                    f=fnew, disks=disks, step=state.step + 1,
+                    overflow=jnp.maximum(state.overflow, ovf), n_contacts=nc,
+                )
             if do_lbm:
                 fnew, phix, phiy = pallas_lbm.fused_step_imb(
                     state.f, eps, usx, usy, cfg
@@ -82,6 +103,19 @@ def build_variants(cfg, grid):
                 th = live.astype(d.x.dtype)
             if dem_kind == "slab":
                 disks, ovf, nc = pallas_dem.dem_subcycle(d, fh, th, grid, cfg)
+            elif dem_kind == "build":
+                # build_slabs only: isolates the XLA-side slab build from
+                # the kernel + exit gather
+                body_f = dem_ops.body_forces(d, cfg)
+                slabs, slot, ovf, kmax = pallas_dem.build_slabs(
+                    d, fh, th, body_f, grid
+                )
+                live = tiny(slabs[0, 0, 0, :2].sum()) + tiny(slot[0]) + tiny(kmax)
+                disks = d._replace(
+                    x=d.x + tiny(fh).astype(d.x.dtype) + live.astype(d.x.dtype),
+                    v=d.v + tiny(fh).astype(d.x.dtype),
+                )
+                nc = state.n_contacts
             elif dem_kind == "xla":
                 disks, ovf, nc = dem_ops.dem_subcycle(d, fh, th, grid, cfg)
             else:  # ablated: advance positions by a live function of fh
@@ -99,6 +133,8 @@ def build_variants(cfg, grid):
         return step
 
     return {
+        "floor": assemble(False, False, "floor", False, None),
+        "fused": assemble(False, True, "fused", True, "slab"),
         "full": assemble(False, True, True, True, "slab"),
         "full+bin": assemble(True, True, True, True, "slab"),
         "no-stamp": assemble(False, False, True, True, "slab"),
@@ -107,6 +143,7 @@ def build_variants(cfg, grid):
         "no-dem": assemble(False, True, True, True, None),
         "no-gather": assemble(False, True, True, True, "slab",
                               do_gather=False),
+        "dem-build": assemble(False, True, True, True, "build"),
         "xla-dem": assemble(False, True, True, True, "xla"),
     }
 
