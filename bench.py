@@ -110,9 +110,12 @@ def main():
     use_pallas = os.environ.get("BENCH_PALLAS", "1") == "1"
     # Smallest first: every completed stage refreshes the JSON line, so
     # the last line of stdout is always the biggest config that finished.
+    # chunk lengths scale inversely with grid size: the ~30 ms axon
+    # dispatch round-trip per run() call must stay small next to the
+    # chunk's on-device time, or small grids under-report.
     stages = [
-        (1024, 1024, 640, 100, 2),
-        (2048, 2048, 2500, 100, 2),
+        (1024, 1024, 640, 400, 2),
+        (2048, 2048, 2500, 200, 2),
         (4096, 4096, 10000, 100, 3),
     ]
     only = os.environ.get("BENCH_ONLY")  # e.g. "4096" to skip warmup stages

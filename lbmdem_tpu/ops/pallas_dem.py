@@ -373,8 +373,10 @@ def dem_subcycle(
         input_output_aliases={1: 0},
         interpret=_interpret(),
     )(kmax.reshape(1), slabs)
-    # one row-gather back to disk order
-    flat_t = out.reshape(_NCH, -1).T  # (nslots, NCH)
+    # one row-gather back to disk order; only the 6 integrated state
+    # channels (_X.._TH) leave slab layout - the force/NC channels are
+    # consumed in place, so the transpose moves 40% less
+    flat_t = out[:6].reshape(6, -1).T  # (nslots, 6)
     ok = slot >= 0
     g = flat_t[jnp.maximum(slot, 0)]  # (N, NCH)
     dt = disks.x.dtype
