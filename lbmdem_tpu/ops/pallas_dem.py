@@ -1,19 +1,33 @@
-"""Pallas DEM subcycle: the whole n_sub velocity-Verlet cycle on-chip.
+"""Pallas DEM subcycle: the whole n_sub velocity-Verlet cycle on-chip,
+banded over OCCUPIED broadphase-cell strips.
 
 The XLA subcycle (ops/dem.py) spends its time in per-substep row
 gathers (partner state changes every substep). This kernel removes
 gathers entirely with a *slab* layout:
 
-- Disks are slotted into a dense (K, ncy, ncx) grid of broadphase cells
+- Disks are slotted into a dense (K, R, C) grid of broadphase cells
   (rank-major planes), built once per LBM step from the existing cell
   table. Cells are >= 2 r_max + skin wide, so every possibly-touching
   partner of a disk lies in the 3x3 cell patch = the same plane set
   shifted by (dy, dc) - uniform shifts, no gathers.
-- All state planes live in VMEM for the whole subcycle; each substep
-  evaluates 3*3*K - 1 partner planes per rank with rolled+masked
-  shifts, adds wall/hydro/body forces, and integrates velocity-Verlet.
-- Empty slots carry r = 0 (inactive); self-pairs are excluded
-  statically.
+- All state planes live in VMEM for the whole subcycle; empty slots
+  carry r = 0 (inactive); self-pairs are excluded statically.
+
+Occupancy banding (the round-2 upgrade): real scenes are spatially
+sparse - the headline column collapse covers ~22% of the domain's x
+extent - so whole-plane substeps waste most of their vector work on
+empty cells.  Instead of plane-wide ops, every phase (force eval,
+kick+drift, second kick) is a `fori_loop` over just the *occupied*
+8-sublane bands, driven by a band table built with the binning (an
+SMEM list of row offsets + a count). State stays globally consistent
+in one VMEM buffer, so there is NO halo redundancy and no n_sub-deep
+halo: a band's force eval reads its +-8-row window in place, and bands
+with no disks are never touched (their slots pass through unchanged via
+input/output aliasing).  Because the sublane axis is the banded one,
+`build_slabs` can lay the planes out with either lattice axis as
+sublanes (`axis='x'` transposes) so the SPARSE axis gets the 8-cell
+banding granularity - the caller picks the axis from the initial disk
+extents (see choose_axis).
 
 Scope: kt == 0 (tangential dashpot friction). The history-spring path
 (kt > 0) falls back to the XLA subcycle, which remains the oracle for
@@ -49,29 +63,55 @@ _X, _Y, _VX, _VY, _OM, _TH, _R, _FHX, _FHY, _THQ = range(10)
 _NCH = 10
 
 
-def slab_supported(grid: DemGrid, n: int) -> bool:
-    """Feasibility gate: VMEM for ~10 f32 rank-plane sets, and a plane
-    size cap. Qualified on TPU v5e up to 241x256 planes (4096^2 domains
-    at cell_size 17): Mosaic compile 74 s, bit-exact vs the XLA oracle.
-    The cap tracks the largest *verified* compile, scaled ~1.3x."""
-    ncxp = -(-grid.ncx // 128) * 128
-    if grid.ncy * ncxp > 80000:
+def slab_dims(grid: DemGrid, axis: str) -> Tuple[int, int, int, int, int]:
+    """(ncs, ncl, R, C, nb): sublane/lane cell counts, padded plane rows
+    (8-row empty guard bands top+bottom so +-1-row windows never leave
+    the array), padded lane count, and the number of 8-row bands."""
+    ncs, ncl = (grid.ncy, grid.ncx) if axis == "y" else (grid.ncx, grid.ncy)
+    C = -(-ncl // 128) * 128
+    ncs_pad = -(-ncs // 8) * 8
+    return ncs, ncl, ncs_pad + 16, C, ncs_pad // 8
+
+
+def choose_axis(disks, cfg: SimConfig) -> str:
+    """Pick the slab sublane axis so the axis with the SMALLER relative
+    initial disk extent gets the 8-cell occupancy banding (e.g. the
+    column-collapse column spans 22% of x but 90% of y -> axis='x')."""
+    if not disks:
+        return "y"
+    xs = [d.x for d in disks]
+    ys = [d.y for d in disks]
+    span_x = (max(xs) - min(xs)) / max(cfg.nx, 1)
+    span_y = (max(ys) - min(ys)) / max(cfg.ny, 1)
+    return "x" if span_x < span_y else "y"
+
+
+def slab_supported(grid: DemGrid, n: int, axis: str = "y") -> bool:
+    """Feasibility gate: VMEM for the state planes + force scratch, and
+    a plane-size cap tracking the largest *verified* Mosaic compile
+    (qualified on TPU v5e up to 264x256 planes; 4096^2 domains at
+    cell_size 17)."""
+    ncs, ncl, R, C, nb = slab_dims(grid, axis)
+    if R * C > 90000:
         return False
-    bytes_ = _NCH * SLAB_K * grid.ncy * ncxp * 4
+    bytes_ = (_NCH * SLAB_K + 3 * SLAB_K + 1) * R * C * 4
     return bytes_ <= 48 * 2**20
 
 
 def build_slabs(
-    disks: DiskState, f_hydro, t_hydro, body_f, grid: DemGrid
-) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
-    """(slabs (NCH, K, ncy, ncxp) f32, slot_of_disk (N,) i32, overflow,
-    kmax () i32 - max occupied rank + 1, bounds the kernel rank loops).
+    disks: DiskState, f_hydro, t_hydro, body_f, grid: DemGrid,
+    axis: str = "y",
+):
+    """(slabs (NCH, K, R, C) f32, slot_of_disk (N,) i32, overflow,
+    kmax () i32 - max occupied rank + 1, bounding the kernel rank loops,
+    n_occ () i32 and band_offs (nb,) i32 - the occupancy band table:
+    the first n_occ entries are the plane-row offsets of the occupied
+    8-row bands, ascending).
 
     Inactive/empty slots get r = 0 and positions far outside the domain.
     """
     n = disks.x.shape[0]
-    ncxp = -(-grid.ncx // 128) * 128
-    ncells = grid.ncy * grid.ncx
+    ncs, ncl, R, C, nb = slab_dims(grid, axis)
 
     cid = dem_ops._cell_ids(disks.x, disks.active, grid)
     iota = jnp.arange(n, dtype=jnp.int32)
@@ -84,17 +124,27 @@ def build_slabs(
     # so the kernel can bound both rank loops by this scalar (cells
     # rarely hold >2 disks; pair work scales with kmax^2, not SLAB_K^2)
     kmax = jnp.clip(jnp.max(jnp.where(valid, rank, -1)) + 1, 0, SLAB_K)
-    # slot layout: (k, cy, cx) -> k * (ncy*ncxp) + cy * ncxp + cx
     cy = scid // grid.ncx
     cx = scid - cy * grid.ncx
-    slot = rank * (grid.ncy * ncxp) + cy * ncxp + cx
-    slot = jnp.where(valid, slot, SLAB_K * grid.ncy * ncxp)
+    cs, cl = (cy, cx) if axis == "y" else (cx, cy)
+    # slot layout: (k, s, l) -> k * (R*C) + (s + 8) * C + l
+    slot = rank * (R * C) + (cs + 8) * C + cl
+    slot = jnp.where(valid, slot, SLAB_K * R * C)
     overflow = jnp.sum((scid >= 0) & (rank >= SLAB_K)).astype(jnp.int32)
     slot_of_disk = (
         jnp.full((n,), -1, jnp.int32)
         .at[order]
         .set(jnp.where(valid, slot, -1).astype(jnp.int32))
     )
+
+    # occupancy band table: which 8-row strips hold any disk. nb is
+    # small (<= ~64), so a dense one-hot any() beats a scatter (XLA
+    # scatter serializes on TPU).
+    band = cs // 8
+    bids = jnp.arange(nb, dtype=jnp.int32)
+    occ = jnp.any((band[None, :] == bids[:, None]) & valid[None, :], axis=1)
+    n_occ = jnp.sum(occ).astype(jnp.int32)
+    band_offs = jax.lax.sort(jnp.where(occ, bids * 8 + 8, R).astype(jnp.int32))
 
     f32 = jnp.float32
     f_hydro = jnp.broadcast_to(f_hydro, (n, 2))
@@ -113,7 +163,7 @@ def build_slabs(
         (f_hydro[:, 1] + body_f[:, 1]).astype(f32),
         t_hydro.astype(f32),
     ]
-    nslots = SLAB_K * grid.ncy * ncxp
+    nslots = SLAB_K * R * C
     sdisk = order.astype(jnp.int32)
     # ONE row-scatter of (n, NCH) packed rows instead of NCH scalar
     # scatters: XLA scatter serializes per call on TPU (~ms each at 10k
@@ -124,49 +174,33 @@ def build_slabs(
         .at[jnp.where(valid, slot, nslots)]
         .set(packed, mode="drop")
     )
-    slabs = dense.T.reshape(_NCH, SLAB_K, grid.ncy, ncxp)
-    return slabs, slot_of_disk, overflow, kmax.astype(jnp.int32)
+    slabs = dense.T.reshape(_NCH, SLAB_K, R, C)
+    return slabs, slot_of_disk, overflow, kmax.astype(jnp.int32), n_occ, band_offs
 
 
-def _shift2(a, dy, dc, ncy, ncx):
-    """a rolled by (dy, dc) with out-of-grid rows/cols masked invalid
-    (returns shifted array; caller masks via the partner's r)."""
-    if dy:
-        a = pltpu.roll(a, (-dy) % a.shape[0], 0)
-    if dc:
-        a = pltpu.roll(a, (-dc) % a.shape[1], 1)
-    return a
-
-
-def _dem_kernel(kmax_ref, s_ref, out_ref, *, cfg: SimConfig, grid: DemGrid,
-                ncxp: int):
+def _dem_kernel(kmax_ref, nocc_ref, bands_ref, s_ref, out_ref, nc_ref, fscr,
+                *, cfg: SimConfig, ncl: int, R: int, C: int):
     K = SLAB_K
-    ncy = grid.ncy
     h = np.float32(1.0 / cfg.n_sub)
     kn, gn, gt, mu = (np.float32(cfg.kn), np.float32(cfg.gamma_n),
                       np.float32(cfg.gamma_t), np.float32(cfg.mu))
     rho_pi = np.float32(cfg.rho_s * np.pi)
+    kmax = kmax_ref[0]
+    nocc = nocc_ref[0]
 
-    row = jax.lax.broadcasted_iota(jnp.int32, (ncy, ncxp), 0)
-    col = jax.lax.broadcasted_iota(jnp.int32, (ncy, ncxp), 1)
-
-    def edge_ok(dy, dc):
-        ok = col + dc < grid.ncx  # also masks the ncx..ncxp padding
-        if dy > 0:
-            ok &= row < ncy - dy
-        if dy < 0:
-            ok &= row >= -dy
-        if dc > 0:
-            pass  # covered above
+    col = jax.lax.broadcasted_iota(jnp.int32, (8, C), 1)
+    oks = {}
+    for dc in (-1, 0, 1):
+        ok = col + dc < ncl  # also masks the ncl..C lane padding
         if dc < 0:
-            ok &= col >= -dc
-        return ok
+            ok = ok & (col >= -dc)
+        oks[dc] = ok
 
     walls = [
-        (cfg.bc_west == WALL, -0.5, 0, False),
-        (cfg.bc_east == WALL, cfg.nx - 0.5, 0, False),
-        (cfg.bc_south == WALL, -0.5, 1, True),
-        (cfg.bc_north == WALL, cfg.ny - 0.5, 1, True),
+        (cfg.bc_west == WALL, -0.5, 0),
+        (cfg.bc_east == WALL, cfg.nx - 0.5, 0),
+        (cfg.bc_south == WALL, -0.5, 1),
+        (cfg.bc_north == WALL, cfg.ny - 0.5, 1),
     ]
 
     def pair(xi, yi, vxi, vyi, omi, ri, xj, yj, vxj, vyj, omj, rj, extra_ok,
@@ -195,67 +229,76 @@ def _dem_kernel(kmax_ref, s_ref, out_ref, *, cfg: SimConfig, grid: DemGrid,
         ft = jnp.where(touching, ft, 0.0)
         return (fn * nx_ + ft * tx_, fn * ny_ + ft * ty_, -li * ft, touching)
 
-    kmax = kmax_ref[0]
+    def rd(ch, k, off):
+        return out_ref[ch, k, pl.ds(off, 8)]
 
-    def forces(state_ref, X, Y, VX, VY, OM, R):
-        # partners are read from state_ref planes (dynamic rank index
-        # k2 via fori_loop keeps the unroll at 9 pair bodies instead of
-        # 9*K^2 - Mosaic compile time blows up otherwise). Both rank
-        # loops are bounded by the step's max occupied rank (kmax):
-        # outer rank k >= kmax gets a zero-trip inner loop, so pair work
-        # scales with kmax^2 (cells rarely hold > 2 disks).
-        Fx = [None] * K
-        Fy = [None] * K
-        Tq = [None] * K
-        NC = None
+    # --- per-band phases (state lives IN the aliased out_ref; rows of
+    # untouched bands pass through as the input) ---
+
+    def band_force(i, c):
+        off = pl.multiple_of(bands_ref[i], 8)
+        woff = pl.multiple_of(off - 8, 8)
+        X = [rd(_X, k, off) for k in range(K)]
+        Y = [rd(_Y, k, off) for k in range(K)]
+        VX = [rd(_VX, k, off) for k in range(K)]
+        VY = [rd(_VY, k, off) for k in range(K)]
+        OM = [rd(_OM, k, off) for k in range(K)]
+        Rr = [rd(_R, k, off) for k in range(K)]
+        act = [(Rr[k] > 0).astype(jnp.float32) for k in range(K)]
+        nc_acc = jnp.zeros((8, C), jnp.float32)
         for k in range(K):
-            fx = jnp.zeros((ncy, ncxp), jnp.float32)
-            fy = jnp.zeros_like(fx)
-            tq = jnp.zeros_like(fx)
-            nc = jnp.zeros_like(fx)
+            zero = jnp.zeros((8, C), jnp.float32)
             trip = jnp.where(k < kmax, kmax, 0)
-            for dy in (-1, 0, 1):
-                for dc in (-1, 0, 1):
-                    ok = edge_ok(dy, dc)
-                    same_cell = dy == 0 and dc == 0
 
-                    def inner(k2, acc, dy=dy, dc=dc, ok=ok,
-                              same_cell=same_cell, k=k):
-                        afx, afy, atq, anc = acc
-                        sh = lambda ch: _shift2(
-                            state_ref[ch, k2], dy, dc, ncy, grid.ncx
-                        )
-                        okk = ok
-                        if same_cell:
-                            okk = ok & (k2 != k)
+            def inner(k2, acc, k=k):
+                afx, afy, atq, anc = acc
+                # partner window: this band +-8 rows of rank k2 (dynamic
+                # rank keeps the unroll at 9 pair bodies per k)
+                w = [out_ref[ch, k2, pl.ds(woff, 24)]
+                     for ch in (_X, _Y, _VX, _VY, _OM, _R)]
+                for dy in (-1, 0, 1):
+                    for dc in (-1, 0, 1):
+                        def sl(a, dy=dy, dc=dc):
+                            p = jax.lax.slice(a, (8 + dy, 0), (16 + dy, C))
+                            if dc:
+                                p = pltpu.roll(p, (-dc) % C, 1)
+                            return p
+                        okk = oks[dc]
+                        if dy == 0 and dc == 0:
+                            okk = okk & (k2 != k)
                         dfx, dfy, dtq, tt = pair(
-                            X[k], Y[k], VX[k], VY[k], OM[k], R[k],
-                            sh(_X), sh(_Y), sh(_VX), sh(_VY),
-                            sh(_OM), sh(_R), okk,
+                            X[k], Y[k], VX[k], VY[k], OM[k], Rr[k],
+                            sl(w[0]), sl(w[1]), sl(w[2]), sl(w[3]),
+                            sl(w[4]), sl(w[5]), okk,
                         )
-                        return (afx + dfx, afy + dfy, atq + dtq,
-                                anc + tt.astype(jnp.float32))
+                        afx = afx + dfx
+                        afy = afy + dfy
+                        atq = atq + dtq
+                        anc = anc + tt.astype(jnp.float32)
+                return (afx, afy, atq, anc)
 
-                    fx, fy, tq, nc = jax.lax.fori_loop(
-                        0, trip, inner, (fx, fy, tq, nc)
-                    )
+            fx, fy, tq, nck = jax.lax.fori_loop(
+                0, trip, inner, (zero, zero, zero, zero)
+            )
 
             # walls: mirror disk of radius 0 on the plane (skipped for
-            # ranks >= kmax via a 0/1-trip loop; planes there are empty)
+            # ranks >= kmax via a 0/1-trip loop; those rows are empty)
             def wall_forces(_, acc, k=k):
                 afx, afy, atq = acc
-                for on, wpos, axis, horizontal in walls:
+                for on, wpos, waxis in walls:
                     if not on:
                         continue
-                    if axis == 0:
-                        xj, yj = jnp.full_like(X[k], np.float32(wpos)), Y[k]
+                    if waxis == 0:
+                        xj = jnp.full_like(X[k], np.float32(wpos))
+                        yj = Y[k]
                     else:
-                        xj, yj = X[k], jnp.full_like(Y[k], np.float32(wpos))
-                    zero = jnp.zeros_like(X[k])
-                    dfx, dfy, dtq, _ = pair(
-                        X[k], Y[k], VX[k], VY[k], OM[k], R[k],
-                        xj, yj, zero, zero, zero, zero,
-                        jnp.ones_like(row, dtype=bool), j_act=True,
+                        xj = X[k]
+                        yj = jnp.full_like(Y[k], np.float32(wpos))
+                    zp = jnp.zeros_like(X[k])
+                    dfx, dfy, dtq, _t = pair(
+                        X[k], Y[k], VX[k], VY[k], OM[k], Rr[k],
+                        xj, yj, zp, zp, zp, zp,
+                        jnp.ones((8, C), dtype=bool), j_act=True,
                     )
                     afx = afx + dfx
                     afy = afy + dfy
@@ -265,120 +308,107 @@ def _dem_kernel(kmax_ref, s_ref, out_ref, *, cfg: SimConfig, grid: DemGrid,
             fx, fy, tq = jax.lax.fori_loop(
                 0, jnp.where(k < kmax, 1, 0), wall_forces, (fx, fy, tq)
             )
-            Fx[k], Fy[k], Tq[k] = fx, fy, tq
-            NC = nc if NC is None else NC + nc
-        return Fx, Fy, Tq, NC
+            fscr[0, k, pl.ds(off, 8)] = (fx + rd(_FHX, k, off)) * act[k]
+            fscr[1, k, pl.ds(off, 8)] = (fy + rd(_FHY, k, off)) * act[k]
+            fscr[2, k, pl.ds(off, 8)] = (tq + rd(_THQ, k, off)) * act[k]
+            nc_acc = nc_acc + nck
+        nc_ref[pl.ds(off, 8)] = jnp.maximum(nc_ref[pl.ds(off, 8)], nc_acc)
+        return c
 
-    # state lives IN the (aliased) output ref: each substep reads the
-    # planes it needs and writes the updated ones back, keeping the
-    # VMEM live set to one substep's temporaries (carrying 40 planes
-    # through fori_loop blew the Mosaic stack).
-    R = [s_ref[_R, k] for k in range(K)]
-    FHX = [s_ref[_FHX, k] for k in range(K)]
-    FHY = [s_ref[_FHY, k] for k in range(K)]
-    THQ = [s_ref[_THQ, k] for k in range(K)]
-    inv_m = [
-        jnp.where(R[k] > 0, 1.0 / (rho_pi * R[k] * R[k]), 0.0) for k in range(K)
-    ]
-    inv_i = [
-        jnp.where(R[k] > 0, inv_m[k] * 2.0 / jnp.maximum(R[k] * R[k], 1e-12), 0.0)
-        for k in range(K)
-    ]
-    act = [(R[k] > 0).astype(jnp.float32) for k in range(K)]
+    def _mass(Rk):
+        inv_m = jnp.where(Rk > 0, 1.0 / (rho_pi * Rk * Rk), 0.0)
+        inv_i = jnp.where(
+            Rk > 0, inv_m * 2.0 / jnp.maximum(Rk * Rk, 1e-12), 0.0
+        )
+        return inv_m, inv_i, (Rk > 0).astype(jnp.float32)
 
-    def total(X, Y, VX, VY, OM):
-        # callers guarantee state_ref (= out_ref) holds exactly
-        # (X, Y, VX, VY, OM) before calling
-        Fx, Fy, Tq, NC = forces(out_ref, X, Y, VX, VY, OM, R)
+    def band_kickdrift(i, c):
+        # v_half from the carried force; drift x/theta; publish v_half
+        # so the force eval reads (x_new, v_half) - same ordering as the
+        # XLA oracle.
+        off = pl.multiple_of(bands_ref[i], 8)
         for k in range(K):
-            Fx[k] = (Fx[k] + FHX[k]) * act[k]
-            Fy[k] = (Fy[k] + FHY[k]) * act[k]
-            Tq[k] = (Tq[k] + THQ[k]) * act[k]
-        return Fx, Fy, Tq, NC
+            inv_m, inv_i, a = _mass(rd(_R, k, off))
+            vxh = rd(_VX, k, off) + (0.5 * h) * fscr[0, k, pl.ds(off, 8)] * inv_m
+            vyh = rd(_VY, k, off) + (0.5 * h) * fscr[1, k, pl.ds(off, 8)] * inv_m
+            omh = rd(_OM, k, off) + (0.5 * h) * fscr[2, k, pl.ds(off, 8)] * inv_i
+            out_ref[_X, k, pl.ds(off, 8)] = rd(_X, k, off) + h * vxh * a
+            out_ref[_Y, k, pl.ds(off, 8)] = rd(_Y, k, off) + h * vyh * a
+            out_ref[_TH, k, pl.ds(off, 8)] = rd(_TH, k, off) + h * omh * a
+            out_ref[_VX, k, pl.ds(off, 8)] = vxh
+            out_ref[_VY, k, pl.ds(off, 8)] = vyh
+            out_ref[_OM, k, pl.ds(off, 8)] = omh
+        return c
 
-    def rd(ch):
-        return [out_ref[ch, k] for k in range(K)]
-
-    def wr(ch, planes):
+    def band_kick2(i, c):
+        off = pl.multiple_of(bands_ref[i], 8)
         for k in range(K):
-            out_ref[ch, k] = planes[k]
+            inv_m, inv_i, a = _mass(rd(_R, k, off))
+            out_ref[_VX, k, pl.ds(off, 8)] = (
+                rd(_VX, k, off) + (0.5 * h) * fscr[0, k, pl.ds(off, 8)] * inv_m
+            ) * a
+            out_ref[_VY, k, pl.ds(off, 8)] = (
+                rd(_VY, k, off) + (0.5 * h) * fscr[1, k, pl.ds(off, 8)] * inv_m
+            ) * a
+            out_ref[_OM, k, pl.ds(off, 8)] = (
+                rd(_OM, k, off) + (0.5 * h) * fscr[2, k, pl.ds(off, 8)] * inv_i
+            ) * a
+        return c
 
-    for ch in (_X, _Y, _VX, _VY, _OM, _TH):
-        wr(ch, [s_ref[ch, k] for k in range(K)])
-    for k in range(K):
-        out_ref[_R, k] = R[k]
+    # initial force eval (its nc side effects are wiped right after:
+    # the oracle counts contacts only at post-integration states)
+    jax.lax.fori_loop(0, nocc, band_force, 0)
+    nc_ref[...] = jnp.zeros((R, C), jnp.float32)
 
-    # one force eval per substep, forces carried across substeps (same
-    # ordering as the XLA oracle: F2 is computed with (x_new, v_half))
-    Fx0, Fy0, Tq0, _ = total(rd(_X), rd(_Y), rd(_VX), rd(_VY), rd(_OM))
+    def substep(_, c):
+        jax.lax.fori_loop(0, nocc, band_kickdrift, 0)
+        jax.lax.fori_loop(0, nocc, band_force, 0)
+        jax.lax.fori_loop(0, nocc, band_kick2, 0)
+        return c
 
-    def body(_, carry):
-        Fx, Fy, Tq, nc_carry = carry
-        X, Y = rd(_X), rd(_Y)
-        VX, VY, OM = rd(_VX), rd(_VY), rd(_OM)
-        TH = rd(_TH)
-        VXh = [VX[k] + (0.5 * h) * Fx[k] * inv_m[k] for k in range(K)]
-        VYh = [VY[k] + (0.5 * h) * Fy[k] * inv_m[k] for k in range(K)]
-        OMh = [OM[k] + (0.5 * h) * Tq[k] * inv_i[k] for k in range(K)]
-        X = [X[k] + h * VXh[k] * act[k] for k in range(K)]
-        Y = [Y[k] + h * VYh[k] * act[k] for k in range(K)]
-        TH = [TH[k] + h * OMh[k] * act[k] for k in range(K)]
-        # publish (x_new, v_half) so the force eval reads them
-        wr(_X, X)
-        wr(_Y, Y)
-        wr(_TH, TH)
-        wr(_VX, VXh)
-        wr(_VY, VYh)
-        wr(_OM, OMh)
-        Fx2, Fy2, Tq2, NC2 = total(X, Y, VXh, VYh, OMh)
-        wr(_VX, [(VXh[k] + (0.5 * h) * Fx2[k] * inv_m[k]) * act[k] for k in range(K)])
-        wr(_VY, [(VYh[k] + (0.5 * h) * Fy2[k] * inv_m[k]) * act[k] for k in range(K)])
-        wr(_OM, [(OMh[k] + (0.5 * h) * Tq2[k] * inv_i[k]) * act[k] for k in range(K)])
-        return (Fx2, Fy2, Tq2, jnp.maximum(nc_carry, NC2))
-
-    _, _, _, NC = jax.lax.fori_loop(
-        0, cfg.n_sub, body,
-        (Fx0, Fy0, Tq0, jnp.zeros((ncy, ncxp), jnp.float32)),
-    )
-    out_ref[_FHX, 0] = NC / jnp.float32(2.0)  # touching count (directed/2)
-    for k in range(1, K):
-        out_ref[_FHX, k] = jnp.zeros_like(NC)
-    for k in range(K):
-        out_ref[_FHY, k] = jnp.zeros_like(NC)
-        out_ref[_THQ, k] = jnp.zeros_like(NC)
+    jax.lax.fori_loop(0, cfg.n_sub, substep, 0)
 
 
 def dem_subcycle(
-    disks: DiskState, f_hydro, t_hydro, grid: DemGrid, cfg: SimConfig
+    disks: DiskState, f_hydro, t_hydro, grid: DemGrid, cfg: SimConfig,
+    axis: str = "y",
 ) -> Tuple[DiskState, jax.Array, jax.Array]:
     """Drop-in Pallas replacement for ops.dem.dem_subcycle (kt == 0)."""
     assert cfg.kt == 0.0, "history springs use the XLA subcycle"
-    ncxp = -(-grid.ncx // 128) * 128
+    ncs, ncl, R, C, nb = slab_dims(grid, axis)
     body_f = dem_ops.body_forces(disks, cfg)
-    slabs, slot, overflow, kmax = build_slabs(
-        disks, f_hydro, t_hydro, body_f, grid
+    slabs, slot, overflow, kmax, n_occ, band_offs = build_slabs(
+        disks, f_hydro, t_hydro, body_f, grid, axis
     )
-    kernel = functools.partial(_dem_kernel, cfg=cfg, grid=grid, ncxp=ncxp)
-    out = pl.pallas_call(
+    kernel = functools.partial(_dem_kernel, cfg=cfg, ncl=ncl, R=R, C=C)
+    out, ncpl = pl.pallas_call(
         kernel,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct(slabs.shape, jnp.float32),
+        out_specs=(
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct(slabs.shape, jnp.float32),
+            jax.ShapeDtypeStruct((R, C), jnp.float32),
+        ),
+        scratch_shapes=[pltpu.VMEM((3, SLAB_K, R, C), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 2**20,
         ),
-        input_output_aliases={1: 0},
+        input_output_aliases={3: 0},
         interpret=_interpret(),
-    )(kmax.reshape(1), slabs)
+    )(kmax.reshape(1), n_occ.reshape(1), band_offs, slabs)
     # one row-gather back to disk order; only the 6 integrated state
-    # channels (_X.._TH) leave slab layout - the force/NC channels are
-    # consumed in place, so the transpose moves 40% less
+    # channels (_X.._TH) leave slab layout
     flat_t = out[:6].reshape(6, -1).T  # (nslots, 6)
     ok = slot >= 0
-    g = flat_t[jnp.maximum(slot, 0)]  # (N, NCH)
+    g = flat_t[jnp.maximum(slot, 0)]  # (N, 6)
     dt = disks.x.dtype
 
     def pick(ch, old):
@@ -391,5 +421,6 @@ def dem_subcycle(
         omega=pick(_OM, disks.omega),
         theta=pick(_TH, disks.theta),
     )
-    nc = jnp.sum(out[_FHX], dtype=jnp.float32).astype(jnp.int32)
+    # contact count: per-cell max of directed-touching over substeps
+    nc = (jnp.sum(ncpl) * 0.5).astype(jnp.int32)
     return new, overflow, nc

@@ -40,12 +40,21 @@ def _wall_corr(i: int, uwx: float, uwy: float, cfg: SimConfig) -> float:
             * (float(lattice.E[i, 0]) * uwx + float(lattice.E[i, 1]) * uwy))
 
 
-def make_sharded_step_pallas(cfg: SimConfig, grid, mesh, h: int, w: int):
+def make_sharded_step_pallas(cfg: SimConfig, grid, mesh, h: int, w: int,
+                             dem_axis: str = "y"):
     from lbmdem_tpu.ops import pallas_lbm, pallas_stamp
     from lbmdem_tpu.simulation import SimState
     from lbmdem_tpu.parallel.sharding import state_specs
 
     coupled = cfg.max_disks > 0
+    use_slab_dem = False
+    if coupled and cfg.kt == 0.0:
+        from lbmdem_tpu.ops import pallas_dem
+
+        # disks are replicated and forces psum'd, so every shard runs
+        # the identical subcycle - the slab kernel drops in per shard
+        use_slab_dem = pallas_dem.slab_supported(grid, cfg.max_disks,
+                                                 dem_axis)
     ny_sh, nx_sh = mesh.shape["y"], mesh.shape["x"]
     two_d = nx_sh > 1
     prehalo = "yx" if two_d else True
@@ -205,7 +214,14 @@ def make_sharded_step_pallas(cfg: SimConfig, grid, mesh, h: int, w: int):
             )
             fh = jax.lax.psum(fh_p, ("y", "x"))
             th = jax.lax.psum(th_p, ("y", "x"))
-            disks, ovf, nc = dem.dem_subcycle(d, fh, th, grid, cfg)
+            if use_slab_dem:
+                from lbmdem_tpu.ops import pallas_dem
+
+                disks, ovf, nc = pallas_dem.dem_subcycle(
+                    d, fh, th, grid, cfg, dem_axis
+                )
+            else:
+                disks, ovf, nc = dem.dem_subcycle(d, fh, th, grid, cfg)
             return SimState(
                 f=fnew,
                 disks=disks,

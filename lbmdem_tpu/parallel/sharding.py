@@ -187,7 +187,7 @@ def _apply_bounce_back_sharded(
 
 def make_sharded_step(
     cfg: SimConfig, grid: Optional[DemGrid], mesh: Mesh,
-    use_pallas: bool = False,
+    use_pallas: bool = False, dem_axis: str = "y",
 ) -> Callable:
     """The full coupled step as a shard_map over the mesh.
 
@@ -210,7 +210,7 @@ def make_sharded_step(
     if use_pallas:
         from lbmdem_tpu.parallel._pallas_step import make_sharded_step_pallas
 
-        return make_sharded_step_pallas(cfg, grid, mesh, h, w)
+        return make_sharded_step_pallas(cfg, grid, mesh, h, w, dem_axis)
     # Local view: the shard behaves like a small lattice of shape (h, w)
     # whose cells map to globals via the (oy, ox) offset.
     local_cfg = cfg.replace(nx=w, ny=h)

@@ -117,7 +117,7 @@ def pallas_supported(cfg: SimConfig) -> Optional[str]:
 
 def make_step_fn(
     cfg: SimConfig, grid: Optional[DemGrid], use_pallas: bool = False,
-    tile_lists=None,
+    tile_lists=None, dem_axis: str = "y",
 ) -> Callable[[SimState], SimState]:
     """Build the fused per-step function (SURVEY SS3.2 rebuilt).
 
@@ -137,7 +137,7 @@ def make_step_fn(
         use_slab_dem = (
             coupled
             and cfg.kt == 0.0
-            and pallas_dem.slab_supported(grid, cfg.max_disks)
+            and pallas_dem.slab_supported(grid, cfg.max_disks, dem_axis)
         )
 
     def step(state: SimState) -> SimState:
@@ -175,7 +175,9 @@ def make_step_fn(
                     partials, entry_slots, d.x.dtype
                 )
                 if use_slab_dem:
-                    disks, ovf, nc = pallas_dem.dem_subcycle(d, fh, th, grid, cfg)
+                    disks, ovf, nc = pallas_dem.dem_subcycle(
+                        d, fh, th, grid, cfg, dem_axis
+                    )
                     return SimState(
                         f=fnew,
                         disks=disks,
@@ -263,6 +265,11 @@ class Simulation:
         self.cfg = cfg
         self.use_pallas = use_pallas
         self.mesh = mesh
+        # slab-DEM plane orientation: band the sparser lattice axis
+        # (static per compiled program; see pallas_dem.choose_axis)
+        from lbmdem_tpu.ops import pallas_dem
+
+        self.dem_axis = pallas_dem.choose_axis(disks, cfg)
         self.state = SimState(
             f=lbm.init_equilibrium(cfg),
             disks=dem.make_disk_state(disks, cfg),
@@ -274,10 +281,12 @@ class Simulation:
         if mesh is not None:
             from lbmdem_tpu.parallel import make_sharded_step, shard_state
 
-            self._step = make_sharded_step(cfg, self.grid, mesh, use_pallas)
+            self._step = make_sharded_step(cfg, self.grid, mesh, use_pallas,
+                                           dem_axis=self.dem_axis)
             self.state = shard_state(self.state, mesh)
         else:
-            self._step = make_step_fn(cfg, self.grid, use_pallas)
+            self._step = make_step_fn(cfg, self.grid, use_pallas,
+                                      dem_axis=self.dem_axis)
         self._chunk_cache = {}
         self.mlups_last = 0.0
 
@@ -309,6 +318,7 @@ class Simulation:
                     kstep = make_step_fn(
                         cfg, grid, True,
                         tile_lists=(lists, counts, entry_slots, d.x),
+                        dem_axis=self.dem_axis,
                     )
                     return jax.lax.fori_loop(0, k, lambda _, s: kstep(s), st)
 

@@ -3,6 +3,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from lbmdem_tpu.config import DiskSpec, SimConfig
 from lbmdem_tpu.ops import dem, pallas_dem
@@ -63,6 +64,57 @@ def test_slab_subcycle_with_hydro_and_gravity():
                                rtol=0, atol=2e-5)
     np.testing.assert_allclose(np.asarray(d_pal.v), np.asarray(d_ref.v),
                                rtol=0, atol=2e-5)
+
+
+@pytest.mark.parametrize("axis", ["y", "x"])
+def test_slab_axis_parity_sparse_column(axis):
+    """A narrow column (sparse in x, like the headline collapse) must
+    match the oracle under BOTH plane orientations - 'x' exercises the
+    transposed layout where occupancy banding skips most strips."""
+    cfg = _cfg(max_disks=32, n_sub=8)
+    rng = np.random.default_rng(11)
+    specs = [DiskSpec(rng.uniform(8.0, 28.0), rng.uniform(8.0, 120.0), 3.0,
+                      rng.uniform(-0.05, 0.05), rng.uniform(-0.05, 0.05),
+                      rng.uniform(-0.01, 0.01)) for _ in range(32)]
+    disks = dem.make_disk_state(specs, cfg, "float32")
+    grid = DemGrid.build(cfg, 3.0)
+    assert pallas_dem.choose_axis(specs, cfg) == "x"
+    fh = jnp.zeros((32, 2), jnp.float32)
+    th = jnp.zeros((32,), jnp.float32)
+    d_ref, ovf_r, _ = jax.jit(dem.dem_subcycle, static_argnums=(3, 4))(
+        disks, fh, th, grid, cfg)
+    d_pal, ovf_p, _ = jax.jit(
+        pallas_dem.dem_subcycle, static_argnums=(3, 4, 5))(
+        disks, fh, th, grid, cfg, axis)
+    assert int(ovf_p) == 0
+    np.testing.assert_allclose(np.asarray(d_pal.x), np.asarray(d_ref.x),
+                               rtol=0, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(d_pal.v), np.asarray(d_ref.v),
+                               rtol=0, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(d_pal.omega),
+                               np.asarray(d_ref.omega), rtol=0, atol=2e-5)
+
+
+def test_slab_band_table():
+    """Occupancy table marks exactly the strips that hold disks."""
+    cfg = _cfg(max_disks=3)
+    specs = [DiskSpec(20.0, 20.0, 3.0), DiskSpec(24.0, 20.0, 3.0),
+             DiskSpec(100.0, 110.0, 3.0)]
+    disks = dem.make_disk_state(specs, cfg, "float32")
+    grid = DemGrid.build(cfg, 3.0)
+    body = dem.body_forces(disks, cfg)
+    z2 = jnp.zeros((3, 2), jnp.float32)
+    z1 = jnp.zeros((3,), jnp.float32)
+    _, _, _, _, n_occ, offs = pallas_dem.build_slabs(
+        disks, z2, z1, body, grid, "y")
+    ncs, ncl, R, C, nb = pallas_dem.slab_dims(grid, "y")
+    offs = np.asarray(offs)
+    cys = np.floor((np.array([20.0, 20.0, 110.0]) + 0.5) / grid.cell_size)
+    assert int(n_occ) == len({int(c) // 8 for c in cys})
+    # occupied offsets are in-range interior rows; the rest are sentinel
+    assert (offs[: int(n_occ)] >= 8).all()
+    assert (offs[: int(n_occ)] <= R - 16).all()
+    assert (offs[int(n_occ):] == R).all()
 
 
 def test_slab_wall_contact():
