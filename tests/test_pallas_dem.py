@@ -119,7 +119,7 @@ def test_slab_band_table():
 
 def test_slab_wall_contact():
     """Disk resting on the south wall stays put in both paths."""
-    cfg = _cfg(g_py=-1e-3, gamma_n=8.0, n_sub=50)
+    cfg = _cfg(g_py=-1e-3, gamma_n=8.0, n_sub=20)
     disks = dem.make_disk_state([DiskSpec(64.0, 2.4, 3.0)], cfg, "float32")
     grid = DemGrid.build(cfg, 3.0)
     fh = jnp.zeros((1, 2), jnp.float32)
@@ -127,7 +127,7 @@ def test_slab_wall_contact():
     sub_r = jax.jit(dem.dem_subcycle, static_argnums=(3, 4))
     sub_p = jax.jit(pallas_dem.dem_subcycle, static_argnums=(3, 4))
     dr, dp = disks, disks
-    for _ in range(8):
+    for _ in range(5):
         dr, *_ = sub_r(dr, fh, th, grid, cfg)
         dp, *_ = sub_p(dp, fh, th, grid, cfg)
     np.testing.assert_allclose(np.asarray(dp.x), np.asarray(dr.x), atol=5e-5)

@@ -123,8 +123,10 @@ def test_coupled_step_pallas_path_matches_oracle():
     from lbmdem_tpu.config import DiskSpec
     from lbmdem_tpu.simulation import Simulation, make_step_fn
 
+    # tile_cap pinned small: Simulation would derive ~600 from r_min,
+    # and interpret-mode kernel loops execute per-slot (wall-time!)
     cfg = SimConfig(nx=256, ny=128, tau=0.8, dtype="float32", g_py=-1e-4,
-                    rho_s=2.0, kn=0.5, gamma_n=0.5, n_sub=5,
+                    rho_s=2.0, kn=0.5, gamma_n=0.5, n_sub=5, tile_cap=64,
                     bc_west="wall", bc_east="wall")
     disks = [DiskSpec(64.3, 96.2, 4.0), DiskSpec(130.0, 64.0, 3.0, vx=0.01)]
     ref = Simulation(cfg, disks)

@@ -94,10 +94,10 @@ def test_settling_pallas_path_parity():
     """Kernel path (stamp+fused IMB+reduce, interpret on CPU) tracks the
     oracle within the 1% settling parity budget."""
     cfg = _settling_cfg("float32").replace(nx=128)  # fused path: nx%128==0
-    # 400 steps: mid-acceleration, where path differences compound
+    # 250 steps: mid-acceleration, where path differences compound
     # fastest; the 1% budget applies to the instantaneous velocity.
-    _, _, ro = _run(cfg, [DiskSpec(64.3, 150.0, 5.0)], 400)
-    _, _, rp = _run(cfg, [DiskSpec(64.3, 150.0, 5.0)], 400, use_pallas=True)
+    _, _, ro = _run(cfg, [DiskSpec(64.3, 150.0, 5.0)], 250)
+    _, _, rp = _run(cfg, [DiskSpec(64.3, 150.0, 5.0)], 250, use_pallas=True)
     assert abs(ro[-1, 2]) > 1e-4  # sanity: the disk is really moving
     assert abs(rp[-1, 2] - ro[-1, 2]) < 0.01 * abs(ro[-1, 2])
 
