@@ -54,9 +54,16 @@ _HY = 8  # halo chunk rows (sublane granularity)
 _HX = 128  # halo chunk cols (lane granularity)
 
 
-def tile_dims(cfg: SimConfig) -> Tuple[int, int]:
+def tile_dims(cfg: SimConfig, wide: bool = False) -> Tuple[int, int]:
+    """64-row tiles; lane width by kernel flavor. wide=True (pure
+    fluid): tw=1024 measured +6.5% over 512 on 4096^2 (halo read amp
+    1.56x -> 1.41x); 2048+/th=128 crash the remote compile helper.
+    Coupled kernels stay at 512: the in-kernel reduce is inlined per
+    128-col sub-tile, and 8 inlined sub-tiles measured 2% SLOWER with a
+    4x compile time."""
     th = next((t for t in (64, 32, 16, 8) if cfg.ny % t == 0), None)
-    tw = next((t for t in (512, 256, 128) if cfg.nx % t == 0), None)
+    cands = (1024, 512, 256, 128) if wide else (512, 256, 128)
+    tw = next((t for t in cands if cfg.nx % t == 0), None)
     assert th and tw, (
         f"lattice {cfg.ny}x{cfg.nx} needs ny%8==0 and nx%128==0 for the "
         f"fused Pallas path"
@@ -313,7 +320,7 @@ def fused_step_fluid(f: jax.Array, cfg: SimConfig, prehalo: bool = False) -> jax
     rows are exchanged neighbor halos (multi-chip shards); cfg.ny is the
     local interior height and y-wall bounce-back is left to the caller."""
     assert f.dtype == jnp.float32, "Pallas path is float32 (use_pallas=False for f64)"
-    th, tw = tile_dims(cfg)
+    th, tw = tile_dims(cfg, wide=True)
     assert f.shape[1] == cfg.ny + (2 * _HY if prehalo else 0)
     assert f.shape[2] == cfg.nx + (2 * _HX if prehalo == "yx" else 0)
     kernel = functools.partial(_fluid_kernel, cfg=cfg, th=th, tw=tw,
@@ -487,6 +494,9 @@ def fused_step_imb_reduce(
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary"),
+            # tw=1024 windows need ~20 MB scoped VMEM (> the 16 MB
+            # default); well under the 128 MB/core physical budget
+            vmem_limit_bytes=48 * 2**20,
         ),
         interpret=_interpret(),
     )(f, solid, data3, cnt3)
