@@ -89,13 +89,14 @@ def choose_axis(disks, cfg: SimConfig) -> str:
 def slab_supported(grid: DemGrid, n: int, axis: str = "y") -> bool:
     """Feasibility gate: VMEM for the state planes + force scratch, and
     a plane-size cap tracking the largest *verified* Mosaic compile
-    (qualified on TPU v5e up to 264x256 planes; 4096^2 domains at
-    cell_size 17)."""
+    (qualified on TPU v5e up to 504x512 planes = 8192^2 domains at
+    cell_size 17: 33 s kernel compile, 1333 MLUPS/chip coupled,
+    tools/qualify_8192.py)."""
     ncs, ncl, R, C, nb = slab_dims(grid, axis)
-    if R * C > 90000:
+    if R * C > 270000:
         return False
     bytes_ = (_NCH * SLAB_K + 3 * SLAB_K + 1) * R * C * 4
-    return bytes_ <= 48 * 2**20
+    return bytes_ <= 72 * 2**20
 
 
 def build_slabs(
@@ -232,8 +233,16 @@ def _dem_kernel(kmax_ref, nocc_ref, bands_ref, s_ref, out_ref, nc_ref, fscr,
     def rd(ch, k, off):
         return out_ref[ch, k, pl.ds(off, 8)]
 
-    # --- per-band phases (state lives IN the aliased out_ref; rows of
-    # untouched bands pass through as the input) ---
+    # Initialize out_ref = input explicitly: input_output_aliases is an
+    # XLA *buffer* donation, NOT a guarantee that the kernel's VMEM
+    # output window starts with the input values - Mosaic may stage the
+    # output in a fresh buffer (observed at 8192^2-class planes: the
+    # unwritten rows came back zero). If Mosaic does alias in place the
+    # copy folds to a no-op read-write of the same VMEM.
+    out_ref[...] = s_ref[...]
+
+    # --- per-band phases (state lives IN out_ref; rows of untouched
+    # bands pass through as the just-copied input) ---
 
     def band_force(i, c):
         off = pl.multiple_of(bands_ref[i], 8)
