@@ -22,7 +22,7 @@ from lbmdem_tpu.ops import pallas_dem, pallas_lbm, pallas_stamp
 from lbmdem_tpu.simulation import BIN_MARGIN, SimState, Simulation
 
 
-def build_variants(cfg, grid):
+def build_variants(cfg, grid, axis="y"):
     """dict name -> step(state, lists, counts, entry_slots) -> state.
 
     The tile lists are passed in (built outside the loop at the Verlet
@@ -77,7 +77,9 @@ def build_variants(cfg, grid):
                 fh, th = pallas_stamp.gather_partials(
                     partials, entry_slots, d.x.dtype
                 )
-                disks, ovf, nc = pallas_dem.dem_subcycle(d, fh, th, grid, cfg)
+                disks, ovf, nc = pallas_dem.dem_subcycle(
+                    d, fh, th, grid, cfg, axis
+                )
                 return state._replace(
                     f=fnew, disks=disks, step=state.step + 1,
                     overflow=jnp.maximum(state.overflow, ovf), n_contacts=nc,
@@ -102,13 +104,15 @@ def build_variants(cfg, grid):
                 fh = jnp.stack([live, live], 1).astype(d.x.dtype)
                 th = live.astype(d.x.dtype)
             if dem_kind == "slab":
-                disks, ovf, nc = pallas_dem.dem_subcycle(d, fh, th, grid, cfg)
+                disks, ovf, nc = pallas_dem.dem_subcycle(
+                    d, fh, th, grid, cfg, axis
+                )
             elif dem_kind == "build":
                 # build_slabs only: isolates the XLA-side slab build from
                 # the kernel + exit gather
                 body_f = dem_ops.body_forces(d, cfg)
-                slabs, slot, ovf, kmax = pallas_dem.build_slabs(
-                    d, fh, th, body_f, grid
+                slabs, slot, ovf, kmax, n_occ, offs = pallas_dem.build_slabs(
+                    d, fh, th, body_f, grid, axis
                 )
                 live = tiny(slabs[0, 0, 0, :2].sum()) + tiny(slot[0]) + tiny(kmax)
                 disks = d._replace(
@@ -158,7 +162,7 @@ def main():
     cfg = cfg.replace(out_interval=10**9)
     sim = Simulation(cfg, disks, use_pallas=True)
     cfg, grid = sim.cfg, sim.grid
-    variants = build_variants(cfg, grid)
+    variants = build_variants(cfg, grid, sim.dem_axis)
     if names:
         variants = {k: variants[k] for k in names}
 
