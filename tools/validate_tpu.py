@@ -1,0 +1,61 @@
+"""Real-hardware physics validation: TPU float32 Pallas path vs the
+pinned float64 oracle golden (tests/golden/settling_r5_nx128_f64.csv).
+
+Settling-velocity parity is THE parity metric (BASELINE.json; the C
+reference is unavailable, so the f64 oracle trajectory is the pinned
+ground truth - SURVEY SS0/SS4). The CPU test suite already checks the
+interpret-mode kernels against the oracle; this tool closes the last
+gap by running the COMPILED kernels on the real TPU and holding the
+instantaneous settling velocity to the same <1% budget.
+
+Run: PYTHONPATH=/root/repo:/root/.axon_site python tools/validate_tpu.py
+"""
+
+import os
+
+import numpy as np
+
+
+def main():
+    import jax
+
+    from lbmdem_tpu.config import DiskSpec, SimConfig
+    from lbmdem_tpu.simulation import Simulation, make_step_fn
+
+    golden = np.loadtxt(
+        os.path.join(os.path.dirname(__file__), "..", "tests", "golden",
+                     "settling_r5_nx128_f64.csv"),
+        delimiter=",", skiprows=1,
+    )
+    cfg = SimConfig(nx=128, ny=192, tau=0.65, dtype="float32", g_py=-2e-5,
+                    rho_s=1.5, kn=0.5, gamma_n=1.0, n_sub=10, buoyancy=True,
+                    bc_west="wall", bc_east="wall")
+    sim = Simulation(cfg, [DiskSpec(64.3, 150.0, 5.0)], use_pallas=True)
+    step = make_step_fn(sim.cfg, sim.grid, True)
+    chunk = jax.jit(
+        lambda st: jax.lax.fori_loop(0, 100, lambda _, x: step(x), st)
+    )
+    s = sim.state
+    rows = []
+    for _ in range(golden.shape[0]):
+        s = chunk(s)
+        rows.append((float(s.disks.x[0, 1]), float(s.disks.v[0, 1])))
+    rows = np.array(rows)
+    print(f"platform: {jax.devices()[0].platform}")
+    # instantaneous velocity parity over the back half (acceleration +
+    # near-terminal), <1% of the oracle's velocity scale
+    vy_t = rows[len(rows) // 2:, 1]
+    vy_g = golden[len(rows) // 2:, 4]
+    scale = np.abs(vy_g).max()
+    err = np.abs(vy_t - vy_g).max() / scale
+    print(f"settling velocity: tpu {vy_t[-1]:.6e} vs golden {vy_g[-1]:.6e}")
+    print(f"max |dv|/scale over back half: {err:.4%}")
+    assert err < 0.01, f"settling-velocity parity {err:.4%} exceeds 1%"
+    y_err = abs(rows[-1, 0] - golden[-1, 2])
+    print(f"final y: tpu {rows[-1, 0]:.4f} vs golden {golden[-1, 2]:.4f} "
+          f"(|dy| = {y_err:.4f} cells)")
+    print("TPU PHYSICS VALIDATION OK")
+
+
+if __name__ == "__main__":
+    main()
