@@ -48,6 +48,7 @@ def test_slab_subcycle_matches_oracle():
     assert int(nc) > 0
 
 
+@pytest.mark.slow
 def test_slab_subcycle_with_hydro_and_gravity():
     cfg = _cfg(buoyancy=True, g_py=-2e-4, max_disks=12)
     disks = _disks(cfg, 12, r=3.0, seed=5)
@@ -66,6 +67,7 @@ def test_slab_subcycle_with_hydro_and_gravity():
                                rtol=0, atol=2e-5)
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("axis", ["y", "x"])
 def test_slab_axis_parity_sparse_column(axis):
     """A narrow column (sparse in x, like the headline collapse) must

@@ -42,6 +42,7 @@ def test_stamp_matches_oracle(method):
     np.testing.assert_allclose(np.asarray(uy1), np.asarray(uy2), atol=1e-6)
 
 
+@pytest.mark.slow
 def test_stamp_edge_disks():
     """Disks overlapping the domain boundary (windows partly outside)."""
     cfg, *_ = _setup()
@@ -87,6 +88,7 @@ def test_bin_overflow_detected():
     assert int(ovf) > 0
 
 
+@pytest.mark.slow
 def test_fused_imb_reduce_matches_separate_passes():
     """fused_step_imb_reduce == fused_step_imb + reduce_hydro_forces."""
     from lbmdem_tpu.ops import pallas_lbm as pk

@@ -90,6 +90,7 @@ def test_settling_fp32_parity(settling_f64):
     assert abs(r32[-1, 1] - row64[1]) < 0.05  # position drift < 0.05 cells
 
 
+@pytest.mark.slow
 def test_settling_pallas_path_parity():
     """Kernel path (stamp+fused IMB+reduce, interpret on CPU) tracks the
     oracle within the 1% settling parity budget."""

@@ -16,6 +16,49 @@ import os
 import numpy as np
 
 
+def _dkt():
+    """DKT on the compiled path vs the f64 oracle golden: quantitative
+    early-phase trajectory (pre-kissing; the post-tumble phase is
+    chaotic) + the qualitative drafting signature over the full run."""
+    import jax
+
+    from lbmdem_tpu.config import DiskSpec, SimConfig
+    from lbmdem_tpu.simulation import Simulation, make_step_fn
+
+    golden = np.loadtxt(
+        os.path.join(os.path.dirname(__file__), "..", "tests", "golden",
+                     "dkt_nx128_f64.csv"),
+        delimiter=",", skiprows=1,
+    )
+    cfg = SimConfig(nx=128, ny=256, tau=0.56, dtype="float32", g_py=-1e-4,
+                    rho_s=2.0, kn=1.0, gamma_n=1.0, mu=0.1, n_sub=10,
+                    buoyancy=True, bc_west="wall", bc_east="wall")
+    disks = [DiskSpec(64.2, 220.0, 5.0), DiskSpec(63.8, 204.0, 5.0)]
+    sim = Simulation(cfg, disks, use_pallas=True)
+    step = make_step_fn(sim.cfg, sim.grid, True)
+    chunk = jax.jit(
+        lambda st: jax.lax.fori_loop(0, 100, lambda _, x: step(x), st)
+    )
+    s = sim.state
+    rows = []
+    for _ in range(golden.shape[0]):
+        s = chunk(s)
+        rows.append((float(s.disks.x[0, 1]), float(s.disks.x[1, 1])))
+    rows = np.array(rows)
+    # early phase (first half): y-trajectories within 2% of a radius
+    half = len(rows) // 2
+    err = np.abs(rows[:half] - golden[:half, [2, 4]]).max()
+    print(f"DKT early-phase max |dy|: {err:.4f} cells (budget 0.1)")
+    assert err < 0.1, f"DKT early trajectory diverged: {err}"
+    # full-run drafting signature
+    gap0 = 16.0
+    gap1 = rows[-1, 0] - rows[-1, 1]
+    print(f"DKT drafting: gap {gap0} -> {gap1:.2f} "
+          f"(golden {golden[-1, 2] - golden[-1, 4]:.2f})")
+    assert gap1 < gap0 - 3.0, "no drafting on TPU path"
+    print("DKT OK")
+
+
 def main():
     import jax
 
@@ -54,6 +97,7 @@ def main():
     y_err = abs(rows[-1, 0] - golden[-1, 2])
     print(f"final y: tpu {rows[-1, 0]:.4f} vs golden {golden[-1, 2]:.4f} "
           f"(|dy| = {y_err:.4f} cells)")
+    _dkt()
     print("TPU PHYSICS VALIDATION OK")
 
 
