@@ -164,6 +164,29 @@ def test_pallas_sharded_coupled_matches(meshdims):
                                rtol=0, atol=1e-7)
 
 
+def test_pallas_sharded_coupled_axis_x_matches():
+    """Simulation(mesh=...) with a narrow disk column picks the
+    transposed ('x') slab orientation; the sharded fused path must
+    still match the unsharded fused path bit-for-bit-ish."""
+    mesh = _mesh(4, 1)
+    cfg = SimConfig(nx=256, ny=128, tau=0.8, dtype="float32", g_py=-1e-4,
+                    buoyancy=True, rho_s=2.0, kn=0.5, gamma_n=0.5, n_sub=5,
+                    bc_west="wall", bc_east="wall")
+    disks = [DiskSpec(20.0, 30.0, 3.0), DiskSpec(26.5, 90.0, 2.5),
+             DiskSpec(22.0, 64.0, 2.0, vx=0.01)]
+    s1 = Simulation(cfg, disks, use_pallas=True)
+    s2 = Simulation(cfg, disks, use_pallas=True, mesh=mesh)
+    assert s1.dem_axis == "x" and s2.dem_axis == "x"
+    for _ in range(3):
+        s1.step()
+        s2.step()
+    np.testing.assert_allclose(np.asarray(s1.state.f), np.asarray(s2.state.f),
+                               rtol=0, atol=2e-6)
+    np.testing.assert_allclose(np.asarray(s1.state.disks.x),
+                               np.asarray(s2.state.disks.x),
+                               rtol=0, atol=1e-6)
+
+
 def test_simulation_mesh_api_matches():
     """User-facing Simulation(mesh=...) == unsharded Simulation.run."""
     mesh = _mesh(2, 4)
