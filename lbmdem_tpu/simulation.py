@@ -65,20 +65,30 @@ def paranoid_wrap(step: Callable, cfg: SimConfig) -> Callable:
     coupled = cfg.max_disks > 0
 
     def wrapped(state: SimState) -> SimState:
-        def run(s):
-            new = step(s)
-            ok = jnp.all(jnp.isfinite(new.f))
-            ok &= jnp.all(jnp.sum(new.f, axis=0) > 0.0)
-            if coupled:
-                d = new.disks
-                ok &= jnp.all(jnp.isfinite(d.x)) & jnp.all(jnp.isfinite(d.v))
-                ok &= jnp.all(jnp.isfinite(d.omega))
-            ok &= new.overflow == 0
-            return new._replace(
-                fail_step=jnp.where(ok, jnp.int32(-1), new.step)
+        # The step runs UNCONDITIONALLY and the freeze is a value-level
+        # select: a `lax.cond` around a kernel-bearing step measured a
+        # ~27x remote-compile blowup on TPU (689 s for a 10-step chunk
+        # at 128^2 - branch duplication defeats buffer donation), while
+        # select compiles like the plain step. Post-failure steps waste
+        # compute, but failure is terminal: the chunk ends anyway.
+        new = step(state)
+        ok = jnp.all(jnp.isfinite(new.f))
+        ok &= jnp.all(jnp.sum(new.f, axis=0) > 0.0)
+        if coupled:
+            d = new.disks
+            ok &= jnp.all(jnp.isfinite(d.x)) & jnp.all(jnp.isfinite(d.v))
+            ok &= jnp.all(jnp.isfinite(d.omega))
+        ok &= new.overflow == 0
+        frozen = state.fail_step >= 0
+        out = jax.tree.map(
+            lambda old, fresh: jnp.where(frozen, old, fresh), state, new
+        )
+        return out._replace(
+            fail_step=jnp.where(
+                frozen, state.fail_step,
+                jnp.where(ok, jnp.int32(-1), new.step),
             )
-
-        return jax.lax.cond(state.fail_step < 0, run, lambda s: s, state)
+        )
 
     return wrapped
 
