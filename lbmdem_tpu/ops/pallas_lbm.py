@@ -313,22 +313,41 @@ def _fluid_kernel(f_hbm, out_ref, win, sems, *, cfg: SimConfig, th: int,
                                 prehalo=prehalo)
 
 
-def fused_step_fluid(f: jax.Array, cfg: SimConfig, prehalo: bool = False) -> jax.Array:
+def fused_step_fluid(f: jax.Array, cfg: SimConfig, prehalo: bool = False,
+                     out_buf: jax.Array = None) -> jax.Array:
     """One pure-fluid LBM step as a single fused Pallas kernel.
 
     prehalo=True takes f of shape (9, ny + 16, nx) whose first/last 8
     rows are exchanged neighbor halos (multi-chip shards); cfg.ny is the
-    local interior height and y-wall bounce-back is left to the caller."""
+    local interior height and y-wall bounce-back is left to the caller.
+
+    out_buf (same shape as the output) donates a DEAD buffer for the
+    result via input_output_aliases: without it, XLA's while-carry
+    in-place rule copies the kernel output back into the carry slot -
+    a full f copy (1.2 GB, ~1.8 ms at 4096^2) EVERY step. Callers that
+    loop ping-pong two f buffers (see Simulation._chunk_fn's unrolled
+    double step). Aliasing f itself would race: later tiles' halo
+    windows read rows earlier tiles already overwrote."""
     assert f.dtype == jnp.float32, "Pallas path is float32 (use_pallas=False for f64)"
     th, tw = tile_dims(cfg, wide=True)
     assert f.shape[1] == cfg.ny + (2 * _HY if prehalo else 0)
     assert f.shape[2] == cfg.nx + (2 * _HX if prehalo == "yx" else 0)
     kernel = functools.partial(_fluid_kernel, cfg=cfg, th=th, tw=tw,
                                prehalo=prehalo)
+    operands = [f]
+    in_specs = [pl.BlockSpec(memory_space=pltpu.ANY)]
+    aliases = {}
+    if out_buf is not None:
+        assert out_buf.shape == (9, cfg.ny, cfg.nx)
+        operands.append(out_buf)
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.ANY))
+        aliases = {1: 0}
+        inner = kernel
+        kernel = lambda f_hbm, dead, *rest: inner(f_hbm, *rest)
     return pl.pallas_call(
         kernel,
         grid=(cfg.ny // th, cfg.nx // tw),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec(
             (9, th, tw), lambda i, j: (0, i, j), memory_space=pltpu.VMEM
         ),
@@ -340,8 +359,9 @@ def fused_step_fluid(f: jax.Array, cfg: SimConfig, prehalo: bool = False) -> jax
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary"),
         ),
+        input_output_aliases=aliases,
         interpret=_interpret(),
-    )(f)
+    )(*operands)
 
 
 def _imb_reduce_kernel(
@@ -430,6 +450,7 @@ def fused_step_imb_reduce(
     cfg: SimConfig,
     tile_data: jax.Array,
     counts: jax.Array,
+    out_buf: jax.Array = None,
 ) -> Tuple[jax.Array, jax.Array]:
     """One coupled LBM step with the hydro force reduction fused in.
 
@@ -438,6 +459,9 @@ def fused_step_imb_reduce(
     Returns (f_new, partials (n_tiles*cap, 4)); feed the partials to
     pallas_stamp.gather_partials. Single-chip path only (the pre-haloed
     multi-chip kernels keep the separate reduce pass).
+
+    out_buf: dead f-shaped buffer donated for the output (see
+    fused_step_fluid - avoids XLA's 1.2 GB while-carry copy per step).
     """
     from lbmdem_tpu.ops.imb import _EPS_MIN
 
@@ -461,21 +485,32 @@ def fused_step_imb_reduce(
         _imb_reduce_kernel, cfg=cfg, th=th, tw=tw, cap=cap,
         eps_min=_EPS_MIN, sub=sub,
     )
+    in_specs = [
+        pl.BlockSpec(memory_space=pltpu.ANY),
+        pl.BlockSpec(memory_space=pltpu.ANY),
+        pl.BlockSpec(
+            (1, sub, cap8), lambda i, j: (i * ntx + j, 0, 0),
+            memory_space=pltpu.SMEM,
+        ),
+        pl.BlockSpec(
+            (1, sub, 1), lambda i, j: (i * ntx + j, 0, 0),
+            memory_space=pltpu.SMEM,
+        ),
+    ]
+    operands = [f, solid, data3, cnt3]
+    aliases = {}
+    if out_buf is not None:
+        assert out_buf.shape == f.shape
+        operands.append(out_buf)
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.ANY))
+        aliases = {4: 0}
+        inner = kernel
+        kernel = (lambda f_hbm, s_hbm, dref, cref, dead, *rest:
+                  inner(f_hbm, s_hbm, dref, cref, *rest))
     fnew, partials = pl.pallas_call(
         kernel,
         grid=(nty, ntx),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(
-                (1, sub, cap8), lambda i, j: (i * ntx + j, 0, 0),
-                memory_space=pltpu.SMEM,
-            ),
-            pl.BlockSpec(
-                (1, sub, 1), lambda i, j: (i * ntx + j, 0, 0),
-                memory_space=pltpu.SMEM,
-            ),
-        ],
+        in_specs=in_specs,
         out_specs=(
             pl.BlockSpec((9, th, tw), lambda i, j: (0, i, j),
                          memory_space=pltpu.VMEM),
@@ -498,8 +533,9 @@ def fused_step_imb_reduce(
             # default); well under the 128 MB/core physical budget
             vmem_limit_bytes=48 * 2**20,
         ),
+        input_output_aliases=aliases,
         interpret=_interpret(),
-    )(f, solid, data3, cnt3)
+    )(*operands)
     return fnew, partials.reshape(nty * ntx * sub * cap, 4)
 
 

@@ -64,14 +64,14 @@ def paranoid_wrap(step: Callable, cfg: SimConfig) -> Callable:
     """
     coupled = cfg.max_disks > 0
 
-    def wrapped(state: SimState) -> SimState:
+    def wrapped(state: SimState, f_scratch=None) -> SimState:
         # The step runs UNCONDITIONALLY and the freeze is a value-level
         # select: a `lax.cond` around a kernel-bearing step measured a
         # ~27x remote-compile blowup on TPU (689 s for a 10-step chunk
         # at 128^2 - branch duplication defeats buffer donation), while
         # select compiles like the plain step. Post-failure steps waste
         # compute, but failure is terminal: the chunk ends anyway.
-        new = step(state)
+        new = step(state, f_scratch)
         ok = jnp.all(jnp.isfinite(new.f))
         ok &= jnp.all(jnp.sum(new.f, axis=0) > 0.0)
         if coupled:
@@ -139,6 +139,14 @@ def make_step_fn(
     `tile_lists` = (lists, counts, entry_slots, x_bin) lets the caller
     amortize the stamp binning over several steps (see BIN_CADENCE);
     travel beyond BIN_MARGIN is counted into state.overflow.
+
+    The returned step takes an optional `f_scratch` (a dead f-shaped
+    buffer): on the Pallas paths the kernel output is written into it
+    via input_output_aliases, sidestepping XLA's while-carry in-place
+    rule that otherwise COPIES the whole f array every step (1.2 GB at
+    4096^2). Loop drivers ping-pong two buffers with an unrolled double
+    step (see Simulation._chunk_fn) so each carry slot keeps a fixed
+    allocation.
     """
     coupled = cfg.max_disks > 0
     if use_pallas:
@@ -150,7 +158,7 @@ def make_step_fn(
             and pallas_dem.slab_supported(grid, cfg.max_disks, dem_axis)
         )
 
-    def step(state: SimState) -> SimState:
+    def step(state: SimState, f_scratch=None) -> SimState:
         if coupled:
             d = state.disks
             if use_pallas:
@@ -179,7 +187,8 @@ def make_step_fn(
                 # IMB collide-stream with the hydro reduction fused in:
                 # phi never round-trips HBM (one less kernel pass)
                 fnew, partials = pallas_lbm.fused_step_imb_reduce(
-                    state.f, eps, usx, usy, cfg, tile_data, counts
+                    state.f, eps, usx, usy, cfg, tile_data, counts,
+                    out_buf=f_scratch,
                 )
                 fh, th = pallas_stamp.gather_partials(
                     partials, entry_slots, d.x.dtype
@@ -220,7 +229,8 @@ def make_step_fn(
             )
         else:
             if use_pallas:
-                fnew = pallas_lbm.fused_step_fluid(state.f, cfg)
+                fnew = pallas_lbm.fused_step_fluid(state.f, cfg,
+                                                   out_buf=f_scratch)
             else:
                 fnew = lbm.step_pure_fluid(state.f, cfg)
             return state._replace(f=fnew, step=state.step + 1)
@@ -305,8 +315,20 @@ class Simulation:
         self.state = jax.jit(self._step, donate_argnums=0)(self.state)
 
     def _chunk_fn(self, n: int):
+        # Pallas chunks ping-pong two f buffers with an unrolled DOUBLE
+        # step: each kernel writes its output into the other buffer via
+        # input_output_aliases (make_step_fn's f_scratch), and after two
+        # steps every while-carry slot holds its original allocation
+        # again - XLA's while in-place rule otherwise inserts a full f
+        # copy (1.2 GB at 4096^2) every iteration (seen as copy.333 in
+        # the profile, ~1.8 ms/step).
         if n not in self._chunk_cache:
             step = self._step
+
+            def double(s, sc, stepfn):
+                s1 = stepfn(s, sc)
+                s2 = stepfn(s1, s.f)
+                return s2, s1.f
 
             if self.use_pallas and self.cfg.max_disks > 0 and self.mesh is None:
                 # Verlet-cadence chunk: rebuild the stamp tile lists every
@@ -317,7 +339,8 @@ class Simulation:
                 cfg, grid = self.cfg, self.grid
                 n_outer, n_rem = divmod(n, BIN_CADENCE)
 
-                def k_steps(st, k):
+                def k_steps(carry, k):
+                    st, scr = carry
                     d = st.disks
                     lists, counts, entry_slots, bovf = (
                         pallas_stamp.build_tile_lists(
@@ -330,17 +353,37 @@ class Simulation:
                         tile_lists=(lists, counts, entry_slots, d.x),
                         dem_axis=self.dem_axis,
                     )
-                    return jax.lax.fori_loop(0, k, lambda _, s: kstep(s), st)
+                    k2, krem = divmod(k, 2)
+                    st, scr = jax.lax.fori_loop(
+                        0, k2, lambda _, c: double(c[0], c[1], kstep),
+                        (st, scr),
+                    )
+                    if krem:  # only in the trailing (outside-while) call
+                        st1 = kstep(st, scr)
+                        st, scr = st1, st.f
+                    return (st, scr)
 
                 def chunk(state):
+                    carry = (state, jnp.zeros_like(state.f))
                     if n_outer:
-                        state = jax.lax.fori_loop(
-                            0, n_outer, lambda _, s: k_steps(s, BIN_CADENCE),
-                            state,
+                        carry = jax.lax.fori_loop(
+                            0, n_outer,
+                            lambda _, c: k_steps(c, BIN_CADENCE), carry,
                         )
                     if n_rem:
-                        state = k_steps(state, n_rem)
-                    return state
+                        carry = k_steps(carry, n_rem)
+                    return carry[0]
+            elif self.use_pallas and self.mesh is None:
+
+                def chunk(state):
+                    n2, rem = divmod(n, 2)
+                    st, scr = jax.lax.fori_loop(
+                        0, n2, lambda _, c: double(c[0], c[1], step),
+                        (state, jnp.zeros_like(state.f)),
+                    )
+                    if rem:
+                        st = step(st, scr)
+                    return st
             else:
 
                 def chunk(state):
