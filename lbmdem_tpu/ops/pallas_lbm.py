@@ -587,11 +587,14 @@ def fused_step_imb(
     usy: jax.Array,
     cfg: SimConfig,
     prehalo: bool = False,
+    out_buf: jax.Array = None,
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """One coupled (Noble-Torczynski) LBM step as a fused Pallas kernel.
 
     Returns (f_new, phi_x, phi_y); stamping and force reduction are the
-    particle-indexed kernels in ops/pallas_stamp.py.
+    particle-indexed kernels in ops/pallas_stamp.py. out_buf: dead
+    f-output-shaped buffer donated for the result (see
+    fused_step_fluid - avoids the while-carry copy).
     """
     assert f.dtype == jnp.float32
     th, tw = tile_dims(cfg)
@@ -602,13 +605,24 @@ def fused_step_imb(
     )
     kernel = functools.partial(_imb_kernel, cfg=cfg, th=th, tw=tw,
                                prehalo=prehalo)
+    in_specs = [
+        pl.BlockSpec(memory_space=pltpu.ANY),
+        pl.BlockSpec(memory_space=pltpu.ANY),
+    ]
+    operands = [f, solid]
+    aliases = {}
+    if out_buf is not None:
+        assert out_buf.shape == (9, cfg.ny, cfg.nx)
+        operands.append(out_buf)
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.ANY))
+        aliases = {2: 0}
+        inner = kernel
+        kernel = (lambda f_hbm, s_hbm, dead, *rest:
+                  inner(f_hbm, s_hbm, *rest))
     fnew, phi = pl.pallas_call(
         kernel,
         grid=(cfg.ny // th, cfg.nx // tw),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
-        ],
+        in_specs=in_specs,
         out_specs=(
             pl.BlockSpec((9, th, tw), lambda i, j: (0, i, j), memory_space=pltpu.VMEM),
             pl.BlockSpec((2, th, tw), lambda i, j: (0, i, j), memory_space=pltpu.VMEM),
@@ -626,6 +640,7 @@ def fused_step_imb(
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary"),
         ),
+        input_output_aliases=aliases,
         interpret=_interpret(),
-    )(f, solid)
+    )(*operands)
     return fnew, phi[0], phi[1]

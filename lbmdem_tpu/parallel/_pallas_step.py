@@ -152,7 +152,9 @@ def make_sharded_step_pallas(cfg: SimConfig, grid, mesh, h: int, w: int,
 
     ix_int = slice(padx, padx + w)  # interior cols of the stamp canvas
 
-    def local_step(state: SimState) -> SimState:
+    def local_step(state: SimState, f_scratch) -> SimState:
+        # f_scratch: dead (9, h, w) shard donated for the kernel output
+        # (avoids XLA's while-carry copy; see pallas_lbm.fused_step_fluid)
         f = state.f  # (9, h, w) local
         f_ext = exchange(f)
 
@@ -174,7 +176,7 @@ def make_sharded_step_pallas(cfg: SimConfig, grid, mesh, h: int, w: int,
                 kernel_cols(eps[sl_y]),
                 kernel_cols(usx[sl_y]),
                 kernel_cols(usy[sl_y]),
-                local_cfg, prehalo=prehalo,
+                local_cfg, prehalo=prehalo, out_buf=f_scratch,
             )
             # global-edge bounce-back: recompute fpost on the edge
             # rows/cols with the oracle (identical formulas; 1-row/col)
@@ -230,7 +232,8 @@ def make_sharded_step_pallas(cfg: SimConfig, grid, mesh, h: int, w: int,
                 n_contacts=nc,
                 fail_step=state.fail_step,
             )
-        fnew = pallas_lbm.fused_step_fluid(f_ext, local_cfg, prehalo=prehalo)
+        fnew = pallas_lbm.fused_step_fluid(f_ext, local_cfg, prehalo=prehalo,
+                                           out_buf=f_scratch)
         col = lambda a: lbm.collide(a, cfg.tau, cfg.gx, cfg.gy, cfg.smagorinsky)
         fnew = fix_y_walls(fnew, col(f[:, 0:1, :]), col(f[:, -1:, :]))
         if two_d:
@@ -239,10 +242,16 @@ def make_sharded_step_pallas(cfg: SimConfig, grid, mesh, h: int, w: int,
 
     specs = state_specs()
     # check_vma=False: pallas_call outputs carry no varying-axis metadata
-    stepfn = jax.shard_map(
-        local_step, mesh=mesh, in_specs=(specs,), out_specs=specs,
+    sharded = jax.shard_map(
+        local_step, mesh=mesh, in_specs=(specs, specs.f), out_specs=specs,
         check_vma=False,
     )
+
+    def stepfn(state: SimState, f_scratch=None) -> SimState:
+        if f_scratch is None:
+            f_scratch = jnp.zeros_like(state.f)
+        return sharded(state, f_scratch)
+
     if cfg.paranoia:
         from lbmdem_tpu.simulation import paranoid_wrap
 

@@ -373,7 +373,9 @@ class Simulation:
                     if n_rem:
                         carry = k_steps(carry, n_rem)
                     return carry[0]
-            elif self.use_pallas and self.mesh is None:
+            elif self.use_pallas:
+                # pure fluid, or any sharded Pallas path (the sharded
+                # step takes f_scratch too and per-shard-aliases it)
 
                 def chunk(state):
                     n2, rem = divmod(n, 2)
