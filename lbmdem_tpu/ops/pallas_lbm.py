@@ -472,10 +472,14 @@ def fused_step_imb_reduce(
     n_tiles, one_, cap8 = tile_data.shape
     cap = cap8 // 8
     assert one_ == 1 and n_tiles == nty * ntx * sub
-    solid = jnp.stack(
-        [eps.astype(jnp.float32), usx.astype(jnp.float32),
-         usy.astype(jnp.float32)]
-    )
+    if usx is None:  # eps IS the stacked (3, ny, nx) solid fields
+        solid = eps
+        assert solid.shape == (3, cfg.ny, cfg.nx)
+    else:
+        solid = jnp.stack(
+            [eps.astype(jnp.float32), usx.astype(jnp.float32),
+             usy.astype(jnp.float32)]
+        )
     # stamp tile t_s = iy*ntx_s + ix*sub + s  <->  grid block (iy, ix)
     # sub-row s: reshaping to (nty*ntx, sub, ...) keeps slot numbering
     # (t_s*cap + rank) identical to the standalone reduce kernel's.

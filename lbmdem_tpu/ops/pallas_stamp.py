@@ -268,9 +268,12 @@ def _stamp_kernel(data_ref, cnt_ref, out_ref, *, cfg: SimConfig, th: int,
 
 
 def stamp_solid_fraction(
-    xp, vp, omega, r, active, cfg: SimConfig, binned=None
+    xp, vp, omega, r, active, cfg: SimConfig, binned=None, as_stack=False
 ) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
-    """Pallas stamp. Returns (eps_raw, us_x, us_y, bin_overflow).
+    """Pallas stamp. Returns (eps_raw, us_x, us_y, bin_overflow), or
+    with as_stack=True ((3, ny, nx) stacked fields, bin_overflow) - the
+    kernel writes the three planes as one array, so stacked consumers
+    (pallas_lbm.fused_step_imb_reduce) skip a 3-plane re-stack copy.
     Pass `binned` = bin_disks_to_tiles(...) to reuse one binning for
     both stamp and reduce within a step."""
     from lbmdem_tpu.ops.imb import _EPS_MIN
@@ -307,6 +310,8 @@ def stamp_solid_fraction(
         ),
         interpret=_interpret(),
     )(tile_data, counts)
+    if as_stack:
+        return fields, overflow
     return fields[0], fields[1], fields[2], overflow
 
 

@@ -180,14 +180,16 @@ def make_step_fn(
                     tile_data = pallas_stamp.gather_tile_data(
                         lists, d.x, d.v, d.omega, d.r, d.active
                     )
-                eps, usx, usy, _ = pallas_stamp.stamp_solid_fraction(
+                solid, _ = pallas_stamp.stamp_solid_fraction(
                     d.x, d.v, d.omega, d.r, d.active, cfg,
-                    binned=(tile_data, counts, None, None),
+                    binned=(tile_data, counts, None, None), as_stack=True,
                 )
                 # IMB collide-stream with the hydro reduction fused in:
-                # phi never round-trips HBM (one less kernel pass)
+                # phi never round-trips HBM (one less kernel pass); the
+                # stamp's stacked fields pass straight through (no
+                # 3-plane re-stack copy)
                 fnew, partials = pallas_lbm.fused_step_imb_reduce(
-                    state.f, eps, usx, usy, cfg, tile_data, counts,
+                    state.f, solid, None, None, cfg, tile_data, counts,
                     out_buf=f_scratch,
                 )
                 fh, th = pallas_stamp.gather_partials(

@@ -97,6 +97,32 @@ def test_slab_axis_parity_sparse_column(axis):
                                np.asarray(d_ref.omega), rtol=0, atol=2e-5)
 
 
+def test_slab_polydisperse_parity():
+    """Mixed radii (r in [2, 5]): per-slot radii drive pair overlap,
+    mass and inertia in the kernel - must match the oracle."""
+    cfg = _cfg(max_disks=20, n_sub=6)
+    rng = np.random.default_rng(17)
+    specs = [DiskSpec(rng.uniform(14.0, 70.0), rng.uniform(14.0, 70.0),
+                      float(rng.uniform(2.0, 5.0)),
+                      rng.uniform(-0.05, 0.05), rng.uniform(-0.05, 0.05),
+                      rng.uniform(-0.01, 0.01)) for _ in range(20)]
+    disks = dem.make_disk_state(specs, cfg, "float32")
+    grid = DemGrid.build(cfg, 5.0)
+    fh = jnp.zeros((20, 2), jnp.float32)
+    th = jnp.zeros((20,), jnp.float32)
+    d_ref, ovf_r, _ = jax.jit(dem.dem_subcycle, static_argnums=(3, 4))(
+        disks, fh, th, grid, cfg)
+    d_pal, ovf_p, nc = jax.jit(pallas_dem.dem_subcycle, static_argnums=(3, 4))(
+        disks, fh, th, grid, cfg)
+    assert int(ovf_p) == 0
+    np.testing.assert_allclose(np.asarray(d_pal.x), np.asarray(d_ref.x),
+                               rtol=0, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(d_pal.v), np.asarray(d_ref.v),
+                               rtol=0, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(d_pal.omega),
+                               np.asarray(d_ref.omega), rtol=0, atol=2e-5)
+
+
 def test_slab_band_table():
     """Occupancy table marks exactly the strips that hold disks."""
     cfg = _cfg(max_disks=3)
