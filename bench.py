@@ -107,21 +107,35 @@ def main():
 
     _probe_device()
 
+    budget = int(os.environ.get("BENCH_TIMEOUT_S", "1200"))
+    t_start = time.time()
     use_pallas = os.environ.get("BENCH_PALLAS", "1") == "1"
     # Smallest first: every completed stage refreshes the JSON line, so
     # the last line of stdout is always the biggest config that finished.
     # chunk lengths scale inversely with grid size: the ~30 ms axon
     # dispatch round-trip per run() call must stay small next to the
-    # chunk's on-device time, or small grids under-report.
+    # chunk's on-device time, or small grids under-report. The last
+    # field is the stage's worst-case cost estimate (remote compile +
+    # runs): a stage is skipped when the remaining alarm budget cannot
+    # cover it, so the 4096 north-star number always lands first. The
+    # 8192 showcase stage (qualified at 1574 MLUPS/chip) needs ~21 min
+    # of remote Mosaic compile alone, so it only runs when the driver
+    # grants BENCH_TIMEOUT_S >= ~2000 on top of the earlier stages.
     stages = [
-        (1024, 1024, 640, 400, 2),
-        (2048, 2048, 2500, 200, 2),
-        (4096, 4096, 10000, 100, 3),
+        (1024, 1024, 640, 400, 2, 120),
+        (2048, 2048, 2500, 200, 2, 150),
+        (4096, 4096, 10000, 100, 3, 300),
+        (8192, 8192, 40000, 50, 2, 1400),
     ]
     only = os.environ.get("BENCH_ONLY")  # e.g. "4096" to skip warmup stages
     if only:
         stages = [s for s in stages if s[0] == int(only)]
-    for nx, ny, nd, chunk, repeats in stages:
+    for nx, ny, nd, chunk, repeats, est_s in stages:
+        left = budget - (time.time() - t_start)
+        if _last_line is not None and left < est_s + 60:
+            print(f"bench: skipping {nx}x{ny} ({left:.0f}s left < "
+                  f"~{est_s}s est)", file=sys.stderr)
+            continue
         try:
             mlups = _run(nx, ny, nd, chunk, repeats, use_pallas)
         except Exception as e:

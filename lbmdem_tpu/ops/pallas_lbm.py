@@ -55,12 +55,13 @@ _HX = 128  # halo chunk cols (lane granularity)
 
 
 def tile_dims(cfg: SimConfig, wide: bool = False) -> Tuple[int, int]:
-    """64-row tiles; lane width by kernel flavor. wide=True (pure
-    fluid): tw=1024 measured +6.5% over 512 on 4096^2 (halo read amp
-    1.56x -> 1.41x); 2048+/th=128 crash the remote compile helper.
-    Coupled kernels stay at 512: the in-kernel reduce is inlined per
-    128-col sub-tile, and 8 inlined sub-tiles measured 2% SLOWER with a
-    4x compile time."""
+    """64-row tiles; lane width by kernel flavor. wide=True: tw=1024
+    measured +6.5% over 512 on pure fluid 4096^2 (halo read amp 1.56x
+    -> 1.41x) and +0.9% on the coupled single-chip reduce kernel (1450
+    vs 1438 MLUPS at 4096^2/10k, re-measured after the no-copy f
+    ping-pong shifted the balance); 2048+/th=128 crash the remote
+    compile helper. The multi-chip coupled kernel stays at 512
+    (unmeasured there; local shards are narrower)."""
     th = next((t for t in (64, 32, 16, 8) if cfg.ny % t == 0), None)
     cands = (1024, 512, 256, 128) if wide else (512, 256, 128)
     tw = next((t for t in cands if cfg.nx % t == 0), None)
@@ -466,7 +467,7 @@ def fused_step_imb_reduce(
     from lbmdem_tpu.ops.imb import _EPS_MIN
 
     assert f.dtype == jnp.float32
-    th, tw = tile_dims(cfg)
+    th, tw = tile_dims(cfg, wide=True)
     sub = tw // 128
     nty, ntx = cfg.ny // th, cfg.nx // tw
     n_tiles, one_, cap8 = tile_data.shape
