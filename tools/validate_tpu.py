@@ -59,6 +59,64 @@ def _dkt():
     print("DKT OK")
 
 
+def _cavity():
+    """Lid-driven cavity at Re=100 on the compiled moving-wall fused
+    kernel vs the Ghia, Ghia & Shin (1982) benchmark extrema.
+
+    External ground truth (the only one available to this repo - the C
+    reference publishes no fields): the centerline velocity extrema of
+    the steady Re=100 cavity, u_min = -0.2109 on the vertical
+    centerline, v_max = 0.1753 / v_min = -0.2453 on the horizontal
+    centerline (normalized by lid speed). A 128^2 D2Q9 BGK solution
+    with half-way bounce-back should land within a few % of the
+    spectral values; budget 4%."""
+    import jax
+    import jax.numpy as jnp
+
+    from lbmdem_tpu.config import SimConfig
+    from lbmdem_tpu.ops import lbm
+    from lbmdem_tpu.simulation import Simulation, make_step_fn
+
+    n, u_lid = 128, 0.1
+    nu = u_lid * n / 100.0  # Re = U L / nu = 100
+    cfg = SimConfig(nx=n, ny=n, tau=3.0 * nu + 0.5, dtype="float32",
+                    bc_west="wall", bc_east="wall", uw_north=u_lid)
+    sim = Simulation(cfg, [], use_pallas=True)
+    step = make_step_fn(sim.cfg, sim.grid, True)
+    chunk = jax.jit(
+        lambda st: jax.lax.fori_loop(0, 5000, lambda _, x: step(x), st)
+    )
+    s = sim.state
+    prev = None
+    for i in range(40):  # up to 200k steps; diffusive time ~ L^2/nu = 128k
+        s = chunk(s)
+        _, ux, uy = lbm.moments(s.f)
+        ux, uy = np.asarray(ux), np.asarray(uy)
+        if prev is not None:
+            d = max(np.abs(ux - prev[0]).max(), np.abs(uy - prev[1]).max())
+            if d < 2e-6:  # f32 velocity-field limit cycle is ~4e-6/5k
+                break     # steps at 150k; the extrema are stable by then
+        prev = (ux, uy)
+    print(f"cavity: steady after {(i + 1) * 5000} steps (d={d:.2e})")
+    # centerlines: cell centers at (j+0.5)/n; x=0.5 is between columns
+    u_c = 0.5 * (ux[:, n // 2 - 1] + ux[:, n // 2]) / u_lid
+    v_c = 0.5 * (uy[n // 2 - 1, :] + uy[n // 2, :]) / u_lid
+    checks = [
+        ("u_min (vert centerline)", float(u_c.min()), -0.2109),
+        ("v_max (horiz centerline)", float(v_c.max()), 0.1753),
+        ("v_min (horiz centerline)", float(v_c.min()), -0.2453),
+    ]
+    for name, got, ref in checks:
+        err = abs(got - ref) / abs(ref)
+        print(f"cavity {name}: {got:.4f} vs Ghia {ref:.4f} ({err:.2%})")
+        assert err < 0.04, f"cavity {name} off by {err:.2%} (budget 4%)"
+    y_min = (float(np.argmin(u_c)) + 0.5) / n
+    print(f"cavity u_min location y={y_min:.4f} (Ghia 0.4531)")
+    assert abs(y_min - 0.4531) < 0.05
+    assert bool(jnp.all(jnp.isfinite(s.f)))
+    print("CAVITY OK")
+
+
 def main():
     import jax
 
@@ -98,6 +156,7 @@ def main():
     print(f"final y: tpu {rows[-1, 0]:.4f} vs golden {golden[-1, 2]:.4f} "
           f"(|dy| = {y_err:.4f} cells)")
     _dkt()
+    _cavity()
     print("TPU PHYSICS VALIDATION OK")
 
 
