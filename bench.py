@@ -39,9 +39,12 @@ def _emit(metric, value):
     print(_last_line, flush=True)
 
 
-def _probe_device(timeout_s: int = 240):
+def _probe_device(timeout_s: int = 480):
     """Fail fast if the TPU attachment is wedged (observed r1: axon init
-    hang after a killed mid-compile client)."""
+    hang after a killed mid-compile client). The timeout must tolerate
+    a legitimately slow init: right after another TPU client exits, a
+    fresh client can take 2-4 min to reacquire the grant (measured
+    147 s) — 240 s misread that as a wedge and emitted a false zero."""
     import signal
 
     def _boom(sig, frm):
@@ -102,13 +105,15 @@ def main():
             }), flush=True)
         os._exit(3)
 
-    signal.signal(signal.SIGALRM, _on_alarm)
-    signal.alarm(int(os.environ.get("BENCH_TIMEOUT_S", "1200")))
-
-    _probe_device()
-
     budget = int(os.environ.get("BENCH_TIMEOUT_S", "1200"))
     t_start = time.time()
+    signal.signal(signal.SIGALRM, _on_alarm)
+
+    # The probe runs under its own alarm and CLEARS it on success, so
+    # the overall budget alarm must be (re)armed after it returns, with
+    # whatever the probe didn't spend.
+    _probe_device(min(480, max(60, budget - 300)))
+    signal.alarm(max(30, int(budget - (time.time() - t_start))))
     use_pallas = os.environ.get("BENCH_PALLAS", "1") == "1"
     # Smallest first: every completed stage refreshes the JSON line, so
     # the last line of stdout is always the biggest config that finished.
