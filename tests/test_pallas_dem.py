@@ -97,6 +97,7 @@ def test_slab_axis_parity_sparse_column(axis):
                                np.asarray(d_ref.omega), rtol=0, atol=2e-5)
 
 
+@pytest.mark.slow  # ~34 s; subcycle_matches_oracle covers the quick lane
 def test_slab_polydisperse_parity():
     """Mixed radii (r in [2, 5]): per-slot radii drive pair overlap,
     mass and inertia in the kernel - must match the oracle."""
@@ -145,6 +146,7 @@ def test_slab_band_table():
     assert (offs[int(n_occ):] == R).all()
 
 
+@pytest.mark.slow  # ~32 s; subcycle_matches_oracle covers the quick lane
 def test_slab_wall_contact():
     """Disk resting on the south wall stays put in both paths."""
     cfg = _cfg(g_py=-1e-3, gamma_n=8.0, n_sub=20)

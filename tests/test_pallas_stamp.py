@@ -119,7 +119,8 @@ def test_fused_imb_reduce_matches_separate_passes():
     np.testing.assert_allclose(np.asarray(T1), np.asarray(T2), atol=1e-6)
 
 
-def test_coupled_step_pallas_path_matches_oracle():
+@pytest.mark.slow  # ~58 s; the fused-vs-separate + stamp/reduce parities
+def test_coupled_step_pallas_path_matches_oracle():  # cover the quick lane
     """Full coupled step via Simulation(use_pallas=True) vs oracle path
     (stamp+reduce kernels swapped in; lattice still oracle on CPU)."""
     from lbmdem_tpu.config import DiskSpec

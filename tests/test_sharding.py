@@ -143,7 +143,10 @@ def test_pallas_sharded_cavity_matches(meshdims):
                                rtol=0, atol=1e-7)
 
 
-@pytest.mark.parametrize("meshdims", [(4, 1), (2, 2)])
+@pytest.mark.parametrize("meshdims", [
+    (4, 1),
+    pytest.param((2, 2), marks=pytest.mark.slow),  # ~85 s interpret-mode
+])
 def test_pallas_sharded_coupled_matches(meshdims):
     """Disks straddling shard boundaries through the fused kernels."""
     mesh = _mesh(*meshdims)
@@ -164,6 +167,7 @@ def test_pallas_sharded_coupled_matches(meshdims):
                                rtol=0, atol=1e-7)
 
 
+@pytest.mark.slow  # ~80 s interpret-mode; (4,1) coupled covers the quick lane
 def test_pallas_sharded_coupled_axis_x_matches():
     """Simulation(mesh=...) with a narrow disk column picks the
     transposed ('x') slab orientation; the sharded fused path must
