@@ -8,8 +8,10 @@ Hardened per VERDICT r1 (both round-1 driver artifacts timed out):
 - staged output: ONE JSON line is (re)printed after every completed
   config, smallest first, so even a driver kill mid-run leaves the
   best-so-far number as the last line of stdout;
-- the self-alarm defaults well under typical driver budgets (1200 s)
-  and on firing prints the best result seen so far, not a zero;
+- the self-alarm (default 2400 s — sized for a churn-degraded ~12 min
+  attachment init plus all three standard stages; an external kill
+  cannot erase already-printed stage lines) on firing prints the best
+  result seen so far, not a zero;
 - device init + one round-trip happen up front under that same alarm
   (init can legitimately take 2-6 min right after another TPU client
   exits, so no shorter fatal window is safe — see _probe_device).
@@ -98,7 +100,15 @@ def main():
             }), flush=True)
         os._exit(3)
 
-    budget = int(os.environ.get("BENCH_TIMEOUT_S", "1200"))
+    # Self-budget: every completed stage has ALREADY printed its JSON
+    # line, so an external kill after any stage still leaves the
+    # best-so-far number as the last stdout line — the self-alarm only
+    # converts a hang into a clean labeled exit. Sized for the worst
+    # observed attachment init (756 s after heavy client churn; it
+    # grows ~150->750 s as clients cycle) + all three standard stages
+    # (~420 s measured), so the 4096 north-star stage is reached even
+    # on a cold, churned attachment.
+    budget = int(os.environ.get("BENCH_TIMEOUT_S", "2400"))
     t_start = time.time()
     signal.signal(signal.SIGALRM, _on_alarm)
 
