@@ -91,13 +91,16 @@ def main():
 
     def _on_alarm(sig, frm):
         if _last_line is not None:
-            print(_last_line, flush=True)  # best-so-far wins, not a zero
-        else:
-            print(json.dumps({
-                "metric": "coupled LBM-DEM MLUPS/chip (timed out before "
-                          "any config finished)",
-                "value": 0.0, "unit": "MLUPS", "vs_baseline": 0.0,
-            }), flush=True)
+            # Out of budget with results in hand: reprint best-so-far
+            # and exit 0 — a completed-stage bench is a SUCCESS even if
+            # an optional bigger stage overran the alarm.
+            print(_last_line, flush=True)
+            os._exit(0)
+        print(json.dumps({
+            "metric": "coupled LBM-DEM MLUPS/chip (timed out before "
+                      "any config finished)",
+            "value": 0.0, "unit": "MLUPS", "vs_baseline": 0.0,
+        }), flush=True)
         os._exit(3)
 
     # Self-budget: every completed stage has ALREADY printed its JSON
@@ -124,13 +127,15 @@ def main():
     # runs): a stage is skipped when the remaining alarm budget cannot
     # cover it, so the 4096 north-star number always lands first. The
     # 8192 showcase stage (qualified at 1574 MLUPS/chip) needs ~21 min
-    # of remote Mosaic compile alone, so it only runs when the driver
-    # grants BENCH_TIMEOUT_S >= ~2000 on top of the earlier stages.
+    # of remote Mosaic compile alone; it runs only when >= 1660 s
+    # remain after init + the standard stages (BENCH_TIMEOUT_S roughly
+    # >= 2700 in practice), and overrunning the alarm mid-stage still
+    # exits 0 with the 4096 line as the final output.
     stages = [
         (1024, 1024, 640, 400, 2, 120),
         (2048, 2048, 2500, 200, 2, 150),
         (4096, 4096, 10000, 100, 3, 300),
-        (8192, 8192, 40000, 50, 2, 1400),
+        (8192, 8192, 40000, 50, 2, 1600),
     ]
     only = os.environ.get("BENCH_ONLY")  # e.g. "4096" to skip warmup stages
     if only:
