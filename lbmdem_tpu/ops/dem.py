@@ -45,6 +45,9 @@ class DemGrid:
     ncx: int
     ncy: int
     capacity: int
+    # the skin the grid was built with; the subcycle prunes its tight
+    # candidate list at this same gap so both stay consistent
+    skin: float = 1.0
 
     @staticmethod
     def build(
@@ -57,7 +60,8 @@ class DemGrid:
         cell = max(2.0 * float(r_max) + skin, 1.0)
         ncx = max(int(cfg.nx / cell) + 1, 1)
         ncy = max(int(cfg.ny / cell) + 1, 1)
-        return DemGrid(cell_size=cell, ncx=ncx, ncy=ncy, capacity=capacity)
+        return DemGrid(cell_size=cell, ncx=ncx, ncy=ncy, capacity=capacity,
+                       skin=skin)
 
 
 class DiskState(NamedTuple):
@@ -346,7 +350,8 @@ def dem_subcycle(
     # each substep gathers ~contact_cap rows instead of 9*K.
     table, ovf = build_cell_table(disks.x, disks.active, grid)
     cand = candidate_list(disks, table, grid)
-    cand, ovf_p = prune_candidates(disks, cand, cfg.contact_cap, skin=1.0)
+    cand, ovf_p = prune_candidates(disks, cand, cfg.contact_cap,
+                                   skin=grid.skin)
     ovf = jnp.maximum(ovf, ovf_p)
     body_f = body_forces(disks, cfg)  # position-independent
 

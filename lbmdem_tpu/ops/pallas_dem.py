@@ -86,7 +86,7 @@ def choose_axis(disks, cfg: SimConfig) -> str:
     return "x" if span_x < span_y else "y"
 
 
-def slab_supported(grid: DemGrid, n: int, axis: str = "y") -> bool:
+def slab_supported(grid: DemGrid, axis: str = "y") -> bool:
     """Feasibility gate: VMEM for the state planes + force scratch, and
     a plane-size cap tracking the largest *verified* Mosaic compile
     (qualified on TPU v5e up to 504x512 planes = 8192^2 domains at
@@ -109,7 +109,10 @@ def build_slabs(
     the first n_occ entries are the plane-row offsets of the occupied
     8-row bands, ascending).
 
-    Inactive/empty slots get r = 0 and positions far outside the domain.
+    Inactive disks never reach the slabs (their cell id is -1, so the
+    packed scatter drops them); empty slots hold all-zero rows.  Every
+    pair/wall evaluation therefore MUST mask on r > 0 — an all-zero
+    slot sits at the origin, not outside the domain.
     """
     n = disks.x.shape[0]
     ncs, ncl, R, C, nb = slab_dims(grid, axis)
@@ -151,10 +154,9 @@ def build_slabs(
     f_hydro = jnp.broadcast_to(f_hydro, (n, 2))
     t_hydro = jnp.broadcast_to(t_hydro, (n,))
     body_f = jnp.broadcast_to(body_f, (n, 2))
-    far = jnp.where(disks.active, 0.0, 1e6).astype(f32)
     fields = [
-        disks.x[:, 0].astype(f32) + far,
-        disks.x[:, 1].astype(f32) - far,
+        disks.x[:, 0].astype(f32),
+        disks.x[:, 1].astype(f32),
         disks.v[:, 0].astype(f32),
         disks.v[:, 1].astype(f32),
         disks.omega.astype(f32),
@@ -244,7 +246,7 @@ def _dem_kernel(kmax_ref, nocc_ref, bands_ref, s_ref, out_ref, nc_ref, fscr,
     # --- per-band phases (state lives IN out_ref; rows of untouched
     # bands pass through as the just-copied input) ---
 
-    def band_force(i, c):
+    def band_force(i, nc_tot):
         off = pl.multiple_of(bands_ref[i], 8)
         woff = pl.multiple_of(off - 8, 8)
         X = [rd(_X, k, off) for k in range(K)]
@@ -321,8 +323,9 @@ def _dem_kernel(kmax_ref, nocc_ref, bands_ref, s_ref, out_ref, nc_ref, fscr,
             fscr[1, k, pl.ds(off, 8)] = (fy + rd(_FHY, k, off)) * act[k]
             fscr[2, k, pl.ds(off, 8)] = (tq + rd(_THQ, k, off)) * act[k]
             nc_acc = nc_acc + nck
-        nc_ref[pl.ds(off, 8)] = jnp.maximum(nc_ref[pl.ds(off, 8)], nc_acc)
-        return c
+        # directed-touching count of this band, accumulated into the
+        # per-force-eval total carried by the fori_loop
+        return nc_tot + jnp.sum(nc_acc)
 
     def _mass(Rk):
         inv_m = jnp.where(Rk > 0, 1.0 / (rho_pi * Rk * Rk), 0.0)
@@ -364,14 +367,17 @@ def _dem_kernel(kmax_ref, nocc_ref, bands_ref, s_ref, out_ref, nc_ref, fscr,
             ) * a
         return c
 
-    # initial force eval (its nc side effects are wiped right after:
-    # the oracle counts contacts only at post-integration states)
-    jax.lax.fori_loop(0, nocc, band_force, 0)
-    nc_ref[...] = jnp.zeros((R, C), jnp.float32)
+    # n_contacts matches the XLA oracle: the max over force evaluations
+    # (initial state included, like the oracle's nc0 seed) of the GLOBAL
+    # directed-touching sum. A global scalar per eval is the only
+    # correct granularity — a per-cell max would overcount pairs that
+    # migrate between broadphase cells mid-subcycle.
+    nc_ref[0] = jax.lax.fori_loop(0, nocc, band_force, jnp.float32(0.0))
 
     def substep(_, c):
         jax.lax.fori_loop(0, nocc, band_kickdrift, 0)
-        jax.lax.fori_loop(0, nocc, band_force, 0)
+        tot = jax.lax.fori_loop(0, nocc, band_force, jnp.float32(0.0))
+        nc_ref[0] = jnp.maximum(nc_ref[0], tot)
         jax.lax.fori_loop(0, nocc, band_kick2, 0)
         return c
 
@@ -390,7 +396,7 @@ def dem_subcycle(
         disks, f_hydro, t_hydro, body_f, grid, axis
     )
     kernel = functools.partial(_dem_kernel, cfg=cfg, ncl=ncl, R=R, C=C)
-    out, ncpl = pl.pallas_call(
+    out, nc_s = pl.pallas_call(
         kernel,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
@@ -400,11 +406,11 @@ def dem_subcycle(
         ],
         out_specs=(
             pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
         ),
         out_shape=(
             jax.ShapeDtypeStruct(slabs.shape, jnp.float32),
-            jax.ShapeDtypeStruct((R, C), jnp.float32),
+            jax.ShapeDtypeStruct((1,), jnp.float32),
         ),
         scratch_shapes=[pltpu.VMEM((3, SLAB_K, R, C), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
@@ -430,6 +436,53 @@ def dem_subcycle(
         omega=pick(_OM, disks.omega),
         theta=pick(_TH, disks.theta),
     )
-    # contact count: per-cell max of directed-touching over substeps
-    nc = (jnp.sum(ncpl) * 0.5).astype(jnp.int32)
+    # Active disks the slab could NOT slot (rank >= SLAB_K overflow)
+    # must not freeze in place while the XLA oracle keeps integrating
+    # them: give them a contact-free Verlet fallback (hydro + body +
+    # walls). The traced zero-trip bound skips all the work in the
+    # common overflow == 0 case (Mosaic/XLA skip zero-trip loops).
+    leftover = disks.active & ~ok
+    new = _leftover_fallback(new, disks, leftover, overflow, f_hydro,
+                             t_hydro, body_f, cfg)
+    # contact count: max over force evals of the global directed sum / 2
+    nc = (nc_s[0] * 0.5).astype(jnp.int32)
     return new, overflow, nc
+
+
+def _leftover_fallback(new, disks, leftover, overflow, f_hydro, t_hydro,
+                       body_f, cfg):
+    """Velocity-Verlet (no disk-disk contacts) for un-slotted disks."""
+    dt = disks.x.dtype
+    h = jnp.asarray(1.0 / cfg.n_sub, dt)
+    inv_m = jnp.where(leftover, 1.0 / disks.mass, 0.0)
+    inv_i = jnp.where(leftover, 1.0 / disks.inertia, 0.0)
+    lo2 = leftover[:, None]
+
+    def force(d):
+        Fw, Tw, _ = dem_ops.wall_forces(d, cfg)
+        return ((Fw + f_hydro + body_f) * lo2,
+                (Tw + t_hydro) * leftover)
+
+    def body(_, carry):
+        d, F, T = carry
+        vh = d.v + (0.5 * h) * F * inv_m[:, None]
+        omh = d.omega + (0.5 * h) * T * inv_i
+        d = d._replace(
+            x=d.x + h * vh * lo2, theta=d.theta + h * omh * leftover
+        )
+        F2, T2 = force(d._replace(v=vh, omega=omh))
+        d = d._replace(
+            v=jnp.where(lo2, vh + (0.5 * h) * F2 * inv_m[:, None], d.v),
+            omega=jnp.where(leftover, omh + (0.5 * h) * T2 * inv_i, d.omega),
+        )
+        return (d, F2, T2)
+
+    trip = jnp.where(overflow > 0, cfg.n_sub, 0)
+    F0, T0 = force(disks)
+    d_fb, _, _ = jax.lax.fori_loop(0, trip, body, (disks, F0, T0))
+    return new._replace(
+        x=jnp.where(lo2, d_fb.x, new.x),
+        v=jnp.where(lo2, d_fb.v, new.v),
+        omega=jnp.where(leftover, d_fb.omega, new.omega),
+        theta=jnp.where(leftover, d_fb.theta, new.theta),
+    )

@@ -25,19 +25,11 @@ import jax.numpy as jnp
 from lbmdem_tpu import lattice
 from lbmdem_tpu.config import SimConfig, WALL
 from lbmdem_tpu.ops import dem, imb, lbm
+from lbmdem_tpu.parallel.sharding import _ring_perm, _wall_corr
 
 _HY = 8  # halo rows exchanged (kernel sublane DMA granule)
 _HX = 128  # halo cols exchanged for 2D meshes (lane DMA granule)
 _PAD = 32  # stamp-canvas padding rows/cols per side (tile divisor)
-
-
-def _ring_perm(n: int, shift: int):
-    return [(i, (i + shift) % n) for i in range(n)]
-
-
-def _wall_corr(i: int, uwx: float, uwy: float, cfg: SimConfig) -> float:
-    return (6.0 * float(lattice.W[i]) * cfg.rho0
-            * (float(lattice.E[i, 0]) * uwx + float(lattice.E[i, 1]) * uwy))
 
 
 def make_sharded_step_pallas(cfg: SimConfig, grid, mesh, h: int, w: int,
@@ -53,13 +45,11 @@ def make_sharded_step_pallas(cfg: SimConfig, grid, mesh, h: int, w: int,
 
         # disks are replicated and forces psum'd, so every shard runs
         # the identical subcycle - the slab kernel drops in per shard
-        use_slab_dem = pallas_dem.slab_supported(grid, cfg.max_disks,
-                                                 dem_axis)
+        use_slab_dem = pallas_dem.slab_supported(grid, dem_axis)
     ny_sh, nx_sh = mesh.shape["y"], mesh.shape["x"]
     two_d = nx_sh > 1
     prehalo = "yx" if two_d else True
     padx = _PAD if two_d else 0
-    hx = _HX if two_d else 0
     local_cfg = cfg.replace(ny=h, nx=w)
     # Stamp canvas: local frame padded by _PAD cells per side (rows
     # always; cols only on 2D meshes) so disks straddling the shard

@@ -257,7 +257,17 @@ def make_sharded_step(
         return state._replace(f=fnew, step=state.step + 1)
 
     specs = state_specs()
-    stepfn = jax.shard_map(local_step, mesh=mesh, in_specs=(specs,), out_specs=specs)
+    sharded = jax.shard_map(
+        local_step, mesh=mesh, in_specs=(specs,), out_specs=specs
+    )
+
+    # Same (state, f_scratch=None) signature as every other step builder
+    # (paranoid_wrap and the chunk drivers rely on it); the XLA sharded
+    # path has no kernel output buffer to alias, so f_scratch is unused.
+    def stepfn(state, f_scratch=None):
+        del f_scratch
+        return sharded(state)
+
     if cfg.paranoia:
         from lbmdem_tpu.simulation import paranoid_wrap
 

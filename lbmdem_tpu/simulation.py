@@ -100,27 +100,57 @@ BIN_CADENCE = 8
 BIN_MARGIN = 2
 
 
-def pallas_supported(cfg: SimConfig) -> Optional[str]:
+def pallas_supported(cfg: SimConfig, mesh=None) -> Optional[str]:
     """None if the fused Pallas path supports `cfg`, else the reason.
 
     Checked at Simulation construction (use_pallas=True raises a clear
     ValueError instead of a trace-time kernel assert) and by the CLI's
-    auto path selection. `cfg` must be the derived config (window set)."""
+    auto path selection. `cfg` must be the derived config (window set).
+
+    With `mesh`, validates the per-shard geometry the sharded Pallas
+    path actually runs on: the local (h, w) frame feeds the lattice
+    kernel, and the stamp tiles are chosen on the _PAD-padded local
+    canvas (parallel/_pallas_step.py), whose tile divisors can be much
+    smaller than the global lattice's."""
     if cfg.dtype != "float32":
         return f"Pallas path is float32-only (dtype={cfg.dtype})"
-    if cfg.ny % 8 or cfg.nx % 128:
+    ny, nx = cfg.ny, cfg.nx
+    two_d = False
+    if mesh is not None:
+        ny_sh, nx_sh = mesh.shape["y"], mesh.shape["x"]
+        if cfg.ny % ny_sh or cfg.nx % nx_sh:
+            return (
+                f"lattice {cfg.ny}x{cfg.nx} does not tile the "
+                f"{ny_sh}x{nx_sh} mesh"
+            )
+        ny, nx = cfg.ny // ny_sh, cfg.nx // nx_sh
+        two_d = nx_sh > 1
+    if ny % 8 or nx % 128:
+        where = "per-shard" if mesh is not None else "lattice"
         return (
             f"fused lattice kernel needs ny%8==0 and nx%128==0 "
-            f"(lattice {cfg.ny}x{cfg.nx})"
+            f"({where} {ny}x{nx})"
         )
     if cfg.max_disks > 0:
-        th = next(t for t in (64, 32, 16, 8, 4, 2, 1) if cfg.ny % t == 0)
-        tw = next(t for t in (128, 64, 32, 16, 8, 4, 2, 1) if cfg.nx % t == 0)
-        if cfg.window + 2 * BIN_MARGIN > min(th, tw):
+        if mesh is not None:
+            from lbmdem_tpu.parallel._pallas_step import _PAD
+
+            # stamp tiles are chosen on the padded local canvas; the
+            # sharded path rebins every step, so no Verlet margin
+            ny += 2 * _PAD
+            nx += 2 * _PAD if two_d else 0
+            margin = 0
+        else:
+            margin = 2 * BIN_MARGIN
+        th = next(t for t in (64, 32, 16, 8, 4, 2, 1) if ny % t == 0)
+        tw = next(t for t in (128, 64, 32, 16, 8, 4, 2, 1) if nx % t == 0)
+        if cfg.window + margin > min(th, tw):
+            canvas = " stamp-canvas" if mesh is not None else ""
             return (
-                f"stamp window {cfg.window} (+{2 * BIN_MARGIN} Verlet "
-                f"margin) exceeds the {th}x{tw} stamp tile; disks too "
-                f"large for this lattice size"
+                f"stamp window {cfg.window}"
+                + (f" (+{margin} Verlet margin)" if margin else "")
+                + f" exceeds the {th}x{tw}{canvas} stamp tile; disks "
+                f"too large for this lattice/mesh geometry"
             )
     return None
 
@@ -155,7 +185,7 @@ def make_step_fn(
         use_slab_dem = (
             coupled
             and cfg.kt == 0.0
-            and pallas_dem.slab_supported(grid, cfg.max_disks, dem_axis)
+            and pallas_dem.slab_supported(grid, dem_axis)
         )
 
     def step(state: SimState, f_scratch=None) -> SimState:
@@ -281,7 +311,7 @@ class Simulation:
                 )
             )
         if use_pallas:
-            reason = pallas_supported(cfg)
+            reason = pallas_supported(cfg, mesh)
             if reason is not None:
                 raise ValueError(f"use_pallas=True unsupported: {reason}")
         self.cfg = cfg

@@ -34,7 +34,7 @@ def test_slab_subcycle_matches_oracle():
     grid = DemGrid.build(cfg, 3.0)
     fh = jnp.zeros((24, 2), jnp.float32)
     th = jnp.zeros((24,), jnp.float32)
-    d_ref, ovf_r, _ = jax.jit(dem.dem_subcycle, static_argnums=(3, 4))(
+    d_ref, ovf_r, nc_ref = jax.jit(dem.dem_subcycle, static_argnums=(3, 4))(
         disks, fh, th, grid, cfg)
     d_pal, ovf_p, nc = jax.jit(pallas_dem.dem_subcycle, static_argnums=(3, 4))(
         disks, fh, th, grid, cfg)
@@ -45,7 +45,10 @@ def test_slab_subcycle_matches_oracle():
                                rtol=0, atol=2e-5)
     np.testing.assert_allclose(np.asarray(d_pal.omega), np.asarray(d_ref.omega),
                                rtol=0, atol=2e-5)
+    # contact count uses the oracle's semantics: max over force evals
+    # (initial state included) of the global pair count
     assert int(nc) > 0
+    assert int(nc) == int(nc_ref)
 
 
 @pytest.mark.slow
@@ -122,6 +125,29 @@ def test_slab_polydisperse_parity():
                                rtol=0, atol=2e-5)
     np.testing.assert_allclose(np.asarray(d_pal.omega),
                                np.asarray(d_ref.omega), rtol=0, atol=2e-5)
+
+
+def test_slab_overflow_fallback_integrates():
+    """Disks that overflow the SLAB_K=4 per-cell slots must not freeze:
+    they fall back to a contact-free Verlet (hydro + body + walls), so
+    a crammed cell's extra disks still accelerate under gravity."""
+    cfg = _cfg(max_disks=8, n_sub=4)
+    # 6 disks inside one broadphase cell (cell_size = 2*1 + 1 = 3)
+    specs = [DiskSpec(60.0 + 0.3 * i, 60.0 + 0.2 * i, 1.0)
+             for i in range(6)]
+    disks = dem.make_disk_state(specs, cfg, "float32")
+    grid = DemGrid.build(cfg, 1.0)
+    fh = jnp.zeros((8, 2), jnp.float32)
+    th = jnp.zeros((8,), jnp.float32)
+    d_pal, ovf, _ = jax.jit(pallas_dem.dem_subcycle, static_argnums=(3, 4))(
+        disks, fh, th, grid, cfg)
+    assert int(ovf) == 2
+    # the stable (cid, iota) sort slots disks 0-3; 4 and 5 overflow.
+    # With no contacts in the fallback their Verlet is exact:
+    # v_y = g_py * 1 LBM step, y drops by g_py*(1+1/n_sub)/2.
+    vy = np.asarray(d_pal.v[4:6, 1])
+    np.testing.assert_allclose(vy, cfg.g_py, rtol=1e-4)
+    assert (np.asarray(d_pal.x[4:6, 1]) < 60.0 + 0.2 * np.arange(4, 6)).all()
 
 
 def test_slab_band_table():

@@ -203,6 +203,37 @@ def test_simulation_mesh_api_matches():
     np.testing.assert_array_equal(np.asarray(s1.state.f), np.asarray(s2.state.f))
 
 
+def test_sharded_paranoia_runs():
+    """Regression: paranoia=True on the sharded XLA path used to crash
+    at trace time (paranoid_wrap passes f_scratch into what was a 1-arg
+    shard_map signature)."""
+    mesh = _mesh(2, 4)
+    cfg = SimConfig(nx=32, ny=16, tau=0.8, gx=1e-5, dtype="float64",
+                    paranoia=True, out_interval=2)
+    sim = Simulation(cfg, mesh=mesh)
+    sim.run(4)
+    assert int(sim.state.fail_step) == -1
+
+
+def test_pallas_supported_mesh_canvas():
+    """The mesh-aware support check must reject what the sharded Pallas
+    path cannot run: a stamp window that fits the GLOBAL lattice's tiles
+    but not the padded per-shard canvas's (previously a raw trace-time
+    assert deep inside the first step)."""
+    from lbmdem_tpu.simulation import pallas_supported
+
+    mesh = _mesh(4, 1)
+    cfg = SimConfig(nx=1024, ny=576, tau=0.8, max_disks=4, window=20,
+                    dtype="float32", bc_west="wall", bc_east="wall",
+                    bc_south="wall", bc_north="wall")
+    assert pallas_supported(cfg) is None  # single-chip: 64x128 tiles
+    reason = pallas_supported(cfg, mesh)  # canvas 208 rows -> 16-row tiles
+    assert reason is not None and "stamp" in reason
+    # non-dividing mesh gets a clear reason, not an assert
+    bad = SimConfig(nx=1024, ny=50, tau=0.8, dtype="float32")
+    assert "mesh" in pallas_supported(bad, mesh)
+
+
 def test_init_distributed_single_process():
     """SURVEY 5.8: the multi-process launch path, exercised with the
     1-process topology (same code path a pod launch takes). Runs in a
