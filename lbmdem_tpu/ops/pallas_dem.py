@@ -168,16 +168,20 @@ def build_slabs(
     ]
     nslots = SLAB_K * R * C
     sdisk = order.astype(jnp.int32)
-    # ONE row-scatter of (n, NCH) packed rows instead of NCH scalar
-    # scatters: XLA scatter serializes per call on TPU (~ms each at 10k
-    # rows), so channel-packed rows cut the build ~NCH-fold.
-    packed = jnp.stack(fields, axis=1)[sdisk]  # (n, NCH), slot-ordered
+    # ONE channel-batched column scatter straight into the final
+    # (NCH, nslots) layout. Channel-packed updates keep it a single
+    # scatter call (XLA scatter serializes per call on TPU, ~ms each at
+    # 10k rows), and scattering columns of the channel-major target
+    # skips both the (nslots, NCH) intermediate - whose 10-element minor
+    # dim is lane-padded to 128, a ~13x HBM footprint - and the big
+    # transpose after it: measured 1.37 -> 0.63 ms at 4096^2/10k.
+    packed = jnp.stack(fields, axis=0)[:, sdisk]  # (NCH, n), slot-ordered
     dense = (
-        jnp.zeros((nslots, _NCH), f32)
-        .at[jnp.where(valid, slot, nslots)]
+        jnp.zeros((_NCH, nslots), f32)
+        .at[:, jnp.where(valid, slot, nslots)]
         .set(packed, mode="drop")
     )
-    slabs = dense.T.reshape(_NCH, SLAB_K, R, C)
+    slabs = dense.reshape(_NCH, SLAB_K, R, C)
     return slabs, slot_of_disk, overflow, kmax.astype(jnp.int32), n_occ, band_offs
 
 
