@@ -94,8 +94,13 @@ class SimConfig:
     # Solid-fraction stamping: subgrid sample count per axis, and the
     # static per-disk stamp window (cells per axis). window=0 -> derived
     # from max radius at scene build time. eps_method "sample" uses
-    # eps_samples^2 subgrid points (reference-style); "ramp" uses the
-    # linear diffuse-interface approximation clip(r + 1/2 - d, 0, 1).
+    # eps_samples^2 subgrid points (reference-style; fastest on TPU -
+    # the compare-accumulate loop is a wide independent tree the VPU
+    # pipelines, measured 1839 vs 1555 MLUPS against "exact" at
+    # 4096^2/10k); "exact" the analytic tangent-plane circle-cell
+    # overlap (ops/imb.exact_coverage - ~10x more accurate per cell,
+    # but a serial sqrt/reciprocal chain); "ramp" the linear
+    # diffuse-interface approximation clip(r + 1/2 - d, 0, 1).
     eps_samples: int = 4
     eps_method: str = "sample"
     window: int = 0
@@ -141,6 +146,11 @@ class SimConfig:
             raise ValueError("periodic bc must pair: south/north")
         if self.tau <= 0.5:
             raise ValueError(f"tau must exceed 0.5 (got {self.tau})")
+        if self.eps_method not in ("exact", "sample", "ramp"):
+            raise ValueError(
+                f"bad eps_method {self.eps_method!r}: "
+                "want 'exact', 'sample' or 'ramp'"
+            )
         if self.max_disks > 0 and PERIODIC in (
             self.bc_west, self.bc_east, self.bc_south, self.bc_north
         ):

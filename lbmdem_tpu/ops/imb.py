@@ -40,6 +40,63 @@ from lbmdem_tpu.ops.lbm import equilibrium, guo_force_term, moments, smagorinsky
 _EPS_MIN = 1e-7
 
 
+def exact_coverage(relx, rely, rr):
+    """Analytic circle-cell overlap area (the "exact" eps_method).
+
+    The cell is cut by the tangent line at the nearest boundary point,
+    for which the half-plane x unit-square intersection area has a
+    closed form; the mean circular-segment sliver the tangent line
+    misses folds into an effective radius shift rc = r - 1/(24 r)
+    (a per-disk SCALAR - the curvature correction costs zero vector
+    ops). ~10x more accurate than 4x4 subgrid sampling at r >= 3 (see
+    tests/test_imb.py accuracy test); assumes r >= 1 (below that the
+    single center cell saturates wrongly). NOT the perf default:
+    despite ~40% fewer ops it measured 16% slower than "sample" in the
+    issue-bound kernel loops (1555 vs 1839 MLUPS at 4096^2/10k) - it
+    is one long serial sqrt/reciprocal dependency chain, where the
+    sampling loop is a wide independent compare-accumulate tree the
+    VPU pipelines. Offered for accuracy-critical runs.
+
+    Numerics: the textbook evaluation sums +-(S +- C)^2 terms whose f32
+    cancellation is catastrophic for interior cells, so each difference
+    h(t+B) - h(t) is factored as B * alpha * (v + u) with the B divided
+    out analytically (alpha = clip(t2/B, 0, 1)); normal components are
+    ordered so the small one only ever appears inside that clip, which
+    degrades gracefully to the axis-aligned step limit at B == 0
+    (disks sitting exactly on a cell row/column - common in packed
+    initial conditions). Empty slots (rr == 0) yield zero coverage
+    everywhere, including at distance 0 (the center-cell override is
+    gated on rr > 0.81).
+    """
+    dt = relx.dtype
+    ax = jnp.abs(relx)
+    ay = jnp.abs(rely)
+    A = jnp.maximum(ax, ay)
+    Bc = jnp.minimum(ax, ay)
+    d2 = relx * relx + rely * rely
+    d = jnp.sqrt(d2)
+    rc = rr - 1.0 / (24.0 * jnp.maximum(rr, 1e-6))
+    S = d * (rc - d)
+    C1 = 0.5 * (A - Bc)
+    C2 = 0.5 * (A + Bc)
+    t1 = S + C1
+    t2 = S + C2
+    t3 = S - C1
+    t4 = S - C2
+    u = jnp.maximum(t1, 0.0)
+    v = jnp.maximum(t2, 0.0)
+    p = jnp.maximum(t3, 0.0)
+    q = jnp.maximum(t4, 0.0)
+    inv_b = 1.0 / jnp.maximum(Bc, 1e-4)
+    alpha = jnp.clip(t2 * inv_b, 0.0, 1.0)
+    beta = jnp.clip(t3 * inv_b, 0.0, 1.0)
+    num = alpha * (v + u) - beta * (p + q)
+    cov = num * (0.5 / jnp.maximum(A, 1e-6))
+    cov = jnp.clip(cov, 0.0, 1.0)
+    full = jnp.asarray(rr > 0.81, dt)
+    return jnp.where(d2 < 0.01, full, cov)
+
+
 def _coverage_window(x, y, r, active, window: int, ns: int, dtype, method="sample"):
     """Coverage of each cell in the disk's window, plus base cell indices.
 
@@ -57,6 +114,14 @@ def _coverage_window(x, y, r, active, window: int, ns: int, dtype, method="sampl
         cx = (bx.astype(dtype) + cells) - x
         d = jnp.sqrt(cy[:, None] ** 2 + cx[None, :] ** 2)
         cov = jnp.clip(r + 0.5 - d, 0.0, 1.0)
+    elif method == "exact":
+        cy = (by.astype(dtype) + cells) - y
+        cx = (bx.astype(dtype) + cells) - x
+        cov = exact_coverage(
+            jnp.broadcast_to(cx[None, :], (window, window)),
+            jnp.broadcast_to(cy[:, None], (window, window)),
+            r,
+        )
     else:
         px = (bx.astype(dtype) + cells[:, None] + offs[None, :]) - x  # (W, ns)
         py = (by.astype(dtype) + cells[:, None] + offs[None, :]) - y

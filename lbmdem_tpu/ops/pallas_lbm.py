@@ -367,18 +367,18 @@ def fused_step_fluid(f: jax.Array, cfg: SimConfig, prehalo: bool = False,
 
 def _imb_reduce_kernel(
     f_hbm, s_hbm, data_ref, cnt_ref, out_ref, part_ref, win, swin, sems,
-    ssems, *, cfg: SimConfig, th: int, tw: int, cap: int, eps_min: float,
-    sub: int,
+    ssems, wscr, *, cfg: SimConfig, th: int, tw: int, cap: int,
+    eps_min: float, sub: int,
 ):
     """IMB collide-stream tile + in-kernel hydro force reduction.
 
     The momentum-exchange field phi never leaves VMEM: after the collide
     pass, each of the tile's `sub` stamp-granularity (th x 128) sub-tiles
     reduces its binned disks' share-weighted phi into per-slot partials
-    (pallas_stamp.reduce_partials). Replaces the separate reduce kernel
+    (pallas_stamp.reduce_partials_banded). Replaces the separate reduce
     pass (one less launch, no phi/eps HBM round-trip).
     """
-    from lbmdem_tpu.ops.pallas_stamp import reduce_partials
+    from lbmdem_tpu.ops.pallas_stamp import band_height, reduce_partials_banded
 
     iy = pl.program_id(0)
     ix = pl.program_id(1)
@@ -412,31 +412,30 @@ def _imb_reduce_kernel(
     fpost, phi = _collide_window(wv, cfg, eps=sv[0], usx=sv[1], usy=sv[2])
     out_ref[:] = _stream_and_bb(fpost, cfg, th, tw, iy, ix, nty, ntx)
 
-    # hydro reduction on the tile interior (rows 1..th+1 of the window)
+    # hydro reduction on the tile interior (rows 1..th+1 of the window);
+    # wx/wy land in VMEM scratch so the per-disk loops can read dynamic
+    # 8-aligned row BANDS (pallas_stamp.reduce_partials_banded - the
+    # issue-bound loops' cost scales with rows evaluated per disk)
     eps_t = jax.lax.slice(sv[0], (1, _HX), (1 + th, _HX + tw))
     share_den = 1.0 / jnp.maximum(eps_t, eps_min)
-    wx = jax.lax.slice(phi[0], (1, _HX), (1 + th, _HX + tw)) * share_den
-    wy = jax.lax.slice(phi[1], (1, _HX), (1 + th, _HX + tw)) * share_den
-    y0f = (iy * th).astype(jnp.float32)
-    yy = y0f + jax.lax.broadcasted_iota(
-        jnp.int32, (th, 128), 0
-    ).astype(jnp.float32)
-    xiota = jax.lax.broadcasted_iota(jnp.int32, (th, 128), 1).astype(
-        jnp.float32
-    )
+    wscr[0] = jax.lax.slice(phi[0], (1, _HX), (1 + th, _HX + tw)) * share_den
+    wscr[1] = jax.lax.slice(phi[1], (1, _HX), (1 + th, _HX + tw)) * share_den
+    bh = band_height(cfg.window, th)
     for s in range(sub):
         x0f = (ix * tw + s * 128).astype(jnp.float32)
         # max_ilp=4: the reduce body is inlined `sub` times here, and
         # Mosaic compile time scales with the inlined instruction count
         # (ilp 8 pushed this kernel to ~8 min); 4 keeps the pipeline
         # filled with a quarter of the code.
-        part_ref[0, s] = reduce_partials(
+        part_ref[0, s] = reduce_partials_banded(
             lambda i, s=s: data_ref[0, s, i],
             cnt_ref[0, s, 0],
-            yy,
-            x0f + xiota,
-            jax.lax.slice(wx, (0, s * 128), (th, (s + 1) * 128)),
-            jax.lax.slice(wy, (0, s * 128), (th, (s + 1) * 128)),
+            iy * th,
+            x0f,
+            wscr,
+            s * 128,
+            th,
+            bh,
             cap,
             cfg,
             max_ilp=4,
@@ -531,6 +530,7 @@ def fused_step_imb_reduce(
             pltpu.VMEM((2, 3, th + 2 * _HY, tw + 2 * _HX), jnp.float32),
             pltpu.SemaphoreType.DMA((2, 9)),
             pltpu.SemaphoreType.DMA((2, 9)),
+            pltpu.VMEM((2, th, tw), jnp.float32),  # banded-reduce wx/wy
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary"),

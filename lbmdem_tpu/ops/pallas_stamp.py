@@ -32,6 +32,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from lbmdem_tpu.config import SimConfig
+from lbmdem_tpu.ops.imb import exact_coverage
 
 def _interpret() -> bool:
     """Compiled on TPU; interpreter elsewhere (CPU tests, debugging)."""
@@ -60,6 +61,20 @@ def tile_dims(cfg: SimConfig) -> Tuple[int, int]:
         f"large for the Pallas stamp path on this lattice"
     )
     return th, tw
+
+
+def band_height(window: int, th: int) -> int:
+    """Static 8-aligned per-disk row-band height covering a stamp window.
+
+    The per-disk kernel loops evaluate coverage only on a bh-row band
+    around the disk's center row (dynamic 8-aligned VMEM row slices -
+    the same idiom as the occupancy-banded DEM kernel). The band start
+    off = clip(floor8(by - tile_y0), 0, th - bh) covers the window's
+    in-tile rows iff bh >= window + 7 (floor8 loses up to 7 rows;
+    clipping at either edge only ever widens coverage toward the
+    window). Returns th when banding cannot help (big disks)."""
+    bh = (window + 7 + 7) & ~7
+    return th if bh >= th else bh
 
 
 def default_tile_cap(tile_h: int, tile_w: int, r_min: float, window: int) -> int:
@@ -198,21 +213,50 @@ def bin_disks_to_tiles(
     return tile_data, counts, entry_slots, overflow
 
 
+def _cov_field(relx, rely, rr, cfg: SimConfig):
+    """Per-cell coverage of one disk over the given rel-coordinate grids
+    (the per-disk body shared by the stamp and reduce kernel loops).
+    Empty (over-iterated, zeroed) slots rr == 0 yield zero coverage for
+    every method."""
+    ns = cfg.eps_samples
+    if cfg.eps_method == "ramp":
+        d = jnp.sqrt(rely * rely + relx * relx)
+        # rr==0 marks an empty slot: mask it, the ramp would otherwise
+        # stamp phantom cover where d < 1/2
+        return jnp.where(rr > 0, jnp.clip(rr + 0.5 - d, 0.0, 1.0), 0.0)
+    if cfg.eps_method == "exact":
+        # analytic tangent-plane overlap (see imb.exact_coverage)
+        return exact_coverage(relx, rely, rr)
+    # "sample": factor the squares - ns + ns maps instead of ns^2
+    inv_s2 = np.float32(1.0 / (ns * ns))
+    offs = ((np.arange(ns) + 0.5) / ns - 0.5).astype(np.float32)
+    r2 = rr * rr
+    dy2s = [(rely + sy) * (rely + sy) for sy in offs]
+    dx2s = [(relx + sx) * (relx + sx) for sx in offs]
+    cov = jnp.zeros(relx.shape, jnp.float32)
+    for dy2 in dy2s:
+        for dx2 in dx2s:
+            cov = cov + jnp.where(dy2 + dx2 <= r2, inv_s2, 0.0)
+    if ns % 2:  # odd ns has a 0-offset sample: empty slots hit d=0
+        cov = jnp.where(rr > 0, cov, 0.0)
+    return cov
+
+
 def _stamp_kernel(data_ref, cnt_ref, out_ref, *, cfg: SimConfig, th: int,
                   tw: int, eps_min: float):
     ty = pl.program_id(0)
     tx = pl.program_id(1)
-    y0 = (ty * th).astype(jnp.float32)
+    y0i = ty * th
     x0 = (tx * tw).astype(jnp.float32)
+    bh = band_height(cfg.window, th)
+    half = cfg.window // 2
     # iota must be integer on TPU; cast after
-    yy = y0 + jax.lax.broadcasted_iota(jnp.int32, (th, tw), 0).astype(jnp.float32)
-    xx = x0 + jax.lax.broadcasted_iota(jnp.int32, (th, tw), 1).astype(jnp.float32)
-    ns = cfg.eps_samples
-    inv_s2 = np.float32(1.0 / (ns * ns))
-    offs = ((np.arange(ns) + 0.5) / ns - 0.5).astype(np.float32)
+    yb = jax.lax.broadcasted_iota(jnp.int32, (bh, tw), 0).astype(jnp.float32)
+    xx = x0 + jax.lax.broadcasted_iota(jnp.int32, (bh, tw), 1).astype(jnp.float32)
 
     def one(k):
-        """Per-disk (cov, cov*us_x, cov*us_y); zeroed slots give cov==0."""
+        """Per-disk band offset + (cov, cov*us_x, cov*us_y) on the
+        bh-row band; zeroed slots give cov==0."""
         base = k * 8
         px = data_ref[0, 0, base + 0]
         py = data_ref[0, 0, base + 1]
@@ -220,51 +264,38 @@ def _stamp_kernel(data_ref, cnt_ref, out_ref, *, cfg: SimConfig, th: int,
         vy = data_ref[0, 0, base + 3]
         om = data_ref[0, 0, base + 4]
         rr = data_ref[0, 0, base + 5]
-        rely = yy - py
+        by = jnp.floor(py + 0.5).astype(jnp.int32) - half - y0i
+        off = jnp.clip(jnp.floor_divide(by, 8) * 8, 0, th - bh)
+        off = pl.multiple_of(off, 8)
+        rely = (y0i + off).astype(jnp.float32) + yb - py
         relx = xx - px
-        r2 = rr * rr
-        if cfg.eps_method == "ramp":
-            d = jnp.sqrt(rely * rely + relx * relx)
-            # rr==0 marks an empty (over-iterated) slot: mask it, the
-            # ramp would otherwise stamp phantom cover where d < 1/2
-            cov = jnp.where(rr > 0, jnp.clip(rr + 0.5 - d, 0.0, 1.0), 0.0)
-        else:
-            # factor the squares: ns + ns maps instead of ns^2 recomputes
-            dy2s = [(rely + sy) * (rely + sy) for sy in offs]
-            dx2s = [(relx + sx) * (relx + sx) for sx in offs]
-            cov = jnp.zeros((th, tw), jnp.float32)
-            for dy2 in dy2s:
-                for dx2 in dx2s:
-                    cov = cov + jnp.where(dy2 + dx2 <= r2, inv_s2, 0.0)
-            if ns % 2:  # odd ns has a 0-offset sample: empty slots
-                cov = jnp.where(rr > 0, cov, 0.0)  # (rr=0) would hit d=0
+        cov = _cov_field(relx, rely, rr, cfg)
         usx = vx - om * rely
         usy = vy + om * relx
-        return cov, cov * usx, cov * usy
+        return off, cov, cov * usx, cov * usy
 
     # interleave ilp independent disks per iteration (issue-latency
-    # bound loop; see _reduce_kernel)
+    # bound loop; see _reduce_kernel); the band RMWs may alias between
+    # slots, so they run in slot order after the independent compute.
     cap = cfg.tile_cap
     ilp = max(d for d in (_ILP, 2, 1) if cap % d == 0)
+    out_ref[...] = jnp.zeros((3, th, tw), jnp.float32)
 
-    def body(g, acc):
-        eps_a, mx_a, my_a = acc
+    def body(g, carry):
         k0 = g * ilp
-        for j in range(ilp):
-            cov, cmx, cmy = one(k0 + j)
-            eps_a = eps_a + cov
-            mx_a = mx_a + cmx
-            my_a = my_a + cmy
-        return (eps_a, mx_a, my_a)
+        outs = [one(k0 + j) for j in range(ilp)]
+        for off, cov, cmx, cmy in outs:
+            out_ref[0, pl.ds(off, bh)] = out_ref[0, pl.ds(off, bh)] + cov
+            out_ref[1, pl.ds(off, bh)] = out_ref[1, pl.ds(off, bh)] + cmx
+            out_ref[2, pl.ds(off, bh)] = out_ref[2, pl.ds(off, bh)] + cmy
+        return carry
 
-    zero = jnp.zeros((th, tw), jnp.float32)
-    eps, mx, my = jax.lax.fori_loop(
-        0, (cnt_ref[0, 0, 0] + (ilp - 1)) // ilp, body, (zero, zero, zero)
+    jax.lax.fori_loop(
+        0, (cnt_ref[0, 0, 0] + (ilp - 1)) // ilp, body, jnp.int32(0)
     )
-    inv = 1.0 / jnp.maximum(eps, eps_min)
-    out_ref[0] = eps
-    out_ref[1] = mx * inv
-    out_ref[2] = my * inv
+    inv = 1.0 / jnp.maximum(out_ref[0], eps_min)
+    out_ref[1] = out_ref[1] * inv
+    out_ref[2] = out_ref[2] * inv
 
 
 def stamp_solid_fraction(
@@ -315,59 +346,55 @@ def stamp_solid_fraction(
     return fields[0], fields[1], fields[2], overflow
 
 
-def reduce_partials(get, cnt, yy, xx, wx, wy, cap: int, cfg: SimConfig,
-                    max_ilp: int = 0):
-    """(cap, 4) per-slot [fx, fy, tq, 0] partials over one stamp tile.
+def reduce_partials_banded(get, cnt, y0i, x0f, w_ref, col0: int, th: int,
+                           bh: int, cap: int, cfg: SimConfig,
+                           max_ilp: int = 0, ncols: int = 128):
+    """(cap, 4) per-slot [fx, fy, tq, 0] partials over one stamp tile,
+    evaluated on a bh-row 8-aligned band per disk.
 
-    `get(i)` reads scalar i of the tile's SMEM disk-data row (layout per
-    gather_tile_data); `cnt` is the tile's disk count; yy/xx are global
-    cell-center coordinate fields; wx/wy the share-denominated momentum
-    exchange. Shared by the standalone _reduce_kernel and the fused
-    IMB+reduce kernel (pallas_lbm._imb_reduce_kernel).
+    The per-disk loops are issue-bound, so cost scales with the rows
+    each disk evaluates; a bh-row band around the disk's center row
+    (bh = band_height(window, th), dynamic 8-aligned VMEM row slices -
+    the occupancy-banded DEM idiom) replaces the full th-row sub-tile.
+
+    `get(i)` reads scalar i of the sub-tile's SMEM disk-data row
+    (layout per gather_tile_data); `cnt` is its disk count; `w_ref` is
+    a (2, th, >= col0+ncols) VMEM scratch already holding the
+    share-denominated momentum exchange (wx, wy) for this tile; `col0`
+    the sub-tile's static column offset into it; `y0i` the tile's
+    global integer row origin; `x0f` the sub-tile's global f32 column
+    origin. `max_ilp` interleaves that many independent per-disk chains
+    per loop iteration (the single-disk body is a serial chain of
+    small-vector ops whose ISSUE LATENCY, not VPU throughput, bounds
+    the loop); ilp divides cap, so over-iteration stays in bounds.
+    Shared by the standalone _reduce_kernel and the fused IMB+reduce
+    kernel (pallas_lbm._imb_reduce_kernel).
     """
-    ns = cfg.eps_samples
-    inv_s2 = np.float32(1.0 / (ns * ns))
-    offs = ((np.arange(ns) + 0.5) / ns - 0.5).astype(np.float32)
+    half = cfg.window // 2
     slot_rows = jax.lax.broadcasted_iota(jnp.int32, (cap, 4), 0)
-    shape = yy.shape
+    yb = jax.lax.broadcasted_iota(jnp.int32, (bh, ncols), 0).astype(jnp.float32)
+    xx = x0f + jax.lax.broadcasted_iota(jnp.int32, (bh, ncols), 1).astype(
+        jnp.float32
+    )
 
     def one(k):
-        """Per-disk partial (fx, fy, tq). Empty slots (zeroed data rows:
-        px=py=rr=0) yield cov==0 identically, so over-iteration is safe."""
         base = k * 8
         px = get(base + 0)
         py = get(base + 1)
         rr = get(base + 5)
-        rely = yy - py
+        by = jnp.floor(py + 0.5).astype(jnp.int32) - half - y0i
+        off = jnp.clip(jnp.floor_divide(by, 8) * 8, 0, th - bh)
+        off = pl.multiple_of(off, 8)
+        rely = (y0i + off).astype(jnp.float32) + yb - py
         relx = xx - px
-        r2 = rr * rr
-        if cfg.eps_method == "ramp":
-            d = jnp.sqrt(rely * rely + relx * relx)
-            # rr==0 marks an empty (over-iterated) slot: mask it, the
-            # ramp would otherwise stamp phantom cover where d < 1/2
-            cov = jnp.where(rr > 0, jnp.clip(rr + 0.5 - d, 0.0, 1.0), 0.0)
-        else:
-            # factor the squares: ns + ns maps instead of ns^2 recomputes
-            dy2s = [(rely + sy) * (rely + sy) for sy in offs]
-            dx2s = [(relx + sx) * (relx + sx) for sx in offs]
-            cov = jnp.zeros(shape, jnp.float32)
-            for dy2 in dy2s:
-                for dx2 in dx2s:
-                    cov = cov + jnp.where(dy2 + dx2 <= r2, inv_s2, 0.0)
-            if ns % 2:  # odd ns has a 0-offset sample: empty slots
-                cov = jnp.where(rr > 0, cov, 0.0)  # (rr=0) would hit d=0
-        fx_c = cov * wx
-        fy_c = cov * wy
+        cov = _cov_field(relx, rely, rr, cfg)
+        fx_c = cov * w_ref[0, pl.ds(off, bh), pl.ds(col0, ncols)]
+        fy_c = cov * w_ref[1, pl.ds(off, bh), pl.ds(col0, ncols)]
         fx = jnp.sum(fx_c)
         fy = jnp.sum(fy_c)
         tq = jnp.sum(relx * fy_c - rely * fx_c)
         return fx, fy, tq
 
-    # ilp independent disks per iteration: a single-disk body is a
-    # serial dependency chain of small-vector ops whose ISSUE LATENCY
-    # (not VPU throughput) bounds the loop; interleaving independent
-    # chains fills the pipeline. ilp divides cap (cap is a shape bound),
-    # so the over-iteration up to ceil(count/ilp)*ilp stays in bounds.
     ilp = max(d for d in (max_ilp or _ILP, 2, 1) if cap % d == 0)
 
     def body(g, acc):
@@ -397,22 +424,18 @@ def gather_partials(flat, entry_slots, dtype) -> Tuple[jax.Array, jax.Array]:
 
 
 def _reduce_kernel(
-    data_ref, cnt_ref, eps_ref, phi_ref, out_ref, *, cfg: SimConfig,
+    data_ref, cnt_ref, eps_ref, phi_ref, out_ref, wscr, *, cfg: SimConfig,
     th: int, tw: int, cap: int, eps_min: float
 ):
     ty = pl.program_id(0)
     tx = pl.program_id(1)
-    y0 = (ty * th).astype(jnp.float32)
-    x0 = (tx * tw).astype(jnp.float32)
-    yy = y0 + jax.lax.broadcasted_iota(jnp.int32, (th, tw), 0).astype(jnp.float32)
-    xx = x0 + jax.lax.broadcasted_iota(jnp.int32, (th, tw), 1).astype(jnp.float32)
-
     share_den = 1.0 / jnp.maximum(eps_ref[0], eps_min)
-    wx = phi_ref[0] * share_den
-    wy = phi_ref[1] * share_den
-    out_ref[0] = reduce_partials(
-        lambda i: data_ref[0, 0, i], cnt_ref[0, 0, 0], yy, xx, wx, wy,
-        cap, cfg,
+    wscr[0] = phi_ref[0] * share_den
+    wscr[1] = phi_ref[1] * share_den
+    out_ref[0] = reduce_partials_banded(
+        lambda i: data_ref[0, 0, i], cnt_ref[0, 0, 0], ty * th,
+        (tx * tw).astype(jnp.float32), wscr, 0, th,
+        band_height(cfg.window, th), cap, cfg, ncols=tw,
     )
 
 
@@ -459,6 +482,7 @@ def reduce_hydro_forces(
             memory_space=pltpu.VMEM,
         ),
         out_shape=jax.ShapeDtypeStruct((nty * ntx, cap, 4), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((2, th, tw), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel"),
         ),

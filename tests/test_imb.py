@@ -115,3 +115,39 @@ def test_force_attribution_splits_overlap():
     F, T = imb.reduce_hydro_forces(xp, rr, act, eps, phix, phiy, cfg)
     np.testing.assert_allclose(float(F[0, 0]), float(F[1, 0]), rtol=1e-12)
     np.testing.assert_allclose(float(F[0, 0] + F[1, 0]), float(jnp.sum(phix)), rtol=1e-9)
+
+
+def test_exact_coverage_beats_sampling():
+    """The analytic tangent-plane overlap ("exact") must beat 4x4
+    subgrid sampling against a fine-sampled (64^2/cell) ground truth:
+    >=5x smaller max per-cell error and a near-zero total-area bias
+    (the rc = r - 1/(24r) curvature fold). Also pins the edge cases the
+    formula special-cases: a disk centered exactly on a cell center
+    (relx = rely = 0 -> the d2 < 0.01 override) and exactly on a cell
+    row (rely == 0 -> the axis-aligned clip limit)."""
+    W = 24
+    cells = jnp.arange(W, dtype=jnp.float64) - W // 2
+    for r, cx, cy in [(4.0, 0.0, 0.0), (4.0, 0.37, -0.21), (8.0, 0.5, 0.13),
+                      (3.0, 0.25, 0.0)]:
+        relx = jnp.broadcast_to((cells - cx)[None, :], (W, W))
+        rely = jnp.broadcast_to((cells - cy)[:, None], (W, W))
+
+        def sampled(ns):
+            offs = (jnp.arange(ns, dtype=jnp.float64) + 0.5) / ns - 0.5
+            px = relx[..., None, None] + offs[None, None, :, None]
+            py = rely[..., None, None] + offs[None, None, None, :]
+            return jnp.mean(
+                ((px**2 + py**2) <= r * r).astype(jnp.float64), axis=(-2, -1)
+            )
+
+        truth = sampled(64)
+        err_s4 = float(jnp.max(jnp.abs(sampled(4) - truth)))
+        cov = imb.exact_coverage(relx, rely, jnp.float64(r))
+        err_ex = float(jnp.max(jnp.abs(cov - truth)))
+        assert err_ex < 0.2 * err_s4, (r, cx, cy, err_ex, err_s4)
+        area_bias = float(jnp.sum(cov) - jnp.sum(truth)) / float(jnp.sum(truth))
+        assert abs(area_bias) < 2e-3, (r, cx, cy, area_bias)
+    # empty slot (rr == 0): identically zero everywhere, incl. d == 0
+    relx0 = jnp.broadcast_to(cells[None, :], (W, W))
+    rely0 = jnp.broadcast_to(cells[:, None], (W, W))
+    assert float(jnp.max(imb.exact_coverage(relx0, rely0, jnp.float64(0.0)))) == 0.0

@@ -31,7 +31,7 @@ def _setup(n=24, seed=1, method="sample"):
     return cfg, xp, vp, om, r, act
 
 
-@pytest.mark.parametrize("method", ["sample", "ramp"])
+@pytest.mark.parametrize("method", ["sample", "ramp", "exact"])
 def test_stamp_matches_oracle(method):
     cfg, xp, vp, om, r, act = _setup(method=method)
     e1, ux1, uy1 = imb.stamp_solid_fraction(xp, vp, om, r, act, cfg)
@@ -58,8 +58,9 @@ def test_stamp_edge_disks():
     np.testing.assert_allclose(np.asarray(e1), np.asarray(e2), atol=1e-6)
 
 
-def test_reduce_matches_oracle():
-    cfg, xp, vp, om, r, act = _setup(seed=3)
+@pytest.mark.parametrize("method", ["sample", "exact"])
+def test_reduce_matches_oracle(method):
+    cfg, xp, vp, om, r, act = _setup(seed=3, method=method)
     rng = np.random.default_rng(7)
     eps, usx, usy = imb.stamp_solid_fraction(xp, vp, om, r, act, cfg)
     f = lbm.init_equilibrium(cfg) * (
