@@ -126,7 +126,7 @@ def main():
     # field is the stage's worst-case cost estimate (remote compile +
     # runs): a stage is skipped when the remaining alarm budget cannot
     # cover it, so the 4096 north-star number always lands first. The
-    # 8192 showcase stage (qualified at 1574 MLUPS/chip) needs ~21 min
+    # 8192 showcase stage (qualified at 1970 MLUPS/chip) needs ~21 min
     # of remote Mosaic compile alone; it runs only when >= 1660 s
     # remain after init + the standard stages (BENCH_TIMEOUT_S roughly
     # >= 2700 in practice), and overrunning the alarm mid-stage still

@@ -53,6 +53,13 @@ _INTERPRET = False  # force-interpret override
 _HY = 8  # halo chunk rows (sublane granularity)
 _HX = 128  # halo chunk cols (lane granularity)
 
+# per-disk chains interleaved per loop iteration in the fused reduce
+# (see the _FUSED_REDUCE_ILP comment at the reduce_partials_banded call).
+# Banded A/B at 4096^2/10k: ilp 8 = 8.82 ms vs ilp 4 = 9.14 ms (the
+# full-tile loops had measured ilp 8 NEGATIVE - banding halved the vreg
+# pressure and flipped the tradeoff).
+_FUSED_REDUCE_ILP = 8
+
 
 def tile_dims(cfg: SimConfig, wide: bool = False) -> Tuple[int, int]:
     """64-row tiles; lane width by kernel flavor. wide=True: tw=1024
@@ -423,10 +430,11 @@ def _imb_reduce_kernel(
     bh = band_height(cfg.window, th)
     for s in range(sub):
         x0f = (ix * tw + s * 128).astype(jnp.float32)
-        # max_ilp=4: the reduce body is inlined `sub` times here, and
-        # Mosaic compile time scales with the inlined instruction count
-        # (ilp 8 pushed this kernel to ~8 min); 4 keeps the pipeline
-        # filled with a quarter of the code.
+        # _FUSED_REDUCE_ILP: the reduce body is inlined `sub` times
+        # here, and Mosaic compile time scales with the inlined
+        # instruction count (full-tile ilp 8 pushed this kernel to ~8
+        # min; banding halved both the vreg pressure and the inlined
+        # instruction count, so re-A/B ilp when the band shape changes).
         part_ref[0, s] = reduce_partials_banded(
             lambda i, s=s: data_ref[0, s, i],
             cnt_ref[0, s, 0],
@@ -438,7 +446,7 @@ def _imb_reduce_kernel(
             bh,
             cap,
             cfg,
-            max_ilp=4,
+            max_ilp=_FUSED_REDUCE_ILP,
         )
 
 
