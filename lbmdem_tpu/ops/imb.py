@@ -126,8 +126,10 @@ def _coverage_window(x, y, r, active, window: int, ns: int, dtype, method="sampl
         px = (bx.astype(dtype) + cells[:, None] + offs[None, :]) - x  # (W, ns)
         py = (by.astype(dtype) + cells[:, None] + offs[None, :]) - y
         dx2 = px * px  # (W, ns)
-        dy2 = py * py
-        inside = (dy2[:, None, :, None] + dx2[None, :, None, :]) <= r * r
+        # t-form (r^2 - dy^2, then dx^2 <= t): must match the kernels'
+        # pallas_stamp._cov_field BITWISE on sample membership
+        t = r * r - py * py
+        inside = dx2[None, :, None, :] <= t[:, None, :, None]
         cov = jnp.mean(inside.astype(dtype), axis=(2, 3))  # (Wy, Wx)
     return cov * active, by, bx
 

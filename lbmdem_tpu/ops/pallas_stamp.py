@@ -227,16 +227,20 @@ def _cov_field(relx, rely, rr, cfg: SimConfig):
     if cfg.eps_method == "exact":
         # analytic tangent-plane overlap (see imb.exact_coverage)
         return exact_coverage(relx, rely, rr)
-    # "sample": factor the squares - ns + ns maps instead of ns^2
+    # "sample": factor the squares (ns + ns maps instead of ns^2) and
+    # hoist the row term out of the comparison (t = r^2 - dy^2 once per
+    # row offset) so each of the ns^2 passes is one cmp + masked-add.
+    # The t-form must match the oracle's (imb._coverage_window) BITWISE
+    # - a flipped boundary sample is a 1/ns^2 coverage step.
     inv_s2 = np.float32(1.0 / (ns * ns))
     offs = ((np.arange(ns) + 0.5) / ns - 0.5).astype(np.float32)
     r2 = rr * rr
-    dy2s = [(rely + sy) * (rely + sy) for sy in offs]
+    ts = [r2 - (rely + sy) * (rely + sy) for sy in offs]
     dx2s = [(relx + sx) * (relx + sx) for sx in offs]
     cov = jnp.zeros(relx.shape, jnp.float32)
-    for dy2 in dy2s:
+    for t in ts:
         for dx2 in dx2s:
-            cov = cov + jnp.where(dy2 + dx2 <= r2, inv_s2, 0.0)
+            cov = cov + jnp.where(dx2 <= t, inv_s2, 0.0)
     if ns % 2:  # odd ns has a 0-offset sample: empty slots hit d=0
         cov = jnp.where(rr > 0, cov, 0.0)
     return cov

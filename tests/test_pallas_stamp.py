@@ -42,6 +42,51 @@ def test_stamp_matches_oracle(method):
     np.testing.assert_allclose(np.asarray(uy1), np.asarray(uy2), atol=1e-6)
 
 
+@pytest.mark.parametrize("r", [8.0, 14.0])
+def test_stamp_reduce_band_heights(r):
+    """Large stamp windows exercise the taller per-disk bands of the
+    banded kernel loops (band_height: window 21 -> bh 32, window 33 ->
+    bh 40 on 64-row tiles) including clipping at tile edges - the
+    production headline config runs r=8/bh=32, which the r<=4 (bh=24)
+    parity tests above never reach."""
+    n = 10
+    rng = np.random.default_rng(11)
+    cfg = SimConfig(nx=256, ny=128, tau=0.8, dtype="float32", max_disks=n,
+                    window=window_for_radius(r), tile_cap=64,
+                    bc_west="wall", bc_east="wall")
+    from lbmdem_tpu.ops.pallas_stamp import band_height, tile_dims
+    th, _ = tile_dims(cfg)
+    assert band_height(cfg.window, th) == (32 if r == 8.0 else 40)
+    xp = jnp.asarray(
+        np.stack([rng.uniform(1.0, 255.0, n), rng.uniform(1.0, 127.0, n)], 1),
+        jnp.float32,
+    )
+    vp = jnp.asarray(rng.uniform(-0.05, 0.05, (n, 2)), jnp.float32)
+    om = jnp.asarray(rng.uniform(-0.01, 0.01, n), jnp.float32)
+    rr = jnp.full((n,), r, jnp.float32)
+    act = jnp.ones((n,), bool)
+    e1, ux1, uy1 = imb.stamp_solid_fraction(xp, vp, om, rr, act, cfg)
+    e2, ux2, uy2, ovf = ps.stamp_solid_fraction(xp, vp, om, rr, act, cfg)
+    assert int(ovf) == 0
+    np.testing.assert_allclose(np.asarray(e1), np.asarray(e2), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(ux1), np.asarray(ux2), atol=1e-5)
+    f = lbm.init_equilibrium(cfg) * (
+        1.0 + 0.02 * jnp.asarray(rng.standard_normal((9, 128, 256)), jnp.float32)
+    )
+    _, phix, phiy = imb.collide_imb(f, e1, ux1, uy1, cfg)
+    F1, T1 = imb.reduce_hydro_forces(xp, rr, act, e1, phix, phiy, cfg)
+    b = ps.bin_disks_to_tiles(xp, vp, om, rr, act, cfg)
+    F2, T2 = ps.reduce_hydro_forces(
+        xp, rr, act, e1, phix, phiy, cfg, b[0], b[1], b[2]
+    )
+    # f32 summation-order noise scales with the window (torque terms
+    # reach ~5e2 at r=14): compare relative to the per-disk magnitude
+    np.testing.assert_allclose(np.asarray(F1), np.asarray(F2),
+                               rtol=1e-5, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(T1), np.asarray(T2),
+                               rtol=1e-5, atol=5e-4)
+
+
 @pytest.mark.slow
 def test_stamp_edge_disks():
     """Disks overlapping the domain boundary (windows partly outside)."""
