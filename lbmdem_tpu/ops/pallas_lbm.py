@@ -372,6 +372,201 @@ def fused_step_fluid(f: jax.Array, cfg: SimConfig, prehalo: bool = False,
     )(*operands)
 
 
+def _stream_and_bb_window(fpost, cfg, th, tw, iy, ix, nty, ntx, edges=None):
+    """Pull-stream 9 full (H, W) window planes IN PLACE (periodic rolls;
+    the wrap garbage lands in the halo margin, which the temporal-block
+    validity argument consumes 1 cell/side/step), with half-way
+    bounce-back applied at GLOBAL wall rows/cols across the whole
+    window.
+
+    Full-window BB (vs the output-tile-only BB of `_stream_and_bb`) is
+    load-bearing for temporal blocking with MIXED boundaries: on a
+    periodic axis the halo holds wrapped TRUE data that must keep
+    evolving exactly through the inner steps - including the other
+    axis's wall rule (e.g. periodic-x channel flow: the x-halo columns
+    contain wall-adjacent rows). On a wall axis the halo beyond the
+    wall is garbage, but BB cuts the dependency cone at the wall row
+    itself, so it never leaks in. Same corner order as the oracle
+    (south, north, THEN west, east: the x-wall rule wins).
+
+    edges: None single-chip, else 4 traced bools (south, north, west,
+    east shard-at-global-edge flags from the mesh position) ANDed into
+    the wall conditions - multi-chip shards apply BB in-kernel here
+    (unlike the 1-step prehalo kernels, whose callers fix edges up
+    outside: inner temporal steps are invisible to the caller)."""
+    H, W = th + 2 * _HY, tw + 2 * _HX
+    outs = []
+    for i in range(9):
+        ex, ey = int(lattice.E[i, 0]), int(lattice.E[i, 1])
+        p = fpost[i]
+        if ey:
+            p = pltpu.roll(p, ey % H, 0)
+        if ex:
+            p = pltpu.roll(p, ex % W, 1)
+        outs.append(p)
+
+    row = jax.lax.broadcasted_iota(jnp.int32, (H, W), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (H, W), 1)
+
+    def wall_corr(i, uwx, uwy):
+        return (6.0 * float(lattice.W[i]) * cfg.rho0
+                * (float(lattice.E[i, 0]) * uwx + float(lattice.E[i, 1]) * uwy))
+
+    def fix(at, idxs, uwx, uwy):
+        for i in (int(j) for j in idxs):
+            src = fpost[int(lattice.OPP[i])]
+            corr = wall_corr(i, uwx, uwy)
+            if corr != 0.0:
+                src = src + np.float32(corr)
+            outs[i] = jnp.where(at, src, outs[i])
+
+    on = (lambda e: True) if edges is None else (lambda e: e)
+    s_on, n_on, w_on, e_on = edges if edges is not None else (1, 1, 1, 1)
+    # global wall positions in window coords: window row _HY is global
+    # row y0, col _HX is global col x0 (walls only exist at the domain
+    # edge tiles; wrapped halo copies of wall rows never need BB because
+    # wrap-as-true-data only matters on periodic axes)
+    if cfg.bc_south == WALL:
+        fix((row == _HY) & (iy == 0) & on(s_on), lattice.IN_N,
+            cfg.uw_south, 0.0)
+    if cfg.bc_north == WALL:
+        fix((row == _HY + th - 1) & (iy == nty - 1) & on(n_on),
+            lattice.IN_S, cfg.uw_north, 0.0)
+    if cfg.bc_west == WALL:
+        fix((col == _HX) & (ix == 0) & on(w_on), lattice.IN_E, 0.0,
+            cfg.uw_west)
+    if cfg.bc_east == WALL:
+        fix((col == _HX + tw - 1) & (ix == ntx - 1) & on(e_on),
+            lattice.IN_W, 0.0, cfg.uw_east)
+    return outs
+
+
+def _fluid_multi_kernel(f_hbm, out_ref, win, sems, *, cfg: SimConfig,
+                        th: int, tw: int, k: int, prehalo=False,
+                        edge_ref=None):
+    """k pure-fluid LBM steps per HBM round-trip (temporal blocking).
+
+    The halo-extended window (th+16, tw+256) already carries an 8-row /
+    128-col margin; each inner step's streaming consumes one cell of
+    validity per side (roll wrap + garbage pull), so k <= _HY steps can
+    evolve entirely in VMEM/vregs before the (th, tw) interior is
+    written back. Walls anchor validity at the domain edge (BB cuts the
+    dependency cone), periodic halos are wrapped true data that evolves
+    exactly. Cuts f HBM traffic per step by ~k at the cost of
+    recomputing the collide on the (1.25 x 1.25) halo overlap."""
+    iy = pl.program_id(0)
+    ix = pl.program_id(1)
+    nty = pl.num_programs(0)
+    ntx = pl.num_programs(1)
+    lin = iy * ntx + ix
+    slot = jax.lax.rem(lin, jnp.int32(2))
+
+    def copies_for(step_lin, s):
+        y0, x0 = _tile_xy(step_lin, ntx, th, tw)
+        return _window_copies(
+            f_hbm, win.at[s], sems.at[s], y0, x0, th, tw, cfg.ny, cfg.nx,
+            prehalo,
+        )
+
+    @pl.when(lin == 0)
+    def _():
+        for c in copies_for(lin, slot):
+            c.start()
+
+    @pl.when(lin + 1 < nty * ntx)
+    def _():
+        for c in copies_for(lin + 1, jax.lax.rem(lin + 1, jnp.int32(2))):
+            c.start()
+
+    for c in copies_for(lin, slot):
+        c.wait()
+    edges = None
+    if edge_ref is not None:
+        edges = tuple(edge_ref[0, 0, j] != 0 for j in range(4))
+    planes = [win[slot, i] for i in range(9)]
+    for _ in range(k):
+        fpost, _ = _collide_window(planes, cfg)
+        planes = _stream_and_bb_window(fpost, cfg, th, tw, iy, ix, nty, ntx,
+                                       edges=edges)
+    out_ref[:] = jnp.stack(
+        [jax.lax.slice(p, (_HY, _HX), (_HY + th, _HX + tw)) for p in planes]
+    )
+
+
+def fused_step_fluid_multi(f: jax.Array, cfg: SimConfig, k: int,
+                           prehalo=False, edges: jax.Array = None,
+                           out_buf: jax.Array = None) -> jax.Array:
+    """k fused pure-fluid LBM steps in ONE kernel pass (k <= 8).
+
+    Temporal blocking over the existing halo window: f is read once
+    (1.56x halo amplification) and written once per k steps instead of
+    per step. k=1-equivalent physics (parity-tested vs k oracle steps).
+    TPU A/B at 4096^2: k=4 -> 1.109 ms/step (15127 MLUPS) vs k=1 2.348
+    (see simulation.TEMPORAL_K).
+
+    prehalo: multi-chip shards - f carries 8 exchanged halo rows per
+    side ("yx": also 128 halo cols), which is exactly the k<=8
+    dependency-cone margin, so ONE ppermute exchange feeds k steps
+    (k-fold ICI amortization). Unlike the 1-step prehalo kernels,
+    global-edge bounce-back runs IN-KERNEL (inner steps are invisible
+    to the caller): `edges` must be 4 traced {0,1} ints (south, north,
+    west, east shard-at-global-edge flags from the mesh position).
+
+    out_buf: dead donated buffer, see fused_step_fluid."""
+    assert f.dtype == jnp.float32
+    assert 1 <= k <= _HY, f"temporal block k={k} exceeds the {_HY}-row halo"
+    if k == 1 and not prehalo:
+        return fused_step_fluid(f, cfg, out_buf=out_buf)
+    th, tw = tile_dims(cfg, wide=True)
+    assert f.shape[1] == cfg.ny + (2 * _HY if prehalo else 0)
+    assert f.shape[2] == cfg.nx + (2 * _HX if prehalo == "yx" else 0)
+    assert (edges is not None) == bool(prehalo)
+    kernel = functools.partial(_fluid_multi_kernel, cfg=cfg, th=th, tw=tw,
+                               k=k, prehalo=prehalo)
+    operands = [f]
+    in_specs = [pl.BlockSpec(memory_space=pltpu.ANY)]
+    if prehalo:
+        operands.append(edges.astype(jnp.int32).reshape(1, 1, 4))
+        in_specs.append(
+            pl.BlockSpec((1, 1, 4), lambda i, j: (0, 0, 0),
+                         memory_space=pltpu.SMEM)
+        )
+        inner_e = kernel
+        kernel = (lambda f_hbm, eref, *rest:
+                  inner_e(f_hbm, *rest, edge_ref=eref))
+    aliases = {}
+    if out_buf is not None:
+        assert out_buf.shape == (9, cfg.ny, cfg.nx)
+        di = len(operands)  # position of the dead buffer in kernel args
+        aliases = {di: 0}
+        operands.append(out_buf)
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.ANY))
+        inner = kernel
+        kernel = lambda *args, _i=inner, _d=di: _i(*args[:_d], *args[_d + 1:])
+    return pl.pallas_call(
+        kernel,
+        grid=(cfg.ny // th, cfg.nx // tw),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec(
+            (9, th, tw), lambda i, j: (0, i, j), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((9, cfg.ny, cfg.nx), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((2, 9, th + 2 * _HY, tw + 2 * _HX), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, 9)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+            # 8 inlined steps keep ~2 window-sized plane sets live in
+            # vregs/VMEM spill on top of the 7.4 MB double-buffered
+            # window - headroom over the 16 MB scoped default
+            vmem_limit_bytes=48 * 2**20,
+        ),
+        input_output_aliases=aliases,
+        interpret=_interpret(),
+    )(*operands)
+
+
 def _imb_reduce_kernel(
     f_hbm, s_hbm, data_ref, cnt_ref, out_ref, part_ref, win, swin, sems,
     ssems, wscr, *, cfg: SimConfig, th: int, tw: int, cap: int,

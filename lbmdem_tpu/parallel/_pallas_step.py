@@ -33,7 +33,7 @@ _PAD = 32  # stamp-canvas padding rows/cols per side (tile divisor)
 
 
 def make_sharded_step_pallas(cfg: SimConfig, grid, mesh, h: int, w: int,
-                             dem_axis: str = "y"):
+                             dem_axis: str = "y", temporal_k: int = 1):
     from lbmdem_tpu.ops import pallas_lbm, pallas_stamp
     from lbmdem_tpu.simulation import SimState
     from lbmdem_tpu.parallel.sharding import state_specs
@@ -222,6 +222,22 @@ def make_sharded_step_pallas(cfg: SimConfig, grid, mesh, h: int, w: int,
                 n_contacts=nc,
                 fail_step=state.fail_step,
             )
+        if temporal_k > 1:
+            # temporal blocking: the exchanged 8-row (/128-col) halo IS
+            # the k<=8 dependency-cone margin, so ONE ppermute exchange
+            # feeds k steps - per-step ICI traffic drops k-fold. Edge
+            # bounce-back runs in-kernel (flagged by mesh position);
+            # no external fixup (inner steps are invisible out here).
+            iy_m = jax.lax.axis_index("y")
+            ix_m = jax.lax.axis_index("x")
+            edges = jnp.stack(
+                [iy_m == 0, iy_m == ny_sh - 1, ix_m == 0, ix_m == nx_sh - 1]
+            ).astype(jnp.int32)
+            fnew = pallas_lbm.fused_step_fluid_multi(
+                f_ext, local_cfg, temporal_k, prehalo=prehalo, edges=edges,
+                out_buf=f_scratch,
+            )
+            return state._replace(f=fnew, step=state.step + temporal_k)
         fnew = pallas_lbm.fused_step_fluid(f_ext, local_cfg, prehalo=prehalo,
                                            out_buf=f_scratch)
         col = lambda a: lbm.collide(a, cfg.tau, cfg.gx, cfg.gy, cfg.smagorinsky)

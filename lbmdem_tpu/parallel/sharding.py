@@ -187,7 +187,7 @@ def _apply_bounce_back_sharded(
 
 def make_sharded_step(
     cfg: SimConfig, grid: Optional[DemGrid], mesh: Mesh,
-    use_pallas: bool = False, dem_axis: str = "y",
+    use_pallas: bool = False, dem_axis: str = "y", temporal_k: int = 1,
 ) -> Callable:
     """The full coupled step as a shard_map over the mesh.
 
@@ -210,7 +210,12 @@ def make_sharded_step(
     if use_pallas:
         from lbmdem_tpu.parallel._pallas_step import make_sharded_step_pallas
 
-        return make_sharded_step_pallas(cfg, grid, mesh, h, w, dem_axis)
+        assert temporal_k == 1 or not coupled, (
+            "temporal blocking is pure-fluid only (DEM couples every step)"
+        )
+        return make_sharded_step_pallas(cfg, grid, mesh, h, w, dem_axis,
+                                        temporal_k=temporal_k)
+    assert temporal_k == 1, "temporal blocking needs the Pallas path"
     # Local view: the shard behaves like a small lattice of shape (h, w)
     # whose cells map to globals via the (oy, ox) offset.
     local_cfg = cfg.replace(nx=w, ny=h)

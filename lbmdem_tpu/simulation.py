@@ -99,6 +99,14 @@ def paranoid_wrap(step: Callable, cfg: SimConfig) -> Callable:
 BIN_CADENCE = 8
 BIN_MARGIN = 2
 
+# Pure-fluid temporal blocking: LBM steps evolved per fused-kernel pass
+# (bounded by the 8-row halo margin, pallas_lbm._HY). 1 disables.
+# TPU A/B at 4096^2 (tools/ab_temporal.py): k=1 2.348 ms/step (7146
+# MLUPS), k=4 1.109 (15127), k=8 1.148 (14616) - by k=4 the step is
+# compute-bound on the 1.56x halo-overlap recompute, so the extra
+# traffic halving at k=8 no longer pays.
+TEMPORAL_K = 4
+
 
 def pallas_supported(cfg: SimConfig, mesh=None) -> Optional[str]:
     """None if the fused Pallas path supports `cfg`, else the reason.
@@ -157,7 +165,7 @@ def pallas_supported(cfg: SimConfig, mesh=None) -> Optional[str]:
 
 def make_step_fn(
     cfg: SimConfig, grid: Optional[DemGrid], use_pallas: bool = False,
-    tile_lists=None, dem_axis: str = "y",
+    tile_lists=None, dem_axis: str = "y", temporal_k: int = 1,
 ) -> Callable[[SimState], SimState]:
     """Build the fused per-step function (SURVEY SS3.2 rebuilt).
 
@@ -261,6 +269,14 @@ def make_step_fn(
             )
         else:
             if use_pallas:
+                if temporal_k > 1:
+                    # temporal blocking: k steps per HBM round-trip
+                    # (pallas_lbm.fused_step_fluid_multi); paranoid mode
+                    # then validates at k-step granularity
+                    fnew = pallas_lbm.fused_step_fluid_multi(
+                        state.f, cfg, temporal_k, out_buf=f_scratch
+                    )
+                    return state._replace(f=fnew, step=state.step + temporal_k)
                 fnew = pallas_lbm.fused_step_fluid(state.f, cfg,
                                                    out_buf=f_scratch)
             else:
@@ -405,9 +421,44 @@ class Simulation:
                     if n_rem:
                         carry = k_steps(carry, n_rem)
                     return carry[0]
+            elif (self.use_pallas and self.cfg.max_disks == 0
+                  and n >= TEMPORAL_K > 1):
+                # pure fluid: temporal blocking - k steps per kernel
+                # pass / HBM round-trip (the halo window's 8-row margin
+                # covers k <= 8 steps of the dependency cone; on a mesh
+                # the ppermute halo exchange amortizes k-fold too).
+                # Bulk in k-step macros, remainder in singles; both
+                # ping-pong the two f buffers.
+                k = TEMPORAL_K
+                if self.mesh is not None:
+                    from lbmdem_tpu.parallel import make_sharded_step
+
+                    kstep = make_sharded_step(self.cfg, self.grid, self.mesh,
+                                              True, temporal_k=k)
+                else:
+                    kstep = make_step_fn(self.cfg, None, True, temporal_k=k)
+
+                def pingpong(st, scr, fn, m):
+                    m2, rem = divmod(m, 2)
+                    if m2:
+                        st, scr = jax.lax.fori_loop(
+                            0, m2, lambda _, c: double(c[0], c[1], fn),
+                            (st, scr),
+                        )
+                    if rem:
+                        st, scr = fn(st, scr), st.f
+                    return st, scr
+
+                def chunk(state):
+                    nk, tail = divmod(n, k)
+                    st, scr = pingpong(state, jnp.zeros_like(state.f),
+                                       kstep, nk)
+                    st, _ = pingpong(st, scr, step, tail)
+                    return st
             elif self.use_pallas:
-                # pure fluid, or any sharded Pallas path (the sharded
-                # step takes f_scratch too and per-shard-aliases it)
+                # sharded Pallas path, or pure fluid below the temporal
+                # block length (the sharded step takes f_scratch too and
+                # per-shard-aliases it)
 
                 def chunk(state):
                     n2, rem = divmod(n, 2)

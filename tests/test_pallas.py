@@ -58,6 +58,54 @@ def test_fused_fluid_multi_strip():
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-6, atol=1e-7)
 
 
+@pytest.mark.parametrize("overrides", CFGS)
+def test_fluid_temporal_block_matches_oracle(overrides):
+    """k-step temporal blocking (fused_step_fluid_multi) vs k oracle
+    steps, across all BC/forcing/LES/moving-wall configs - validity of
+    the halo-margin dependency-cone argument is BC-dependent (wrapped
+    halos must evolve exactly on periodic axes, BB anchors walls)."""
+    cfg = SimConfig(nx=128, ny=16, tau=0.8, dtype="float32", **overrides)
+    f = _rand_f(cfg.ny, cfg.nx, seed=7)
+    ref = f
+    for _ in range(8):
+        ref = lbm.step_pure_fluid(ref, cfg)
+    got = pallas_lbm.fused_step_fluid_multi(f, cfg, 8)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-5, atol=5e-7)
+
+
+@pytest.mark.parametrize("k", [2, 5])
+def test_fluid_temporal_block_odd_k_multi_tile(k):
+    """Non-maximal k on a multi-tile grid (iy/ix wall conditions +
+    cross-tile halo wraps inside the blocked window)."""
+    cfg = SimConfig(nx=256, ny=64, tau=0.7, gy=-1e-5, uw_north=0.05,
+                    dtype="float32")
+    f = _rand_f(cfg.ny, cfg.nx, seed=9)
+    ref = f
+    for _ in range(k):
+        ref = lbm.step_pure_fluid(ref, cfg)
+    got = pallas_lbm.fused_step_fluid_multi(f, cfg, k)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-5, atol=5e-7)
+
+
+def test_simulation_temporal_chunks_match_oracle():
+    """Simulation chunk driver mixing k-step macros + single-step
+    remainder (19 = 2x8 + 3) vs the plain-JAX oracle driver."""
+    from lbmdem_tpu.simulation import Simulation
+
+    cfg = SimConfig(nx=128, ny=16, tau=0.8, gx=1e-5, uw_north=0.03,
+                    dtype="float32", out_interval=19)
+    s_ref = Simulation(cfg)
+    s_pal = Simulation(cfg, use_pallas=True)
+    s_ref.run(19)
+    s_pal.run(19)
+    assert int(s_pal.state.step) == 19
+    np.testing.assert_allclose(np.asarray(s_pal.state.f),
+                               np.asarray(s_ref.state.f),
+                               rtol=1e-5, atol=5e-7)
+
+
 def test_fused_imb_matches_oracle():
     cfg = SimConfig(nx=128, ny=32, tau=0.8, dtype="float32", max_disks=1,
                     window=13, bc_west="wall", bc_east="wall", gy=-1e-5)

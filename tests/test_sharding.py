@@ -191,6 +191,45 @@ def test_pallas_sharded_coupled_axis_x_matches():
                                rtol=0, atol=1e-6)
 
 
+@pytest.mark.parametrize("meshdims", [(4, 1), (2, 2)])
+def test_pallas_sharded_temporal_block_matches(meshdims):
+    """Sharded temporal blocking (k=4 steps per halo exchange, edge BB
+    in-kernel via mesh-position flags) vs the plain oracle, with mixed
+    walls + moving lid so every edge-flag path fires."""
+    mesh = _mesh(*meshdims)
+    cfg = SimConfig(nx=512, ny=64, tau=0.7, gy=-1e-5, dtype="float32",
+                    bc_west="wall", bc_east="wall", uw_north=0.05)
+    sim = Simulation(cfg)
+    step_ref = jax.jit(make_step_fn(cfg, None))
+    kstep = jax.jit(make_sharded_step(cfg, None, mesh, use_pallas=True,
+                                      temporal_k=4))
+    s_ref = sim.state
+    s_sh = shard_state(sim.state, mesh)
+    for _ in range(8):
+        s_ref = step_ref(s_ref)
+    for _ in range(2):
+        s_sh = kstep(s_sh)
+    assert int(s_sh.step) == 8
+    np.testing.assert_allclose(np.asarray(s_ref.f), np.asarray(s_sh.f),
+                               rtol=0, atol=1e-6)
+
+
+def test_simulation_mesh_temporal_chunks_match():
+    """Simulation(mesh=...).run through the chunk driver mixing k-step
+    macros + single-step remainder (11 = 2x4 + 3) on the sharded
+    temporal path."""
+    mesh = _mesh(2, 2)
+    cfg = SimConfig(nx=512, ny=64, tau=0.8, gx=1e-5, dtype="float32",
+                    out_interval=11)
+    s1 = Simulation(cfg)
+    s2 = Simulation(cfg, use_pallas=True, mesh=mesh)
+    s1.run(11)
+    s2.run(11)
+    assert int(s2.state.step) == 11
+    np.testing.assert_allclose(np.asarray(s1.state.f), np.asarray(s2.state.f),
+                               rtol=0, atol=1e-6)
+
+
 def test_simulation_mesh_api_matches():
     """User-facing Simulation(mesh=...) == unsharded Simulation.run."""
     mesh = _mesh(2, 4)
