@@ -67,7 +67,12 @@ def _run(nx, ny, n_disks, chunk, repeats, use_pallas):
     from lbmdem_tpu.simulation import Simulation
 
     cfg, disks = column_collapse(nx=nx, ny=ny, n_disks=n_disks)
-    cfg = cfg.replace(out_interval=10**9)
+    # BENCH_F_STORAGE=bfloat16 switches to shifted-bf16 f storage
+    # (halves the HBM floor; settling parity validated <1%, see
+    # tools/ab_bf16.py). Default stays float32 - the golden-regression
+    # trajectories are pinned on it.
+    cfg = cfg.replace(out_interval=10**9,
+                      f_storage=os.environ.get("BENCH_F_STORAGE", "float32"))
     sim = Simulation(cfg, disks, use_pallas=use_pallas)
     # warm with the SAME chunk length so later runs hit the jit cache
     # (a different length compiles a different fori_loop program, and

@@ -57,6 +57,35 @@ def moments(
     return rho, ux, uy
 
 
+def storage_shift(cfg: SimConfig):
+    """Per-population HBM storage shift, or None for plain storage.
+
+    f_storage='bfloat16' stores g_i = f_i - w_i*rho0 (the rest state is
+    exactly 0 in bf16, and the residual g ~ O(w Ma) keeps the 8-bit
+    mantissa on the hydrodynamic signal instead of the w_i DC term).
+    Moments of g need only a rho0 offset: sum(w)=1, sum(w e)=0."""
+    if cfg.f_storage == "bfloat16":
+        return (lattice.W * cfg.rho0).astype(np.float32)[:, None, None]
+    return None
+
+
+def to_storage(f: jax.Array, cfg: SimConfig) -> jax.Array:
+    """Physical f (compute dtype) -> HBM representation (shifted bf16
+    when cfg.f_storage='bfloat16', identity otherwise)."""
+    s = storage_shift(cfg)
+    if s is None:
+        return f
+    return (f - s).astype(jnp.bfloat16)
+
+
+def from_storage(fs: jax.Array, cfg: SimConfig) -> jax.Array:
+    """HBM representation -> physical f in float32."""
+    s = storage_shift(cfg)
+    if s is None:
+        return fs
+    return fs.astype(jnp.float32) + s
+
+
 def smagorinsky_tau(
     f: jax.Array, feq: jax.Array, rho: jax.Array, tau0: float, cs_const: float
 ) -> jax.Array:

@@ -61,6 +61,17 @@ _HX = 128  # halo chunk cols (lane granularity)
 _FUSED_REDUCE_ILP = 8
 
 
+def _storage(cfg: SimConfig):
+    """(dtype, row granule, feq shift) of the f HBM storage.
+
+    bf16 VMEM tiles are (16, 128), so the halo DMA row granule doubles
+    (lane granule stays 128); the shift realizes lbm.storage_shift
+    in-kernel (geq = feq - w_i*shift)."""
+    if cfg.f_storage == "bfloat16":
+        return jnp.bfloat16, 16, float(cfg.rho0)
+    return jnp.float32, _HY, 0.0
+
+
 def tile_dims(cfg: SimConfig, wide: bool = False) -> Tuple[int, int]:
     """64-row tiles; lane width by kernel flavor. wide=True: tw=1024
     measured +6.5% over 512 on pure fluid 4096^2 (halo read amp 1.56x
@@ -79,10 +90,18 @@ def tile_dims(cfg: SimConfig, wide: bool = False) -> Tuple[int, int]:
     return th, tw
 
 
-def _collide_window(win, cfg: SimConfig, eps=None, usx=None, usy=None):
+def _collide_window(win, cfg: SimConfig, eps=None, usx=None, usy=None,
+                    shift: float = 0.0):
     """Moments + (NT-blended) BGK + Guo forcing on a (9, H, W) window.
 
     Returns (fpost list of 9 (H, W) planes, phi (2, H, W) or None).
+
+    shift != 0.0: the window holds SHIFTED populations g_i = f_i -
+    w_i*shift (bf16 storage mode, lbm.storage_shift). The whole update
+    keeps its exact form with feq -> geq = feq - w_i*shift: moments
+    need only the rho offset (sum(w)=1, sum(w e)=0), BGK/IMB/Guo/BB
+    shifts cancel (w_opp = w_i), and phi stays physical. shift=0.0
+    compiles the original expressions bit-for-bit.
     """
     tau = cfg.tau
     w_c = lattice.W.astype(np.float32)
@@ -90,15 +109,16 @@ def _collide_window(win, cfg: SimConfig, eps=None, usx=None, usy=None):
     ey_c = lattice.EY.astype(np.float32)
     gx, gy = cfg.gx, cfg.gy
 
-    rho = win[0]
-    jx = jnp.zeros_like(rho)
-    jy = jnp.zeros_like(rho)
+    rho_g = win[0]
+    jx = jnp.zeros_like(rho_g)
+    jy = jnp.zeros_like(rho_g)
     for i in range(1, 9):
-        rho = rho + win[i]
+        rho_g = rho_g + win[i]
         if ex_c[i]:
             jx = jx + ex_c[i] * win[i]
         if ey_c[i]:
             jy = jy + ey_c[i] * win[i]
+    rho = rho_g + np.float32(shift) if shift != 0.0 else rho_g
     inv_rho = 1.0 / rho
     ux = (jx + 0.5 * gx) * inv_rho
     uy = (jy + 0.5 * gy) * inv_rho
@@ -106,6 +126,9 @@ def _collide_window(win, cfg: SimConfig, eps=None, usx=None, usy=None):
 
     def feq_i(i, ux_, uy_, usq_):
         eu = ex_c[i] * ux_ + ey_c[i] * uy_
+        if shift != 0.0:  # geq_i = feq_i - w_i*shift, via rho-shift=rho_g
+            return w_c[i] * (rho_g + rho * (3.0 * eu + 4.5 * eu * eu
+                                            - 1.5 * usq_))
         return w_c[i] * rho * (1.0 + 3.0 * eu + 4.5 * eu * eu - 1.5 * usq_)
 
     if cfg.smagorinsky > 0.0:
@@ -167,33 +190,36 @@ def _collide_window(win, cfg: SimConfig, eps=None, usx=None, usy=None):
 
 
 def _window_copies(src_hbm, dst_vmem, sems, y0, x0, th, tw, ny, nx,
-                   prehalo=False):
-    """The 9 aligned chunk copies filling a (C, th+2*_HY, tw+2*_HX)
+                   prehalo=False, hy: int = _HY):
+    """The 9 aligned chunk copies filling a (C, th+2*hy, tw+2*_HX)
     window with wrap-safe offsets. Pure descriptor construction: call
     .start() on one grid step and reconstruct + .wait() on the next
     (the double-buffering pattern from the Pallas guide).
 
-    prehalo "y": the source array already carries 2*_HY extra rows
+    hy: row chunk granule = the dst VMEM tile height (8 for f32, 16 for
+    bf16 storage - DMA slices of tiled memrefs must be whole tiles).
+
+    prehalo "y": the source array already carries 2*hy extra rows
     (multi-chip shards get their y halos from a ppermute exchange, not
-    from periodic wrap), so row offsets shift by +_HY and never wrap.
+    from periodic wrap), so row offsets shift by +hy and never wrap.
     prehalo "yx": additionally 2*_HX extra columns (2D mesh: x halos
     exchanged too), col offsets shift by +_HX."""
     ny32 = jnp.int32(ny)
     nx32 = jnp.int32(nx)
     # all offsets are congruent 0 mod the tile granule (y0 = i*th,
-    # th/ny multiples of 8; x0 = j*tw, tw/nx multiples of 128) - Mosaic
+    # th/ny multiples of hy; x0 = j*tw, tw/nx multiples of 128) - Mosaic
     # needs the pl.multiple_of proof to slice tiled memrefs dynamically.
     if prehalo:
         rows = [
-            (pl.multiple_of(y0, _HY), 0, _HY),
-            (pl.multiple_of(y0 + _HY, _HY), _HY, th),
-            (pl.multiple_of(y0 + _HY + th, _HY), _HY + th, _HY),
+            (pl.multiple_of(y0, hy), 0, hy),
+            (pl.multiple_of(y0 + hy, hy), hy, th),
+            (pl.multiple_of(y0 + hy + th, hy), hy + th, hy),
         ]
     else:
         rows = [
-            (pl.multiple_of(jax.lax.rem(y0 - _HY + ny32, ny32), _HY), 0, _HY),
-            (pl.multiple_of(y0, _HY), _HY, th),
-            (pl.multiple_of(jax.lax.rem(y0 + th, ny32), _HY), _HY + th, _HY),
+            (pl.multiple_of(jax.lax.rem(y0 - hy + ny32, ny32), hy), 0, hy),
+            (pl.multiple_of(y0, hy), hy, th),
+            (pl.multiple_of(jax.lax.rem(y0 + th, ny32), hy), hy + th, hy),
         ]
     if prehalo == "yx":
         cols = [
@@ -288,7 +314,8 @@ def _stream_and_bb(fpost, cfg, th, tw, iy, ix, nty, ntx, prehalo=False):
 
 
 def _fluid_kernel(f_hbm, out_ref, win, sems, *, cfg: SimConfig, th: int,
-                  tw: int, prehalo: bool = False):
+                  tw: int, prehalo: bool = False, hy: int = _HY,
+                  shift: float = 0.0):
     iy = pl.program_id(0)
     ix = pl.program_id(1)
     nty = pl.num_programs(0)
@@ -300,7 +327,7 @@ def _fluid_kernel(f_hbm, out_ref, win, sems, *, cfg: SimConfig, th: int,
         y0, x0 = _tile_xy(step_lin, ntx, th, tw)
         return _window_copies(
             f_hbm, win.at[s], sems.at[s], y0, x0, th, tw, cfg.ny, cfg.nx,
-            prehalo,
+            prehalo, hy=hy,
         )
 
     @pl.when(lin == 0)
@@ -315,10 +342,12 @@ def _fluid_kernel(f_hbm, out_ref, win, sems, *, cfg: SimConfig, th: int,
 
     for c in copies_for(lin, slot):
         c.wait()
-    wv = win[slot, :, _HY - 1 : _HY + th + 1, :]  # (9, th+2, tw+2*_HX)
-    fpost, _ = _collide_window(wv, cfg)
+    wv = win[slot, :, hy - 1 : hy + th + 1, :]  # (9, th+2, tw+2*_HX)
+    if wv.dtype != jnp.float32:
+        wv = wv.astype(jnp.float32)
+    fpost, _ = _collide_window(wv, cfg, shift=shift)
     out_ref[:] = _stream_and_bb(fpost, cfg, th, tw, iy, ix, nty, ntx,
-                                prehalo=prehalo)
+                                prehalo=prehalo).astype(out_ref.dtype)
 
 
 def fused_step_fluid(f: jax.Array, cfg: SimConfig, prehalo: bool = False,
@@ -336,19 +365,23 @@ def fused_step_fluid(f: jax.Array, cfg: SimConfig, prehalo: bool = False,
     loop ping-pong two f buffers (see Simulation._chunk_fn's unrolled
     double step). Aliasing f itself would race: later tiles' halo
     windows read rows earlier tiles already overwrote."""
-    assert f.dtype == jnp.float32, "Pallas path is float32 (use_pallas=False for f64)"
+    fdt, hy, shift = _storage(cfg)
+    assert f.dtype == fdt, (
+        f"Pallas path wants {fdt} storage (use_pallas=False for f64)"
+    )
+    assert not (prehalo and shift), "bf16 storage: single-chip only for now"
     th, tw = tile_dims(cfg, wide=True)
-    assert f.shape[1] == cfg.ny + (2 * _HY if prehalo else 0)
+    assert f.shape[1] == cfg.ny + (2 * hy if prehalo else 0)
     assert f.shape[2] == cfg.nx + (2 * _HX if prehalo == "yx" else 0)
     kernel = functools.partial(_fluid_kernel, cfg=cfg, th=th, tw=tw,
-                               prehalo=prehalo)
+                               prehalo=prehalo, hy=hy, shift=shift)
     operands = [f]
-    in_specs = [pl.BlockSpec(memory_space=pltpu.ANY)]
+    in_specs = [pl.BlockSpec(memory_space=pl.ANY)]
     aliases = {}
     if out_buf is not None:
         assert out_buf.shape == (9, cfg.ny, cfg.nx)
         operands.append(out_buf)
-        in_specs.append(pl.BlockSpec(memory_space=pltpu.ANY))
+        in_specs.append(pl.BlockSpec(memory_space=pl.ANY))
         aliases = {1: 0}
         inner = kernel
         kernel = lambda f_hbm, dead, *rest: inner(f_hbm, *rest)
@@ -359,9 +392,9 @@ def fused_step_fluid(f: jax.Array, cfg: SimConfig, prehalo: bool = False,
         out_specs=pl.BlockSpec(
             (9, th, tw), lambda i, j: (0, i, j), memory_space=pltpu.VMEM
         ),
-        out_shape=jax.ShapeDtypeStruct((9, cfg.ny, cfg.nx), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((9, cfg.ny, cfg.nx), fdt),
         scratch_shapes=[
-            pltpu.VMEM((2, 9, th + 2 * _HY, tw + 2 * _HX), jnp.float32),
+            pltpu.VMEM((2, 9, th + 2 * hy, tw + 2 * _HX), fdt),
             pltpu.SemaphoreType.DMA((2, 9)),
         ],
         compiler_params=pltpu.CompilerParams(
@@ -394,7 +427,7 @@ def _stream_and_bb_window(fpost, cfg, th, tw, iy, ix, nty, ntx, edges=None):
     the wall conditions - multi-chip shards apply BB in-kernel here
     (unlike the 1-step prehalo kernels, whose callers fix edges up
     outside: inner temporal steps are invisible to the caller)."""
-    H, W = th + 2 * _HY, tw + 2 * _HX
+    H, W = fpost[0].shape
     outs = []
     for i in range(9):
         ex, ey = int(lattice.E[i, 0]), int(lattice.E[i, 1])
@@ -422,15 +455,16 @@ def _stream_and_bb_window(fpost, cfg, th, tw, iy, ix, nty, ntx, edges=None):
 
     on = (lambda e: True) if edges is None else (lambda e: e)
     s_on, n_on, w_on, e_on = edges if edges is not None else (1, 1, 1, 1)
-    # global wall positions in window coords: window row _HY is global
+    # global wall positions in window coords: window row hy is global
     # row y0, col _HX is global col x0 (walls only exist at the domain
     # edge tiles; wrapped halo copies of wall rows never need BB because
     # wrap-as-true-data only matters on periodic axes)
+    hy = (H - th) // 2  # halo rows per side (8 f32 / 16 bf16 storage)
     if cfg.bc_south == WALL:
-        fix((row == _HY) & (iy == 0) & on(s_on), lattice.IN_N,
+        fix((row == hy) & (iy == 0) & on(s_on), lattice.IN_N,
             cfg.uw_south, 0.0)
     if cfg.bc_north == WALL:
-        fix((row == _HY + th - 1) & (iy == nty - 1) & on(n_on),
+        fix((row == hy + th - 1) & (iy == nty - 1) & on(n_on),
             lattice.IN_S, cfg.uw_north, 0.0)
     if cfg.bc_west == WALL:
         fix((col == _HX) & (ix == 0) & on(w_on), lattice.IN_E, 0.0,
@@ -443,7 +477,7 @@ def _stream_and_bb_window(fpost, cfg, th, tw, iy, ix, nty, ntx, edges=None):
 
 def _fluid_multi_kernel(f_hbm, out_ref, win, sems, *, cfg: SimConfig,
                         th: int, tw: int, k: int, prehalo=False,
-                        edge_ref=None):
+                        edge_ref=None, hy: int = _HY, shift: float = 0.0):
     """k pure-fluid LBM steps per HBM round-trip (temporal blocking).
 
     The halo-extended window (th+16, tw+256) already carries an 8-row /
@@ -465,7 +499,7 @@ def _fluid_multi_kernel(f_hbm, out_ref, win, sems, *, cfg: SimConfig,
         y0, x0 = _tile_xy(step_lin, ntx, th, tw)
         return _window_copies(
             f_hbm, win.at[s], sems.at[s], y0, x0, th, tw, cfg.ny, cfg.nx,
-            prehalo,
+            prehalo, hy=hy,
         )
 
     @pl.when(lin == 0)
@@ -484,13 +518,15 @@ def _fluid_multi_kernel(f_hbm, out_ref, win, sems, *, cfg: SimConfig,
     if edge_ref is not None:
         edges = tuple(edge_ref[0, 0, j] != 0 for j in range(4))
     planes = [win[slot, i] for i in range(9)]
+    if planes[0].dtype != jnp.float32:
+        planes = [p.astype(jnp.float32) for p in planes]
     for _ in range(k):
-        fpost, _ = _collide_window(planes, cfg)
+        fpost, _ = _collide_window(planes, cfg, shift=shift)
         planes = _stream_and_bb_window(fpost, cfg, th, tw, iy, ix, nty, ntx,
                                        edges=edges)
     out_ref[:] = jnp.stack(
-        [jax.lax.slice(p, (_HY, _HX), (_HY + th, _HX + tw)) for p in planes]
-    )
+        [jax.lax.slice(p, (hy, _HX), (hy + th, _HX + tw)) for p in planes]
+    ).astype(out_ref.dtype)
 
 
 def fused_step_fluid_multi(f: jax.Array, cfg: SimConfig, k: int,
@@ -513,18 +549,20 @@ def fused_step_fluid_multi(f: jax.Array, cfg: SimConfig, k: int,
     west, east shard-at-global-edge flags from the mesh position).
 
     out_buf: dead donated buffer, see fused_step_fluid."""
-    assert f.dtype == jnp.float32
-    assert 1 <= k <= _HY, f"temporal block k={k} exceeds the {_HY}-row halo"
+    fdt, hy, shift = _storage(cfg)
+    assert f.dtype == fdt
+    assert not (prehalo and shift), "bf16 storage: single-chip only for now"
+    assert 1 <= k <= hy, f"temporal block k={k} exceeds the {hy}-row halo"
     if k == 1 and not prehalo:
         return fused_step_fluid(f, cfg, out_buf=out_buf)
     th, tw = tile_dims(cfg, wide=True)
-    assert f.shape[1] == cfg.ny + (2 * _HY if prehalo else 0)
+    assert f.shape[1] == cfg.ny + (2 * hy if prehalo else 0)
     assert f.shape[2] == cfg.nx + (2 * _HX if prehalo == "yx" else 0)
     assert (edges is not None) == bool(prehalo)
     kernel = functools.partial(_fluid_multi_kernel, cfg=cfg, th=th, tw=tw,
-                               k=k, prehalo=prehalo)
+                               k=k, prehalo=prehalo, hy=hy, shift=shift)
     operands = [f]
-    in_specs = [pl.BlockSpec(memory_space=pltpu.ANY)]
+    in_specs = [pl.BlockSpec(memory_space=pl.ANY)]
     if prehalo:
         operands.append(edges.astype(jnp.int32).reshape(1, 1, 4))
         in_specs.append(
@@ -540,7 +578,7 @@ def fused_step_fluid_multi(f: jax.Array, cfg: SimConfig, k: int,
         di = len(operands)  # position of the dead buffer in kernel args
         aliases = {di: 0}
         operands.append(out_buf)
-        in_specs.append(pl.BlockSpec(memory_space=pltpu.ANY))
+        in_specs.append(pl.BlockSpec(memory_space=pl.ANY))
         inner = kernel
         kernel = lambda *args, _i=inner, _d=di: _i(*args[:_d], *args[_d + 1:])
     return pl.pallas_call(
@@ -550,9 +588,9 @@ def fused_step_fluid_multi(f: jax.Array, cfg: SimConfig, k: int,
         out_specs=pl.BlockSpec(
             (9, th, tw), lambda i, j: (0, i, j), memory_space=pltpu.VMEM
         ),
-        out_shape=jax.ShapeDtypeStruct((9, cfg.ny, cfg.nx), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((9, cfg.ny, cfg.nx), fdt),
         scratch_shapes=[
-            pltpu.VMEM((2, 9, th + 2 * _HY, tw + 2 * _HX), jnp.float32),
+            pltpu.VMEM((2, 9, th + 2 * hy, tw + 2 * _HX), fdt),
             pltpu.SemaphoreType.DMA((2, 9)),
         ],
         compiler_params=pltpu.CompilerParams(
@@ -570,7 +608,7 @@ def fused_step_fluid_multi(f: jax.Array, cfg: SimConfig, k: int,
 def _imb_reduce_kernel(
     f_hbm, s_hbm, data_ref, cnt_ref, out_ref, part_ref, win, swin, sems,
     ssems, wscr, *, cfg: SimConfig, th: int, tw: int, cap: int,
-    eps_min: float, sub: int,
+    eps_min: float, sub: int, hy: int = _HY, shift: float = 0.0,
 ):
     """IMB collide-stream tile + in-kernel hydro force reduction.
 
@@ -593,6 +631,7 @@ def _imb_reduce_kernel(
         y0, x0 = _tile_xy(step_lin, ntx, th, tw)
         return _window_copies(
             f_hbm, win.at[s], sems.at[s], y0, x0, th, tw, cfg.ny, cfg.nx,
+            hy=hy,
         ) + _window_copies(
             s_hbm, swin.at[s], ssems.at[s], y0, x0, th, tw, cfg.ny, cfg.nx,
         )
@@ -609,10 +648,14 @@ def _imb_reduce_kernel(
 
     for c in copies_for(lin, slot):
         c.wait()
-    wv = win[slot, :, _HY - 1 : _HY + th + 1, :]
+    wv = win[slot, :, hy - 1 : hy + th + 1, :]
+    if wv.dtype != jnp.float32:
+        wv = wv.astype(jnp.float32)
     sv = swin[slot, :, _HY - 1 : _HY + th + 1, :]
-    fpost, phi = _collide_window(wv, cfg, eps=sv[0], usx=sv[1], usy=sv[2])
-    out_ref[:] = _stream_and_bb(fpost, cfg, th, tw, iy, ix, nty, ntx)
+    fpost, phi = _collide_window(wv, cfg, eps=sv[0], usx=sv[1], usy=sv[2],
+                                 shift=shift)
+    out_ref[:] = _stream_and_bb(fpost, cfg, th, tw, iy, ix, nty,
+                                ntx).astype(out_ref.dtype)
 
     # hydro reduction on the tile interior (rows 1..th+1 of the window);
     # wx/wy land in VMEM scratch so the per-disk loops can read dynamic
@@ -668,7 +711,8 @@ def fused_step_imb_reduce(
     """
     from lbmdem_tpu.ops.imb import _EPS_MIN
 
-    assert f.dtype == jnp.float32
+    fdt, hy, shift = _storage(cfg)
+    assert f.dtype == fdt
     th, tw = tile_dims(cfg, wide=True)
     sub = tw // 128
     nty, ntx = cfg.ny // th, cfg.nx // tw
@@ -690,11 +734,11 @@ def fused_step_imb_reduce(
     cnt3 = counts.reshape(nty * ntx, sub, 1)
     kernel = functools.partial(
         _imb_reduce_kernel, cfg=cfg, th=th, tw=tw, cap=cap,
-        eps_min=_EPS_MIN, sub=sub,
+        eps_min=_EPS_MIN, sub=sub, hy=hy, shift=shift,
     )
     in_specs = [
-        pl.BlockSpec(memory_space=pltpu.ANY),
-        pl.BlockSpec(memory_space=pltpu.ANY),
+        pl.BlockSpec(memory_space=pl.ANY),
+        pl.BlockSpec(memory_space=pl.ANY),
         pl.BlockSpec(
             (1, sub, cap8), lambda i, j: (i * ntx + j, 0, 0),
             memory_space=pltpu.SMEM,
@@ -709,7 +753,7 @@ def fused_step_imb_reduce(
     if out_buf is not None:
         assert out_buf.shape == f.shape
         operands.append(out_buf)
-        in_specs.append(pl.BlockSpec(memory_space=pltpu.ANY))
+        in_specs.append(pl.BlockSpec(memory_space=pl.ANY))
         aliases = {4: 0}
         inner = kernel
         kernel = (lambda f_hbm, s_hbm, dref, cref, dead, *rest:
@@ -725,11 +769,11 @@ def fused_step_imb_reduce(
                          memory_space=pltpu.VMEM),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((9, cfg.ny, cfg.nx), jnp.float32),
+            jax.ShapeDtypeStruct((9, cfg.ny, cfg.nx), fdt),
             jax.ShapeDtypeStruct((nty * ntx, sub, cap, 4), jnp.float32),
         ),
         scratch_shapes=[
-            pltpu.VMEM((2, 9, th + 2 * _HY, tw + 2 * _HX), jnp.float32),
+            pltpu.VMEM((2, 9, th + 2 * hy, tw + 2 * _HX), fdt),
             pltpu.VMEM((2, 3, th + 2 * _HY, tw + 2 * _HX), jnp.float32),
             pltpu.SemaphoreType.DMA((2, 9)),
             pltpu.SemaphoreType.DMA((2, 9)),
@@ -804,7 +848,10 @@ def fused_step_imb(
     f-output-shaped buffer donated for the result (see
     fused_step_fluid - avoids the while-carry copy).
     """
-    assert f.dtype == jnp.float32
+    assert f.dtype == jnp.float32, (
+        "fused_step_imb is float32-only (bf16 storage runs through "
+        "fused_step_imb_reduce; sharded bf16 is not supported yet)"
+    )
     th, tw = tile_dims(cfg)
     assert f.shape[1] == cfg.ny + (2 * _HY if prehalo else 0)
     assert f.shape[2] == cfg.nx + (2 * _HX if prehalo == "yx" else 0)
@@ -814,15 +861,15 @@ def fused_step_imb(
     kernel = functools.partial(_imb_kernel, cfg=cfg, th=th, tw=tw,
                                prehalo=prehalo)
     in_specs = [
-        pl.BlockSpec(memory_space=pltpu.ANY),
-        pl.BlockSpec(memory_space=pltpu.ANY),
+        pl.BlockSpec(memory_space=pl.ANY),
+        pl.BlockSpec(memory_space=pl.ANY),
     ]
     operands = [f, solid]
     aliases = {}
     if out_buf is not None:
         assert out_buf.shape == (9, cfg.ny, cfg.nx)
         operands.append(out_buf)
-        in_specs.append(pl.BlockSpec(memory_space=pltpu.ANY))
+        in_specs.append(pl.BlockSpec(memory_space=pl.ANY))
         aliases = {2: 0}
         inner = kernel
         kernel = (lambda f_hbm, s_hbm, dead, *rest:

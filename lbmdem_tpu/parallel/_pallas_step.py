@@ -38,6 +38,10 @@ def make_sharded_step_pallas(cfg: SimConfig, grid, mesh, h: int, w: int,
     from lbmdem_tpu.simulation import SimState
     from lbmdem_tpu.parallel.sharding import state_specs
 
+    assert cfg.f_storage == "float32", (
+        "sharded Pallas path is float32-storage only (the prehalo "
+        "exchange and stamp canvas are 8-row granular)"
+    )
     coupled = cfg.max_disks > 0
     use_slab_dem = False
     if coupled and cfg.kt == 0.0:

@@ -73,7 +73,11 @@ def paranoid_wrap(step: Callable, cfg: SimConfig) -> Callable:
         # compute, but failure is terminal: the chunk ends anyway.
         new = step(state, f_scratch)
         ok = jnp.all(jnp.isfinite(new.f))
-        ok &= jnp.all(jnp.sum(new.f, axis=0) > 0.0)
+        # bf16 storage holds g = f - w*rho0: rho = sum(g) + rho0
+        rho = jnp.sum(new.f.astype(jnp.float32), axis=0)
+        if cfg.f_storage == "bfloat16":
+            rho = rho + cfg.rho0
+        ok &= jnp.all(rho > 0.0)
         if coupled:
             d = new.disks
             ok &= jnp.all(jnp.isfinite(d.x)) & jnp.all(jnp.isfinite(d.v))
@@ -122,6 +126,17 @@ def pallas_supported(cfg: SimConfig, mesh=None) -> Optional[str]:
     smaller than the global lattice's."""
     if cfg.dtype != "float32":
         return f"Pallas path is float32-only (dtype={cfg.dtype})"
+    if cfg.f_storage == "bfloat16":
+        # bf16 VMEM tiles are (16, 128): halo DMA row chunks double, so
+        # the wrap-offset alignment proofs need ny % 16 (single-chip
+        # only for now - the sharded prehalo exchange is 8-row)
+        if mesh is not None:
+            return "f_storage='bfloat16' is single-chip only (for now)"
+        if cfg.ny % 16:
+            return (
+                f"f_storage='bfloat16' needs ny%16==0 (16-row bf16 DMA "
+                f"granule; ny={cfg.ny})"
+            )
     ny, nx = cfg.ny, cfg.nx
     two_d = False
     if mesh is not None:
@@ -252,9 +267,14 @@ def make_step_fn(
                 eps, usx, usy = imb.stamp_solid_fraction(
                     d.x, d.v, d.omega, d.r, d.active, cfg
                 )
-                fpost, phix, phiy = imb.collide_imb(state.f, eps, usx, usy, cfg)
+                # oracle path emulates bf16 storage by round-tripping
+                # (physical compute between quantized states)
+                f_phys = lbm.from_storage(state.f, cfg)
+                fpost, phix, phiy = imb.collide_imb(f_phys, eps, usx, usy, cfg)
                 fnew = lbm.stream(fpost)
-                fnew = lbm.apply_bounce_back(fnew, fpost, cfg)
+                fnew = lbm.to_storage(
+                    lbm.apply_bounce_back(fnew, fpost, cfg), cfg
+                )
                 fh, th = imb.reduce_hydro_forces(
                     d.x, d.r, d.active, eps, phix, phiy, cfg
                 )
@@ -280,7 +300,10 @@ def make_step_fn(
                 fnew = pallas_lbm.fused_step_fluid(state.f, cfg,
                                                    out_buf=f_scratch)
             else:
-                fnew = lbm.step_pure_fluid(state.f, cfg)
+                fnew = lbm.to_storage(
+                    lbm.step_pure_fluid(lbm.from_storage(state.f, cfg), cfg),
+                    cfg,
+                )
             return state._replace(f=fnew, step=state.step + 1)
 
     if cfg.paranoia:
@@ -339,7 +362,7 @@ class Simulation:
 
         self.dem_axis = pallas_dem.choose_axis(disks, cfg)
         self.state = SimState(
-            f=lbm.init_equilibrium(cfg),
+            f=lbm.to_storage(lbm.init_equilibrium(cfg), cfg),
             disks=dem.make_disk_state(disks, cfg),
             step=jnp.zeros((), jnp.int32),
             overflow=jnp.zeros((), jnp.int32),
@@ -527,7 +550,8 @@ class Simulation:
     # --- observation ---
     def macroscopic(self):
         """(rho, ux, uy) on host."""
-        rho, ux, uy = lbm.moments(self.state.f, self.cfg.gx, self.cfg.gy)
+        rho, ux, uy = lbm.moments(lbm.from_storage(self.state.f, self.cfg),
+                                  self.cfg.gx, self.cfg.gy)
         return np.asarray(rho), np.asarray(ux), np.asarray(uy)
 
     def solid_fraction(self):

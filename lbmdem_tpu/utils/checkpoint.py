@@ -21,8 +21,14 @@ def save_state(path: str, state, cfg=None) -> None:
     import dataclasses
     import json
 
+    def host(x):
+        a = np.asarray(x)
+        # bf16 isn't a native numpy dtype (.npz can't store it); widen
+        # to f32 on save (exact), load_state casts back via the template
+        return a.astype(np.float32) if a.dtype.name == "bfloat16" else a
+
     leaves, _ = jax.tree.flatten(state)
-    arrs = {f"leaf_{i}": np.asarray(x) for i, x in enumerate(leaves)}
+    arrs = {f"leaf_{i}": host(x) for i, x in enumerate(leaves)}
     meta = {"magic": _MAGIC, "n_leaves": len(leaves)}
     if cfg is not None:
         meta["config"] = dataclasses.asdict(cfg)
@@ -47,4 +53,8 @@ def load_state(path: str, like) -> "SimState":
             f"checkpoint leaf shape {got.shape} != state {want.shape} "
             f"(different lattice/disk capacity?)"
         )
-    return jax.tree.unflatten(treedef, [jax.numpy.asarray(x) for x in leaves])
+    return jax.tree.unflatten(
+        treedef,
+        [jax.numpy.asarray(x).astype(w.dtype)
+         for x, w in zip(leaves, template_leaves)],
+    )

@@ -24,7 +24,7 @@ from lbmdem_tpu.ops import lbm
 
 def compute_diagnostics(state, cfg: SimConfig) -> Dict[str, jax.Array]:
     """All scalar diagnostics in one jittable pass over the state."""
-    f = state.f
+    f = lbm.from_storage(state.f, cfg)
     rho, ux, uy = lbm.moments(f, cfg.gx, cfg.gy)
     umag2 = ux * ux + uy * uy
     out = {

@@ -6,6 +6,7 @@ import subprocess
 import sys
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from lbmdem_tpu.config import DiskSpec, SimConfig
@@ -49,6 +50,24 @@ def test_checkpoint_resume_identical_trajectory(tmp_path):
     np.testing.assert_array_equal(np.asarray(s_cont.f), np.asarray(s_res.f))
     np.testing.assert_array_equal(np.asarray(s_cont.disks.x), np.asarray(s_res.disks.x))
     np.testing.assert_array_equal(np.asarray(s_cont.disks.v), np.asarray(s_res.disks.v))
+
+
+def test_checkpoint_bf16_storage_roundtrips_exact(tmp_path):
+    """bf16 f-storage widens to f32 in the .npz (numpy has no bf16) and
+    casts back on load - bitwise roundtrip of the stored g values."""
+    cfg = _cfg(max_disks=0, f_storage="bfloat16", dtype="float32")
+    sim = Simulation(cfg)
+    step = jax.jit(make_step_fn(sim.cfg, None, False))
+    s = sim.state
+    for _ in range(5):
+        s = step(s)
+    assert s.f.dtype == jnp.bfloat16
+    path = str(tmp_path / "b.npz")
+    ckpt.save_state(path, s, cfg)
+    s_res = ckpt.load_state(path, sim.state)
+    assert s_res.f.dtype == jnp.bfloat16
+    np.testing.assert_array_equal(np.asarray(s.f, np.float32),
+                                  np.asarray(s_res.f, np.float32))
 
 
 def test_checkpoint_shape_mismatch_rejected(tmp_path):

@@ -61,6 +61,20 @@ def test_config_validation():
         SimConfig(nx=4, ny=4, bc_south="slippery")
 
 
+def test_f_storage_validation():
+    with pytest.raises(ValueError, match="f_storage"):
+        SimConfig(nx=4, ny=4, f_storage="fp8")
+    with pytest.raises(ValueError, match="float32"):
+        SimConfig(nx=4, ny=4, f_storage="bfloat16", dtype="float64")
+    # bf16 needs the 16-row DMA granule; ny%16!=0 is a clear reason
+    from lbmdem_tpu.simulation import pallas_supported
+
+    cfg = SimConfig(nx=128, ny=24, f_storage="bfloat16")
+    assert "16" in pallas_supported(cfg)
+    assert pallas_supported(SimConfig(nx=128, ny=32,
+                                      f_storage="bfloat16")) is None
+
+
 def test_window_covers_disk():
     for r in (0.8, 1.5, 3.2, 7.9):
         w = window_for_radius(r)

@@ -106,6 +106,98 @@ def test_simulation_temporal_chunks_match_oracle():
                                rtol=1e-5, atol=5e-7)
 
 
+def _bf16_oracle_step(fs, cfg):
+    """bf16-storage oracle: dequantize -> f32 oracle step -> requantize
+    (exactly the kernel's structure: one rounding per stored step)."""
+    return lbm.to_storage(
+        lbm.step_pure_fluid(lbm.from_storage(fs, cfg), cfg), cfg
+    )
+
+
+@pytest.mark.parametrize("overrides", [
+    dict(gx=1e-5),
+    dict(bc_west="wall", bc_east="wall", uw_north=0.05, gy=-1e-5),
+])
+def test_fused_fluid_bf16_matches_emulated_oracle(overrides):
+    """Shifted-bf16 storage (f_storage='bfloat16'): kernel vs the
+    quantized oracle. f32 summation order differs between the two, so a
+    value sitting on a bf16 rounding boundary can flip one ulp -
+    tolerance is ~1 ulp of the residual scale (|g| <~ 0.03)."""
+    cfg = SimConfig(nx=128, ny=16, tau=0.8, dtype="float32",
+                    f_storage="bfloat16", **overrides)
+    fs = lbm.to_storage(_rand_f(cfg.ny, cfg.nx, seed=2).astype(jnp.float32),
+                        cfg)
+    assert fs.dtype == jnp.bfloat16
+    ref = fs
+    got = fs
+    for _ in range(2):
+        ref = _bf16_oracle_step(ref, cfg)
+        got = pallas_lbm.fused_step_fluid(got, cfg)
+    assert got.dtype == jnp.bfloat16
+    np.testing.assert_allclose(np.asarray(got, np.float32),
+                               np.asarray(ref, np.float32), atol=3e-4)
+
+
+def test_fused_fluid_bf16_rest_state_exact():
+    """The shifted storage's design invariant: equilibrium at rest is
+    g = feq - w*rho0 = 0 EXACTLY in bf16, and stays exactly 0 through
+    the kernel (no forcing)."""
+    cfg = SimConfig(nx=128, ny=16, tau=0.8, dtype="float32",
+                    f_storage="bfloat16")
+    fs = lbm.to_storage(lbm.init_equilibrium(cfg), cfg)
+    np.testing.assert_array_equal(np.asarray(fs, np.float32), 0.0)
+    out = pallas_lbm.fused_step_fluid(fs, cfg)
+    np.testing.assert_array_equal(np.asarray(out, np.float32), 0.0)
+
+
+def test_fluid_temporal_block_bf16():
+    """Temporal blocking on bf16 storage: 16-row halo granule allows
+    k up to 16; inner steps stay f32 (one rounding at writeback), so
+    the oracle emulation is k f32 steps between quantizations."""
+    cfg = SimConfig(nx=128, ny=32, tau=0.8, gy=-1e-5, uw_north=0.03,
+                    dtype="float32", f_storage="bfloat16")
+    f0 = _rand_f(cfg.ny, cfg.nx, seed=4).astype(jnp.float32)
+    fs = lbm.to_storage(f0, cfg)
+    ref = lbm.from_storage(fs, cfg)
+    for _ in range(10):
+        ref = lbm.step_pure_fluid(ref, cfg)
+    ref = lbm.to_storage(ref, cfg)
+    got = pallas_lbm.fused_step_fluid_multi(fs, cfg, 10)
+    np.testing.assert_allclose(np.asarray(got, np.float32),
+                               np.asarray(ref, np.float32), atol=3e-4)
+
+
+@pytest.mark.slow  # interpret-mode stamp/reduce loops run per-slot
+def test_coupled_bf16_matches_oracle_emulation():
+    """Full coupled step with bf16 f-storage: Simulation(use_pallas)
+    vs the oracle path (which emulates the same per-step storage
+    quantization). Disk forces are f32 off the same quantized f, so
+    trajectories track within rounding noise over a few steps."""
+    from lbmdem_tpu.config import DiskSpec
+    from lbmdem_tpu.simulation import Simulation, make_step_fn
+
+    cfg = SimConfig(nx=256, ny=128, tau=0.8, dtype="float32", g_py=-1e-4,
+                    rho_s=2.0, kn=0.5, gamma_n=0.5, n_sub=5, tile_cap=64,
+                    f_storage="bfloat16",
+                    bc_west="wall", bc_east="wall")
+    disks = [DiskSpec(64.3, 96.2, 4.0), DiskSpec(130.0, 64.0, 3.0, vx=0.01)]
+    ref = Simulation(cfg, disks)
+    pal = Simulation(cfg, disks, use_pallas=True)
+    assert ref.state.f.dtype == jnp.bfloat16
+    step_r = jax.jit(make_step_fn(ref.cfg, ref.grid, False))
+    step_p = jax.jit(make_step_fn(pal.cfg, pal.grid, True))
+    sr, sp = ref.state, pal.state
+    for _ in range(3):
+        sr = step_r(sr)
+        sp = step_p(sp)
+    np.testing.assert_allclose(np.asarray(sr.f, np.float32),
+                               np.asarray(sp.f, np.float32), atol=3e-4)
+    np.testing.assert_allclose(np.asarray(sr.disks.x), np.asarray(sp.disks.x),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(sr.disks.v), np.asarray(sp.disks.v),
+                               rtol=1e-4, atol=1e-6)
+
+
 def test_fused_imb_matches_oracle():
     cfg = SimConfig(nx=128, ny=32, tau=0.8, dtype="float32", max_disks=1,
                     window=13, bc_west="wall", bc_east="wall", gy=-1e-5)
