@@ -74,3 +74,14 @@ def nu_from_tau(tau: float) -> float:
 def tau_from_nu(nu: float) -> float:
     """BGK relaxation time from kinematic viscosity (lattice units)."""
     return INV_CS2 * nu + 0.5
+
+
+def wall_corr(i: int, uwx: float, uwy: float, rho0: float) -> float:
+    """Half-way MOVING-wall bounce-back correction (C6):
+    f_i(x_b, t+1) = f_opp^post(x_b, t) + 6 w_i rho0 (e_i . u_w),
+    with rho_w approximated by the reference density rho0. 0.0 for
+    resting walls. The single definition shared by the oracle
+    (ops/lbm.apply_bounce_back), the fused kernels and the sharded
+    edge fixups - the formula must never diverge between them."""
+    return (6.0 * float(W[i]) * rho0
+            * (float(E[i, 0]) * uwx + float(E[i, 1]) * uwy))

@@ -188,7 +188,7 @@ def apply_bounce_back(
     def fix(fnew, idxs, sl_y, sl_x, uwx, uwy):
         for i in idxs:
             i = int(i)
-            corr = 6.0 * float(w[i]) * rho0 * (float(e[i, 0]) * uwx + float(e[i, 1]) * uwy)
+            corr = lattice.wall_corr(i, uwx, uwy, rho0)
             fnew = fnew.at[i, sl_y, sl_x].set(
                 fpost[int(opp[i]), sl_y, sl_x] + jnp.asarray(corr, dt)
             )

@@ -252,6 +252,27 @@ def _tile_xy(lin, ntx, th, tw):
     return (lin // ntx) * th, jax.lax.rem(lin, jnp.int32(ntx)) * tw
 
 
+def _pipeline_window(copies_for, lin, slot, total):
+    """The shared double-buffering scaffold of every windowed kernel:
+    seed tile 0's copies on the first grid step, prefetch tile lin+1's
+    into the other slot, then wait on tile lin's. `copies_for(lin, slot)`
+    must be a pure descriptor constructor (started on one grid step and
+    reconstructed + waited on the next - the Pallas guide pattern)."""
+
+    @pl.when(lin == 0)
+    def _():
+        for c in copies_for(lin, slot):
+            c.start()
+
+    @pl.when(lin + 1 < total)
+    def _():
+        for c in copies_for(lin + 1, jax.lax.rem(lin + 1, jnp.int32(2))):
+            c.start()
+
+    for c in copies_for(lin, slot):
+        c.wait()
+
+
 def _stream_and_bb(fpost, cfg, th, tw, iy, ix, nty, ntx, prehalo=False):
     """Pull-stream 9 (th+2, tw+2*_HX) planes into the (9, th, tw) output
     tile, with bounce-back at global walls. iy/ix are tile grid coords."""
@@ -276,8 +297,7 @@ def _stream_and_bb(fpost, cfg, th, tw, iy, ix, nty, ntx, prehalo=False):
         return sl + np.float32(corr) if corr != 0.0 else sl
 
     def wall_corr(i, uwx, uwy):
-        return (6.0 * float(lattice.W[i]) * cfg.rho0
-                * (float(lattice.E[i, 0]) * uwx + float(lattice.E[i, 1]) * uwy))
+        return lattice.wall_corr(i, uwx, uwy, cfg.rho0)
 
     # prehalo: multi-chip shards apply global y-edge (and, on a 2D
     # mesh, x-edge) bounce-back in the caller (it needs shard position).
@@ -330,18 +350,7 @@ def _fluid_kernel(f_hbm, out_ref, win, sems, *, cfg: SimConfig, th: int,
             prehalo, hy=hy,
         )
 
-    @pl.when(lin == 0)
-    def _():
-        for c in copies_for(lin, slot):
-            c.start()
-
-    @pl.when(lin + 1 < nty * ntx)
-    def _():
-        for c in copies_for(lin + 1, jax.lax.rem(lin + 1, jnp.int32(2))):
-            c.start()
-
-    for c in copies_for(lin, slot):
-        c.wait()
+    _pipeline_window(copies_for, lin, slot, nty * ntx)
     wv = win[slot, :, hy - 1 : hy + th + 1, :]  # (9, th+2, tw+2*_HX)
     if wv.dtype != jnp.float32:
         wv = wv.astype(jnp.float32)
@@ -441,14 +450,10 @@ def _stream_and_bb_window(fpost, cfg, th, tw, iy, ix, nty, ntx, edges=None):
     row = jax.lax.broadcasted_iota(jnp.int32, (H, W), 0)
     col = jax.lax.broadcasted_iota(jnp.int32, (H, W), 1)
 
-    def wall_corr(i, uwx, uwy):
-        return (6.0 * float(lattice.W[i]) * cfg.rho0
-                * (float(lattice.E[i, 0]) * uwx + float(lattice.E[i, 1]) * uwy))
-
     def fix(at, idxs, uwx, uwy):
         for i in (int(j) for j in idxs):
             src = fpost[int(lattice.OPP[i])]
-            corr = wall_corr(i, uwx, uwy)
+            corr = lattice.wall_corr(i, uwx, uwy, cfg.rho0)
             if corr != 0.0:
                 src = src + np.float32(corr)
             outs[i] = jnp.where(at, src, outs[i])
@@ -502,18 +507,7 @@ def _fluid_multi_kernel(f_hbm, out_ref, win, sems, *, cfg: SimConfig,
             prehalo, hy=hy,
         )
 
-    @pl.when(lin == 0)
-    def _():
-        for c in copies_for(lin, slot):
-            c.start()
-
-    @pl.when(lin + 1 < nty * ntx)
-    def _():
-        for c in copies_for(lin + 1, jax.lax.rem(lin + 1, jnp.int32(2))):
-            c.start()
-
-    for c in copies_for(lin, slot):
-        c.wait()
+    _pipeline_window(copies_for, lin, slot, nty * ntx)
     edges = None
     if edge_ref is not None:
         edges = tuple(edge_ref[0, 0, j] != 0 for j in range(4))
@@ -636,18 +630,7 @@ def _imb_reduce_kernel(
             s_hbm, swin.at[s], ssems.at[s], y0, x0, th, tw, cfg.ny, cfg.nx,
         )
 
-    @pl.when(lin == 0)
-    def _():
-        for c in copies_for(lin, slot):
-            c.start()
-
-    @pl.when(lin + 1 < nty * ntx)
-    def _():
-        for c in copies_for(lin + 1, jax.lax.rem(lin + 1, jnp.int32(2))):
-            c.start()
-
-    for c in copies_for(lin, slot):
-        c.wait()
+    _pipeline_window(copies_for, lin, slot, nty * ntx)
     wv = win[slot, :, hy - 1 : hy + th + 1, :]
     if wv.dtype != jnp.float32:
         wv = wv.astype(jnp.float32)
@@ -812,18 +795,7 @@ def _imb_kernel(
             prehalo,
         )
 
-    @pl.when(lin == 0)
-    def _():
-        for c in copies_for(lin, slot):
-            c.start()
-
-    @pl.when(lin + 1 < nty * ntx)
-    def _():
-        for c in copies_for(lin + 1, jax.lax.rem(lin + 1, jnp.int32(2))):
-            c.start()
-
-    for c in copies_for(lin, slot):
-        c.wait()
+    _pipeline_window(copies_for, lin, slot, nty * ntx)
     wv = win[slot, :, _HY - 1 : _HY + th + 1, :]
     sv = swin[slot, :, _HY - 1 : _HY + th + 1, :]
     fpost, phi = _collide_window(wv, cfg, eps=sv[0], usx=sv[1], usy=sv[2])

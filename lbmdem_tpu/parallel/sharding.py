@@ -137,10 +137,8 @@ def stream_from_halo(ext: jax.Array) -> jax.Array:
 
 
 def _wall_corr(i: int, uwx: float, uwy: float, cfg: SimConfig) -> float:
-    """Half-way moving-wall term 6 w_i rho0 (e_i . u_w) (oracle:
-    lbm.apply_bounce_back); 0.0 for resting walls."""
-    return (6.0 * float(lattice.W[i]) * cfg.rho0
-            * (float(lattice.E[i, 0]) * uwx + float(lattice.E[i, 1]) * uwy))
+    """Half-way moving-wall term (shared formula: lattice.wall_corr)."""
+    return lattice.wall_corr(i, uwx, uwy, cfg.rho0)
 
 
 def _apply_bounce_back_sharded(
@@ -202,6 +200,11 @@ def make_sharded_step(
     from lbmdem_tpu.simulation import SimState
 
     coupled = cfg.max_disks > 0
+    assert cfg.f_storage == "float32", (
+        "sharded steps are float32-storage only: the local steps consume "
+        "state.f raw and would silently collide on shifted-bf16 g "
+        "(rho = sum(g) = 0 at rest -> NaN)"
+    )
     ny_sh, nx_sh = mesh.shape["y"], mesh.shape["x"]
     assert cfg.ny % ny_sh == 0 and cfg.nx % nx_sh == 0, (
         f"lattice {cfg.ny}x{cfg.nx} must tile the mesh {ny_sh}x{nx_sh}"

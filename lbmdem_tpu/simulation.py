@@ -353,6 +353,13 @@ class Simulation:
             reason = pallas_supported(cfg, mesh)
             if reason is not None:
                 raise ValueError(f"use_pallas=True unsupported: {reason}")
+        if mesh is not None and cfg.f_storage != "float32":
+            # the sharded steps (XLA oracle and Pallas alike) consume
+            # state.f raw; neither dequantizes shifted-bf16 storage
+            raise ValueError(
+                "f_storage='bfloat16' is single-chip only (sharded steps "
+                "do not handle shifted storage)"
+            )
         self.cfg = cfg
         self.use_pallas = use_pallas
         self.mesh = mesh

@@ -29,7 +29,15 @@ def save_state(path: str, state, cfg=None) -> None:
 
     leaves, _ = jax.tree.flatten(state)
     arrs = {f"leaf_{i}": host(x) for i, x in enumerate(leaves)}
-    meta = {"magic": _MAGIC, "n_leaves": len(leaves)}
+    meta = {
+        "magic": _MAGIC,
+        "n_leaves": len(leaves),
+        # original (pre-widening) dtypes: load_state refuses to cast
+        # across a REAL dtype change (e.g. a float32-storage checkpoint
+        # resumed into a bf16-storage run would silently reinterpret
+        # physical f as shifted g)
+        "dtypes": [np.dtype(x.dtype).name for x in leaves],
+    }
     if cfg is not None:
         meta["config"] = dataclasses.asdict(cfg)
     os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
@@ -40,19 +48,30 @@ def save_state(path: str, state, cfg=None) -> None:
 
 def load_state(path: str, like) -> "SimState":
     """Restore into the structure of `like` (a SimState template)."""
+    import json
+
     with np.load(path, allow_pickle=False) as z:
         n = len([k for k in z.files if k.startswith("leaf_")])
         leaves = [z[f"leaf_{i}"] for i in range(n)]
+        meta = json.loads(str(z["__meta__"])) if "__meta__" in z.files else {}
     template_leaves, treedef = jax.tree.flatten(like)
     assert len(leaves) == len(template_leaves), (
         f"checkpoint has {len(leaves)} leaves, state needs "
         f"{len(template_leaves)}"
     )
-    for got, want in zip(leaves, template_leaves):
+    orig_dtypes = meta.get("dtypes") or [a.dtype.name for a in leaves]
+    for got, want, odt in zip(leaves, template_leaves, orig_dtypes):
         assert got.shape == want.shape, (
             f"checkpoint leaf shape {got.shape} != state {want.shape} "
             f"(different lattice/disk capacity?)"
         )
+        assert odt == np.dtype(want.dtype).name, (
+            f"checkpoint leaf dtype {odt} != state {np.dtype(want.dtype).name}"
+            f" - resuming across an f_storage/dtype change would silently "
+            f"reinterpret the data (convert explicitly instead)"
+        )
+    # the only cast this performs is undoing save_state's bf16->f32
+    # widening (exact roundtrip); real dtype changes were rejected above
     return jax.tree.unflatten(
         treedef,
         [jax.numpy.asarray(x).astype(w.dtype)

@@ -70,6 +70,23 @@ def test_checkpoint_bf16_storage_roundtrips_exact(tmp_path):
                                   np.asarray(s_res.f, np.float32))
 
 
+def test_checkpoint_storage_change_rejected(tmp_path):
+    """Resuming a float32-storage checkpoint into a bf16-storage run
+    would silently reinterpret physical f as shifted g - load_state
+    must refuse dtype changes (it only undoes its own bf16 widening)."""
+    cfg = _cfg(max_disks=0, dtype="float32")
+    sim = Simulation(cfg)
+    path = str(tmp_path / "s.npz")
+    ckpt.save_state(path, sim.state, cfg)
+    other = Simulation(_cfg(max_disks=0, dtype="float32",
+                            f_storage="bfloat16"))
+    try:
+        ckpt.load_state(path, other.state)
+        assert False, "expected dtype mismatch"
+    except AssertionError as e:
+        assert "dtype" in str(e)
+
+
 def test_checkpoint_shape_mismatch_rejected(tmp_path):
     cfg = _cfg()
     sim = Simulation(cfg, [DiskSpec(16.2, 40.0, 3.0)])

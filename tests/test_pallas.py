@@ -90,8 +90,9 @@ def test_fluid_temporal_block_odd_k_multi_tile(k):
 
 
 def test_simulation_temporal_chunks_match_oracle():
-    """Simulation chunk driver mixing k-step macros + single-step
-    remainder (19 = 2x8 + 3) vs the plain-JAX oracle driver."""
+    """Simulation chunk driver mixing TEMPORAL_K-step macros + a
+    single-step remainder (19 = 4x4 + 3 at the production k=4) vs the
+    plain-JAX oracle driver."""
     from lbmdem_tpu.simulation import Simulation
 
     cfg = SimConfig(nx=128, ny=16, tau=0.8, gx=1e-5, uw_north=0.03,

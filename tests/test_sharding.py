@@ -230,6 +230,19 @@ def test_simulation_mesh_temporal_chunks_match():
                                rtol=0, atol=1e-6)
 
 
+def test_mesh_bf16_storage_rejected():
+    """mesh + f_storage='bfloat16' must be rejected at construction:
+    the sharded steps consume state.f raw, and shifted-bf16 g would
+    silently collide to NaN (rho = sum(g) = 0 at rest)."""
+    mesh = _mesh(2, 2)
+    cfg = SimConfig(nx=128, ny=32, tau=0.8, dtype="float32",
+                    f_storage="bfloat16")
+    with pytest.raises(ValueError, match="single-chip"):
+        Simulation(cfg, mesh=mesh)
+    with pytest.raises(ValueError, match="single-chip"):
+        Simulation(cfg, use_pallas=True, mesh=mesh)
+
+
 def test_simulation_mesh_api_matches():
     """User-facing Simulation(mesh=...) == unsharded Simulation.run."""
     mesh = _mesh(2, 4)

@@ -83,9 +83,45 @@ def bench(n, k, chunk_steps=400, repeats=3):
     return mlups
 
 
+def prehalo_parity_probe():
+    """Compile the PREHALO multi kernel (SMEM edge flags, in-kernel BB,
+    shifted prehalo DMA offsets) on the real chip without a mesh: a
+    1-shard ring exchange is wrap (lo = f[-8:], hi = f[:8]) and the
+    single shard holds every global edge (edges = all-on). Interpret
+    mode cannot catch Mosaic-only miscompiles in this variant (see the
+    aliasing lesson in CLAUDE.md)."""
+    cfg = SimConfig(nx=1024, ny=1024, tau=0.7, gy=-1e-5, uw_north=0.05,
+                    bc_west="wall", bc_east="wall", dtype="float32")
+    rng = np.random.default_rng(1)
+    import lbmdem_tpu.lattice as lattice
+
+    base = lattice.W[:, None, None].astype(np.float32)
+    f = jnp.asarray(
+        base * (1.0 + 0.05 * rng.standard_normal((9, 1024, 1024))).astype(np.float32)
+    )
+    t0 = time.perf_counter()
+    ref = f
+    orc = jax.jit(lambda x: lbm.step_pure_fluid(x, cfg))
+    for _ in range(4):
+        ref = orc(ref)
+
+    def khalo(x):
+        ext = jnp.concatenate([x[:, -8:, :], x, x[:, :8, :]], axis=1)
+        edges = jnp.ones((4,), jnp.int32)
+        return pallas_lbm.fused_step_fluid_multi(ext, cfg, 4, prehalo=True,
+                                                 edges=edges)
+
+    got = jax.jit(khalo)(f)
+    d = float(jnp.max(jnp.abs(got - ref)))
+    print(f"prehalo parity probe 1024^2 k=4: max|diff|={d:.3e} "
+          f"({time.perf_counter() - t0:.0f}s incl compile)", flush=True)
+    assert d < 2e-6, "COMPILED PREHALO PARITY FAILURE"
+
+
 if __name__ == "__main__":
     print("devices:", jax.devices(), flush=True)
     parity_probe()
+    prehalo_parity_probe()
     print("bench 4096^2 pure fluid:", flush=True)
     for k in (1, 4, 8):
         bench(4096, k)

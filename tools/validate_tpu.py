@@ -80,17 +80,17 @@ def _cavity():
     n, u_lid = 128, 0.1
     nu = u_lid * n / 100.0  # Re = U L / nu = 100
     cfg = SimConfig(nx=n, ny=n, tau=3.0 * nu + 0.5, dtype="float32",
-                    bc_west="wall", bc_east="wall", uw_north=u_lid)
+                    bc_west="wall", bc_east="wall", uw_north=u_lid,
+                    out_interval=5000)
     sim = Simulation(cfg, [], use_pallas=True)
-    step = make_step_fn(sim.cfg, sim.grid, True)
-    chunk = jax.jit(
-        lambda st: jax.lax.fori_loop(0, 5000, lambda _, x: step(x), st)
-    )
-    s = sim.state
+    # drive through Simulation.run: on the pure-fluid Pallas path this
+    # exercises the PRODUCTION chunk driver - temporal-blocked k-step
+    # macros + buffer ping-pong - not a hand-rolled step loop
     prev = None
     for i in range(40):  # up to 200k steps; diffusive time ~ L^2/nu = 128k
-        s = chunk(s)
-        _, ux, uy = lbm.moments(s.f)
+        sim.run(5000)
+        s = sim.state
+        _, ux, uy = lbm.moments(lbm.from_storage(s.f, sim.cfg))
         ux, uy = np.asarray(ux), np.asarray(uy)
         if prev is not None:
             d = max(np.abs(ux - prev[0]).max(), np.abs(uy - prev[1]).max())
