@@ -91,6 +91,23 @@ def _run(nx, ny, n_disks, chunk, repeats, use_pallas):
     return mlups
 
 
+def _run_fluid(n, chunk, repeats):
+    """Pure-fluid MLUPS at n^2 (temporal-blocked fused kernel)."""
+    from lbmdem_tpu.config import SimConfig
+    from lbmdem_tpu.simulation import Simulation
+
+    cfg = SimConfig(nx=n, ny=n, tau=0.8, gx=1e-6, dtype="float32",
+                    out_interval=10**9)
+    sim = Simulation(cfg, use_pallas=True)
+    sim.run(chunk)
+    best = float("inf")
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        sim.run(chunk)
+        best = min(best, time.perf_counter() - t0)
+    return n * n * chunk / best / 1e6
+
+
 def main():
     import signal
 
@@ -145,9 +162,22 @@ def main():
     only = os.environ.get("BENCH_ONLY")  # e.g. "4096" to skip warmup stages
     if only:
         stages = [s for s in stages if s[0] == int(only)]
+    else:
+        # driver-witnessed pure-fluid number (temporal-blocked kernel,
+        # ~1 min incl compile); a coupled stage line overwrites it as
+        # the headline right after, so it never masks the north star
+        try:
+            _emit("pure-fluid LBM MLUPS/chip (4096x4096, temporal k=4)",
+                  _run_fluid(4096, 400, 2))
+        except Exception as e:
+            print(f"bench: pure-fluid stage failed "
+                  f"({type(e).__name__}: {e})", file=sys.stderr)
+    coupled_done = False
     for nx, ny, nd, chunk, repeats, est_s in stages:
         left = budget - (time.time() - t_start)
-        if _last_line is not None and left < est_s + 60:
+        # only skip for budget once a COUPLED stage has landed (the
+        # pure-fluid line must never suppress the north-star attempt)
+        if coupled_done and left < est_s + 60:
             print(f"bench: skipping {nx}x{ny} ({left:.0f}s left < "
                   f"~{est_s}s est)", file=sys.stderr)
             continue
@@ -158,6 +188,7 @@ def main():
                   f"({type(e).__name__}: {e})", file=sys.stderr)
             continue
         _emit(f"coupled LBM-DEM MLUPS/chip ({nx}x{ny}, {nd} disks)", mlups)
+        coupled_done = True
     if _last_line is None:
         print(json.dumps({
             "metric": "coupled LBM-DEM MLUPS/chip (all configs failed)",
