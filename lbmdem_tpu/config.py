@@ -109,6 +109,12 @@ class SimConfig:
     # Per-tile disk capacity for the Pallas stamp/reduce kernels
     # (0 = derived from disk radii at scene build time).
     tile_cap: int = 0
+    # Ghost-disk capacity per periodic block (x / y / corner): disks
+    # whose stamp window can cross a periodic edge get a min-image
+    # shifted copy appended for the coupling paths (ops/imb.py ghost
+    # helpers). 0 = derived from disk count at scene build time;
+    # overflow is counted into SimState.overflow, never dropped.
+    ghost_cap: int = 0
     # Smagorinsky LES constant (0 = plain BGK).
     smagorinsky: float = 0.0
     # Paranoid/debug mode (SURVEY SS5.2/5.3): validate f finite, rho>0,
@@ -171,22 +177,39 @@ class SimConfig:
                 f"bad eps_method {self.eps_method!r}: "
                 "want 'exact', 'sample' or 'ramp'"
             )
-        if self.max_disks > 0 and PERIODIC in (
-            self.bc_west, self.bc_east, self.bc_south, self.bc_north
-        ):
-            # DEM state does not wrap: a disk drifting past a periodic
-            # edge would silently leave the coupled domain (its contacts
-            # and eps stamp never cross the boundary). Rejected here
-            # rather than failing silently at runtime.
-            raise ValueError(
-                "periodic boundaries are unsupported with DEM disks "
-                "(max_disks > 0): disk coordinates, contacts and the "
-                "solid-fraction stamp do not wrap - use walls"
-            )
+
+    def validate_periodic_dem(self) -> None:
+        """Periodic DEM uses minimum-image contacts + ghost-disk
+        stamping (ops/imb.py, ops/dem.py): both need the wrapped axis
+        to be much longer than one stamp window so a disk has a unique
+        nearest image and at most ONE ghost per axis. Called by
+        Simulation once the window is derived (NOT in __post_init__:
+        the sharded path derives shard-local configs via replace(),
+        whose small local extents are not user geometry)."""
+        if self.max_disks <= 0 or self.window <= 0:
+            return
+        for L, name in ((self.wrap_lx, "x"), (self.wrap_ly, "y")):
+            if L and L < 4 * self.window:
+                raise ValueError(
+                    f"periodic {name}-extent {int(L)} too small for "
+                    f"DEM disks with stamp window {self.window} "
+                    f"(need >= 4*window for unambiguous minimum-image "
+                    f"wrapping)"
+                )
 
     @property
     def nu(self) -> float:
         return (self.tau - 0.5) / 3.0
+
+    @property
+    def wrap_lx(self) -> float:
+        """Periodic x wrap length for disks (0.0 = x sides are walls)."""
+        return float(self.nx) if self.bc_west == PERIODIC else 0.0
+
+    @property
+    def wrap_ly(self) -> float:
+        """Periodic y wrap length for disks (0.0 = y sides are walls)."""
+        return float(self.ny) if self.bc_south == PERIODIC else 0.0
 
     @property
     def units(self):

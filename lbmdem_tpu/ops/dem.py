@@ -48,6 +48,21 @@ class DemGrid:
     # the skin the grid was built with; the subcycle prunes its tight
     # candidate list at this same gap so both stay consistent
     skin: float = 1.0
+    # periodic wrap lengths for disks (0.0 = that axis has walls); on a
+    # wrapped axis cells EXACTLY tile the domain (cell_s* >= cell_size)
+    # so 3x3 cell adjacency modulo nc* is the true wrap adjacency
+    wrap_lx: float = 0.0
+    wrap_ly: float = 0.0
+    cell_sx: float = 0.0  # per-axis cell size (0 -> cell_size)
+    cell_sy: float = 0.0
+
+    @property
+    def csx(self) -> float:
+        return self.cell_sx or self.cell_size
+
+    @property
+    def csy(self) -> float:
+        return self.cell_sy or self.cell_size
 
     @staticmethod
     def build(
@@ -58,10 +73,28 @@ class DemGrid:
         whole DEM subcycle (valid while per-step travel < skin/2; fluid
         velocities are O(0.1) in lattice units, so 1.0 is generous)."""
         cell = max(2.0 * float(r_max) + skin, 1.0)
-        ncx = max(int(cfg.nx / cell) + 1, 1)
-        ncy = max(int(cfg.ny / cell) + 1, 1)
+        lx, ly = cfg.wrap_lx, cfg.wrap_ly
+
+        def axis(n, L, name):
+            if not L:
+                return max(int(n / cell) + 1, 1), cell
+            # exact tiling: a partial last cell would break wrap
+            # adjacency (a disk 2 cells from the seam can be within
+            # reach of cell 0 through a narrow last cell)
+            nc = max(int(n / cell), 1)
+            if nc < 3:
+                raise ValueError(
+                    f"periodic {name}-extent {n} holds only {nc} DEM "
+                    f"cells of size ~{cell:.1f}; need >= 3 for wrapped "
+                    f"3x3 adjacency (smaller disks or a larger domain)"
+                )
+            return nc, n / nc
+
+        ncx, csx = axis(cfg.nx, lx, "x")
+        ncy, csy = axis(cfg.ny, ly, "y")
         return DemGrid(cell_size=cell, ncx=ncx, ncy=ncy, capacity=capacity,
-                       skin=skin)
+                       skin=skin, wrap_lx=lx, wrap_ly=ly,
+                       cell_sx=csx, cell_sy=csy)
 
 
 class DiskState(NamedTuple):
@@ -83,10 +116,27 @@ class DiskState(NamedTuple):
 
 
 def _cell_ids(x: jax.Array, active: jax.Array, grid: DemGrid) -> jax.Array:
-    cx = jnp.clip(jnp.floor((x[:, 0] + 0.5) / grid.cell_size), 0, grid.ncx - 1)
-    cy = jnp.clip(jnp.floor((x[:, 1] + 0.5) / grid.cell_size), 0, grid.ncy - 1)
+    # Clipping also absorbs small periodic excursions: positions wrap
+    # only at ghost-selection points (imb.wrap_positions), so a disk can
+    # sit slightly past the seam - the clipped edge cell is the correct
+    # wrapped-adjacency home for it.
+    cx = jnp.clip(jnp.floor((x[:, 0] + 0.5) / grid.csx), 0, grid.ncx - 1)
+    cy = jnp.clip(jnp.floor((x[:, 1] + 0.5) / grid.csy), 0, grid.ncy - 1)
     cid = (cy * grid.ncx + cx).astype(jnp.int32)
     return jnp.where(active, cid, -1)
+
+
+def _min_image(d: jax.Array, lx: float, ly: float) -> jax.Array:
+    """Minimum-image displacement (..., 2) under periodic wrap lengths
+    (0 = no wrap on that axis)."""
+    if not (lx or ly):
+        return d
+    cx, cy = d[..., 0], d[..., 1]
+    if lx:
+        cx = cx - lx * jnp.round(cx / lx)
+    if ly:
+        cy = cy - ly * jnp.round(cy / ly)
+    return jnp.stack([cx, cy], axis=-1)
 
 
 def build_cell_table(
@@ -169,10 +219,10 @@ def candidate_list(
     """
     k = grid.capacity
     cx = jnp.clip(
-        jnp.floor((disks.x[:, 0] + 0.5) / grid.cell_size), 0, grid.ncx - 1
+        jnp.floor((disks.x[:, 0] + 0.5) / grid.csx), 0, grid.ncx - 1
     ).astype(jnp.int32)
     cy = jnp.clip(
-        jnp.floor((disks.x[:, 1] + 0.5) / grid.cell_size), 0, grid.ncy - 1
+        jnp.floor((disks.x[:, 1] + 0.5) / grid.csy), 0, grid.ncy - 1
     ).astype(jnp.int32)
     offs = jnp.array(
         [[-1, -1], [0, -1], [1, -1], [-1, 0], [0, 0], [1, 0], [-1, 1], [0, 1], [1, 1]],
@@ -180,7 +230,21 @@ def candidate_list(
     )
     nbx = cx[:, None] + offs[None, :, 0]  # (N, 9)
     nby = cy[:, None] + offs[None, :, 1]
-    valid_c = (nbx >= 0) & (nbx < grid.ncx) & (nby >= 0) & (nby < grid.ncy)
+    # Periodic axes wrap the 3x3 patch across the seam (cells exactly
+    # tile wrapped axes, so modular adjacency IS wrap adjacency; the
+    # >= 3 cells guarantee from DemGrid.build keeps the 9 patch cells
+    # distinct). Wall axes clamp as before.
+    if grid.wrap_lx:
+        nbx = jax.lax.rem(nbx + grid.ncx, jnp.int32(grid.ncx))
+        valid_x = jnp.ones(nbx.shape, bool)
+    else:
+        valid_x = (nbx >= 0) & (nbx < grid.ncx)
+    if grid.wrap_ly:
+        nby = jax.lax.rem(nby + grid.ncy, jnp.int32(grid.ncy))
+        valid_y = jnp.ones(nby.shape, bool)
+    else:
+        valid_y = (nby >= 0) & (nby < grid.ncy)
+    valid_c = valid_x & valid_y
     cidn = jnp.where(valid_c, nby * grid.ncx + nbx, 0)
     cand = table[cidn]  # (N, 9, K)
     cand = jnp.where(valid_c[:, :, None], cand, -1)
@@ -192,12 +256,14 @@ def candidate_list(
 
 
 def prune_candidates(
-    disks: DiskState, cand: jax.Array, cap: int, skin: float
+    disks: DiskState, cand: jax.Array, cap: int, skin: float,
+    wrap: Tuple[float, float] = (0.0, 0.0),
 ) -> Tuple[jax.Array, jax.Array]:
     """Keep only candidates with surface gap <= skin, compacted to a
     (N, cap) list. Gathers once per LBM step so the 20-substep cycle
     works on a tight list (typical contact coordination is <= 6-8;
     TPU gathers are the DEM cost center, so slot count is everything).
+    `wrap` = periodic (lx, ly) for minimum-image gaps (0 = walls).
     Returns (tight (N, cap), overflow count)."""
     mask = cand >= 0
     j = jnp.maximum(cand, 0)
@@ -207,7 +273,7 @@ def prune_candidates(
         [disks.x, disks.r[:, None], disks.active[:, None].astype(dt)], axis=1
     )
     g = packed[j]  # (N, S, 4)
-    d = disks.x[:, None, :] - g[..., 0:2]
+    d = _min_image(disks.x[:, None, :] - g[..., 0:2], *wrap)
     dist2 = jnp.sum(d * d, axis=-1)
     reach = disks.r[:, None] + g[..., 2] + skin
     keep = mask & (g[..., 3] > 0) & (dist2 <= reach * reach)
@@ -237,12 +303,19 @@ def contact_forces_from_candidates(
          disks.active[:, None].astype(dt)], axis=1,
     )
     g = packed[j]  # (N, S, 7)
+    # Periodic contacts: replace each neighbor's position by its
+    # minimum image relative to disk i (the pair law only reads the
+    # displacement, so shifting xj is exact).
+    wrap = (cfg.wrap_lx, cfg.wrap_ly)
+    xj = g[..., 0:2]
+    if wrap[0] or wrap[1]:
+        xj = disks.x[:, None, :] - _min_image(disks.x[:, None, :] - xj, *wrap)
     F, T, xi_new, touching = _pair_force(
         disks.x[:, None, :],
         disks.v[:, None, :],
         disks.omega[:, None],
         disks.r[:, None],
-        g[..., 0:2],
+        xj,
         g[..., 2:4],
         g[..., 4],
         g[..., 5],
@@ -351,7 +424,8 @@ def dem_subcycle(
     table, ovf = build_cell_table(disks.x, disks.active, grid)
     cand = candidate_list(disks, table, grid)
     cand, ovf_p = prune_candidates(disks, cand, cfg.contact_cap,
-                                   skin=grid.skin)
+                                   skin=grid.skin,
+                                   wrap=(cfg.wrap_lx, cfg.wrap_ly))
     ovf = jnp.maximum(ovf, ovf_p)
     body_f = body_forces(disks, cfg)  # position-independent
 

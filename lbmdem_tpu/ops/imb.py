@@ -185,6 +185,153 @@ def stamp_solid_fraction(
     return eps, fields[..., 1] * inv, fields[..., 2] * inv
 
 
+# --- periodic ghost disks -------------------------------------------
+#
+# The stamp/reduce paths work in absolute cell coordinates, so a disk
+# whose window crosses a periodic edge must ALSO stamp on the wrapped
+# side. Rather than teaching every kernel to wrap, disks near a
+# periodic edge get a "ghost": a min-image shifted copy appended to the
+# arrays fed to stamping/binning/reduction. Ghost hydro forces fold
+# back into their parents afterwards. Contacts do NOT use ghosts - the
+# DEM broadphase wraps cell adjacency and the pair law uses minimum-
+# image distances (ops/dem.py).
+
+
+def default_ghost_cap(n: int, cfg: SimConfig, margin: int = 0) -> int:
+    """Per-block ghost capacity: the expected near-edge disk count for a
+    uniform spatial distribution, with 4x headroom (the paranoid channel
+    counts overflow, so a burst is detected, never silent)."""
+    t = cfg.window // 2 + margin + 2
+    frac = 0.0
+    if cfg.wrap_lx:
+        frac = max(frac, 2.0 * t / cfg.wrap_lx)
+    if cfg.wrap_ly:
+        frac = max(frac, 2.0 * t / cfg.wrap_ly)
+    cap = int(4.0 * n * frac) + 8
+    return min((cap + 7) & ~7, max(n, 8))
+
+
+def ghost_selection(
+    x: jax.Array, active: jax.Array, cfg: SimConfig, margin: int = 0
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Fixed-capacity selection of disks needing a periodic ghost.
+
+    Returns (parent (G,) i32 with -1 = empty slot, axes (G, 2) i32 with
+    1 where the ghost shifts on that axis, overflow () i32). G is
+    static: cfg.ghost_cap slots per needed block (x-edge, y-edge,
+    corner); zero periodic axes give G == 0.
+
+    `margin` widens the near-edge test (cells) so a selection stays
+    valid while disks travel < margin (the Verlet-cadence pattern of
+    the stamp binning). The ghost SHIFT itself is recomputed from the
+    parent's current side at apply time (`apply_ghosts`), so a parent
+    numerically crossing the wrap seam between selections keeps a
+    correct ghost.
+    """
+    lx, ly = cfg.wrap_lx, cfg.wrap_ly
+    cap = cfg.ghost_cap
+    if not (lx or ly):
+        z = jnp.zeros((0,), jnp.int32)
+        return z, jnp.zeros((0, 2), jnp.int32), jnp.zeros((), jnp.int32)
+    assert cap > 0, "cfg.ghost_cap must be set (Simulation derives it)"
+    t = cfg.window // 2 + margin + 2
+
+    kk = min(cap, x.shape[0])  # top_k cannot exceed the row count
+    pad = jnp.full((cap - kk,), -1, jnp.int32)
+
+    def pack(flag):
+        vals, idx = jax.lax.top_k(flag.astype(jnp.float32), kk)
+        parent = jnp.where(vals > 0, idx.astype(jnp.int32), -1)
+        ovf = (jnp.sum(flag, dtype=jnp.int32)
+               - jnp.sum(vals > 0, dtype=jnp.int32))
+        return jnp.concatenate([parent, pad]), ovf
+
+    near_x = active & ((x[:, 0] < t) | (x[:, 0] > lx - 1 - t)) if lx else None
+    near_y = active & ((x[:, 1] < t) | (x[:, 1] > ly - 1 - t)) if ly else None
+    parents, axes, ovf = [], [], jnp.zeros((), jnp.int32)
+    blocks = []
+    if lx:
+        blocks.append((near_x, (1, 0)))
+    if ly:
+        blocks.append((near_y, (0, 1)))
+    if lx and ly:
+        blocks.append((near_x & near_y, (1, 1)))
+    for flag, ax in blocks:
+        p, o = pack(flag)
+        parents.append(p)
+        axes.append(jnp.broadcast_to(jnp.asarray(ax, jnp.int32), (cap, 2)))
+        ovf = ovf + o
+    return jnp.concatenate(parents), jnp.concatenate(axes), ovf
+
+
+def apply_ghosts(
+    parent: jax.Array, axes: jax.Array, x, v, omega, r, active,
+    cfg: SimConfig,
+):
+    """Append min-image shifted ghost rows to the disk arrays.
+
+    The shift side is chosen from the parent's CURRENT position (a
+    parent in the west half gets its ghost at +L, east half at -L), so
+    a stale selection stays correct across wrap-seam crossings. Returns
+    (x_aug, v_aug, omega_aug, r_aug, active_aug) with N + G rows; empty
+    slots are inactive and parked far outside the domain.
+    """
+    G = parent.shape[0]
+    if G == 0:
+        return x, v, omega, r, active
+    ok = parent >= 0
+    j = jnp.maximum(parent, 0)
+    gx = x[j]
+    dt = x.dtype
+    cols = [gx[:, 0], gx[:, 1]]
+    for a, L in ((0, cfg.wrap_lx), (1, cfg.wrap_ly)):
+        if L:
+            c = cols[a]
+            shifted = jnp.where(c < 0.5 * (L - 1.0), c + L, c - L)
+            cols[a] = jnp.where(axes[:, a] > 0, shifted, c)
+    gxy = jnp.stack(cols, axis=1)
+    g_act = ok & active[j]
+    gxy = jnp.where(g_act[:, None], gxy, jnp.asarray(-1e6, dt))
+    return (
+        jnp.concatenate([x, gxy]),
+        jnp.concatenate([v, jnp.where(g_act[:, None], v[j], 0.0)]),
+        jnp.concatenate([omega, jnp.where(g_act, omega[j], 0.0)]),
+        jnp.concatenate([r, jnp.where(g_act, r[j], 1.0)]),
+        jnp.concatenate([active, g_act]),
+    )
+
+
+def fold_ghost_forces(
+    F: jax.Array, T: jax.Array, parent: jax.Array, n: int
+) -> Tuple[jax.Array, jax.Array]:
+    """Sum ghost-row hydro forces/torques back into their parents."""
+    if parent.shape[0] == 0:
+        return F, T
+    j = jnp.where(parent >= 0, parent, n)  # n = out of bounds -> dropped
+    return (
+        F[:n].at[j].add(F[n:], mode="drop"),
+        T[:n].at[j].add(T[n:], mode="drop"),
+    )
+
+
+def wrap_positions(x: jax.Array, active: jax.Array, cfg: SimConfig):
+    """Wrap ACTIVE disk centers into the periodic domain [-1/2, L-1/2).
+
+    Inactive slots are parked far outside the domain on purpose
+    (make_disk_state) and must stay there. Idempotent for in-domain
+    positions; callers wrap only at ghost-selection points, so
+    persistent tile lists never see the +-L coordinate jump."""
+    lx, ly = cfg.wrap_lx, cfg.wrap_ly
+    if not (lx or ly):
+        return x
+    cols = [x[:, 0], x[:, 1]]
+    for a, L in ((0, lx), (1, ly)):
+        if L:
+            c = cols[a]
+            cols[a] = c - L * jnp.floor((c + 0.5) / L)
+    return jnp.where(active[:, None], jnp.stack(cols, axis=1), x)
+
+
 def nt_weight(eps: jax.Array, tau) -> jax.Array:
     """Noble-Torczynski blending B(eps, tau) = eps(tau-1/2) / ((1-eps) + (tau-1/2))."""
     tm = tau - 0.5

@@ -92,6 +92,11 @@ def slab_supported(grid: DemGrid, axis: str = "y") -> bool:
     (qualified on TPU v5e up to 504x512 planes = 8192^2 domains at
     cell_size 17: 33 s kernel compile, 1333 MLUPS/chip coupled,
     tools/qualify_8192.py)."""
+    if grid.wrap_lx or grid.wrap_ly:
+        # periodic DEM needs wrapped cell adjacency + minimum-image
+        # pair distances; the slab kernel's +-1-row/col windows do not
+        # wrap - the XLA subcycle (ops/dem.py) handles periodic runs
+        return False
     ncs, ncl, R, C, nb = slab_dims(grid, axis)
     if R * C > 270000:
         return False

@@ -200,6 +200,7 @@ def make_sharded_step(
     from lbmdem_tpu.simulation import SimState
 
     coupled = cfg.max_disks > 0
+    periodic_dem = coupled and bool(cfg.wrap_lx or cfg.wrap_ly)
     assert cfg.f_storage == "float32", (
         "sharded steps are float32-storage only: the local steps consume "
         "state.f raw and would silently collide on shifted-bf16 g "
@@ -231,12 +232,26 @@ def make_sharded_step(
 
         if coupled:
             d = state.disks
+            govf = jnp.zeros((), jnp.int32)
+            if periodic_dem:
+                # wrap + ghost-select at GLOBAL coords (disk state is
+                # replicated, so every shard computes the same
+                # augmentation) BEFORE the local-frame shift
+                d = d._replace(x=imb.wrap_positions(d.x, d.active, cfg))
+                gparent, gaxes, govf = imb.ghost_selection(
+                    d.x, d.active, cfg
+                )
+                xa, va, oma, ra, acta = imb.apply_ghosts(
+                    gparent, gaxes, d.x, d.v, d.omega, d.r, d.active, cfg
+                )
+            else:
+                xa, va, oma, ra, acta = d.x, d.v, d.omega, d.r, d.active
             # Shift replicated disk coords into this shard's local frame;
             # stamping/gathering then drops out-of-shard cells naturally.
             shift = jnp.stack([ox, oy])
-            xloc = d.x - shift[None, :]
+            xloc = xa - shift[None, :]
             eps, usx, usy = imb.stamp_solid_fraction(
-                xloc, d.v, d.omega, d.r, d.active, local_cfg
+                xloc, va, oma, ra, acta, local_cfg
             )
             fpost, phix, phiy = imb.collide_imb(f, eps, usx, usy, local_cfg)
         else:
@@ -248,17 +263,21 @@ def make_sharded_step(
 
         if coupled:
             fh_part, th_part = imb.reduce_hydro_forces(
-                xloc, d.r, d.active, eps, phix, phiy, local_cfg
+                xloc, ra, acta, eps, phix, phiy, local_cfg
             )
             fh = jax.lax.psum(fh_part, ("y", "x"))
             th = jax.lax.psum(th_part, ("y", "x"))
+            if periodic_dem:
+                fh, th = imb.fold_ghost_forces(
+                    fh, th, gparent, d.x.shape[0]
+                )
             # DEM runs redundantly on every chip on replicated state.
             disks, ovf, nc = dem.dem_subcycle(d, fh, th, grid, cfg)
             return SimState(
                 f=fnew,
                 disks=disks,
                 step=state.step + 1,
-                overflow=jnp.maximum(state.overflow, ovf),
+                overflow=jnp.maximum(state.overflow, jnp.maximum(ovf, govf)),
                 n_contacts=nc,
                 fail_step=state.fail_step,
             )

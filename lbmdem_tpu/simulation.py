@@ -154,6 +154,14 @@ def pallas_supported(cfg: SimConfig, mesh=None) -> Optional[str]:
             f"fused lattice kernel needs ny%8==0 and nx%128==0 "
             f"({where} {ny}x{nx})"
         )
+    if (cfg.max_disks > 0 and mesh is not None
+            and (cfg.wrap_lx or cfg.wrap_ly)):
+        # the sharded Pallas stamp bins on a local padded canvas that
+        # has no wrap notion yet; the sharded XLA path handles periodic
+        # DEM (ghosts at global coords before the local-frame shift)
+        return ("periodic boundaries with DEM disks are not supported "
+                "on the sharded Pallas path yet (use the XLA sharded "
+                "path or a single chip)")
     if cfg.max_disks > 0:
         if mesh is not None:
             from lbmdem_tpu.parallel._pallas_step import _PAD
@@ -202,6 +210,7 @@ def make_step_fn(
     allocation.
     """
     coupled = cfg.max_disks > 0
+    periodic_dem = coupled and bool(cfg.wrap_lx or cfg.wrap_ly)
     if use_pallas:
         from lbmdem_tpu.ops import pallas_dem, pallas_lbm, pallas_stamp
 
@@ -214,27 +223,55 @@ def make_step_fn(
     def step(state: SimState, f_scratch=None) -> SimState:
         if coupled:
             d = state.disks
+            n_real = d.x.shape[0]
+            gparent = gaxes = None
+            govf = jnp.zeros((), jnp.int32)
+            if periodic_dem and tile_lists is None:
+                # Periodic DEM: wrap positions, then select the disks
+                # whose stamp window can cross a periodic seam - their
+                # min-image ghost copies feed every coupling path below
+                # and their hydro forces fold back into the parents.
+                # (With tile_lists, the Verlet-cadence driver did this
+                # at the last rebuild - positions must NOT re-wrap here
+                # or the +-L jump would invalidate the persistent lists.)
+                d = d._replace(x=imb.wrap_positions(d.x, d.active, cfg))
+                gparent, gaxes, govf = imb.ghost_selection(
+                    d.x, d.active, cfg
+                )
+
+            def augmented(d):
+                if not periodic_dem:
+                    return d.x, d.v, d.omega, d.r, d.active
+                return imb.apply_ghosts(
+                    gparent, gaxes, d.x, d.v, d.omega, d.r, d.active, cfg
+                )
+
             if use_pallas:
                 if tile_lists is not None:
-                    lists, counts, entry_slots, x_bin = tile_lists
+                    lists, counts, entry_slots, x_bin, gparent, gaxes = (
+                        tile_lists
+                    )
                     travel2 = jnp.where(
                         d.active, jnp.sum((d.x - x_bin) ** 2, axis=-1), 0.0
                     )
                     bovf = jnp.sum(
                         travel2 > float(BIN_MARGIN) ** 2, dtype=jnp.int32
                     )
+                    xa, va, oma, ra, acta = augmented(d)
                     tile_data = pallas_stamp.gather_tile_data(
-                        lists, d.x, d.v, d.omega, d.r, d.active
+                        lists, xa, va, oma, ra, acta
                     )
                 else:
+                    xa, va, oma, ra, acta = augmented(d)
                     lists, counts, entry_slots, bovf = (
-                        pallas_stamp.build_tile_lists(d.x, d.active, cfg)
+                        pallas_stamp.build_tile_lists(xa, acta, cfg)
                     )
+                    bovf = jnp.maximum(bovf, govf)
                     tile_data = pallas_stamp.gather_tile_data(
-                        lists, d.x, d.v, d.omega, d.r, d.active
+                        lists, xa, va, oma, ra, acta
                     )
                 solid, _ = pallas_stamp.stamp_solid_fraction(
-                    d.x, d.v, d.omega, d.r, d.active, cfg,
+                    xa, va, oma, ra, acta, cfg,
                     binned=(tile_data, counts, None, None), as_stack=True,
                 )
                 # IMB collide-stream with the hydro reduction fused in:
@@ -248,6 +285,8 @@ def make_step_fn(
                 fh, th = pallas_stamp.gather_partials(
                     partials, entry_slots, d.x.dtype
                 )
+                if periodic_dem:
+                    fh, th = imb.fold_ghost_forces(fh, th, gparent, n_real)
                 if use_slab_dem:
                     disks, ovf, nc = pallas_dem.dem_subcycle(
                         d, fh, th, grid, cfg, dem_axis
@@ -263,9 +302,10 @@ def make_step_fn(
                         fail_step=state.fail_step,
                     )
             else:
-                bovf = jnp.zeros((), jnp.int32)
+                bovf = govf
+                xa, va, oma, ra, acta = augmented(d)
                 eps, usx, usy = imb.stamp_solid_fraction(
-                    d.x, d.v, d.omega, d.r, d.active, cfg
+                    xa, va, oma, ra, acta, cfg
                 )
                 # oracle path emulates bf16 storage by round-tripping
                 # (physical compute between quantized states)
@@ -276,8 +316,10 @@ def make_step_fn(
                     lbm.apply_bounce_back(fnew, fpost, cfg), cfg
                 )
                 fh, th = imb.reduce_hydro_forces(
-                    d.x, d.r, d.active, eps, phix, phiy, cfg
+                    xa, ra, acta, eps, phix, phiy, cfg
                 )
+                if periodic_dem:
+                    fh, th = imb.fold_ghost_forces(fh, th, gparent, n_real)
             disks, ovf, nc = dem.dem_subcycle(d, fh, th, grid, cfg)
             return SimState(
                 f=fnew,
@@ -349,6 +391,12 @@ class Simulation:
                     th, tw, r_min, cfg.window + 2 * BIN_MARGIN
                 )
             )
+        cfg.validate_periodic_dem()
+        if (cfg.max_disks > 0 and (cfg.wrap_lx or cfg.wrap_ly)
+                and cfg.ghost_cap <= 0):
+            cfg = cfg.replace(ghost_cap=imb.default_ghost_cap(
+                cfg.max_disks, cfg, BIN_MARGIN
+            ))
         if use_pallas:
             reason = pallas_supported(cfg, mesh)
             if reason is not None:
@@ -417,18 +465,43 @@ class Simulation:
                 cfg, grid = self.cfg, self.grid
                 n_outer, n_rem = divmod(n, BIN_CADENCE)
 
+                periodic = bool(cfg.wrap_lx or cfg.wrap_ly)
+
                 def k_steps(carry, k):
                     st, scr = carry
                     d = st.disks
+                    gparent = gaxes = None
+                    if periodic:
+                        # wrap + ghost-select ONLY at rebuild points:
+                        # the ghost threshold carries the same
+                        # BIN_MARGIN slack as the tile lists, and the
+                        # existing travel check flags violations
+                        d = d._replace(
+                            x=imb.wrap_positions(d.x, d.active, cfg)
+                        )
+                        st = st._replace(disks=d)
+                        gparent, gaxes, govf = imb.ghost_selection(
+                            d.x, d.active, cfg, margin=BIN_MARGIN
+                        )
+                        st = st._replace(
+                            overflow=jnp.maximum(st.overflow, govf)
+                        )
+                        xb, vb, omb, rb, actb = imb.apply_ghosts(
+                            gparent, gaxes, d.x, d.v, d.omega, d.r,
+                            d.active, cfg,
+                        )
+                    else:
+                        xb, actb = d.x, d.active
                     lists, counts, entry_slots, bovf = (
                         pallas_stamp.build_tile_lists(
-                            d.x, d.active, cfg, margin=BIN_MARGIN
+                            xb, actb, cfg, margin=BIN_MARGIN
                         )
                     )
                     st = st._replace(overflow=jnp.maximum(st.overflow, bovf))
                     kstep = make_step_fn(
                         cfg, grid, True,
-                        tile_lists=(lists, counts, entry_slots, d.x),
+                        tile_lists=(lists, counts, entry_slots, d.x,
+                                    gparent, gaxes),
                         dem_axis=self.dem_axis,
                     )
                     k2, krem = divmod(k, 2)
@@ -563,7 +636,13 @@ class Simulation:
 
     def solid_fraction(self):
         d = self.state.disks
-        eps, _, _ = imb.stamp_solid_fraction(d.x, d.v, d.omega, d.r, d.active, self.cfg)
+        cfg = self.cfg
+        x, v, om, r, act = d.x, d.v, d.omega, d.r, d.active
+        if cfg.max_disks > 0 and (cfg.wrap_lx or cfg.wrap_ly):
+            x = imb.wrap_positions(x, act, cfg)
+            gp, ga, _ = imb.ghost_selection(x, act, cfg)
+            x, v, om, r, act = imb.apply_ghosts(gp, ga, x, v, om, r, act, cfg)
+        eps, _, _ = imb.stamp_solid_fraction(x, v, om, r, act, cfg)
         return np.asarray(jnp.clip(eps, 0.0, 1.0))
 
     def disk_arrays(self):

@@ -83,11 +83,18 @@ def test_window_covers_disk():
         assert w % 2 == 1
 
 
-def test_dem_periodic_rejected():
-    # disks + periodic sides would silently lose disks at the boundary
-    with pytest.raises(ValueError, match="periodic"):
-        SimConfig(nx=8, ny=8, max_disks=2)  # default x sides periodic
-    SimConfig(nx=8, ny=8, max_disks=2, bc_west="wall", bc_east="wall")
+def test_dem_periodic_geometry_validated():
+    # disks + periodic sides are supported (minimum-image contacts +
+    # ghost stamping, tests/test_periodic.py), but the wrapped extent
+    # must dominate the stamp window or the nearest image is ambiguous
+    cfg = SimConfig(nx=8, ny=8, max_disks=2, window=9)
+    with pytest.raises(ValueError, match="too small"):
+        cfg.validate_periodic_dem()
+    SimConfig(nx=64, ny=8, max_disks=2, window=9).validate_periodic_dem()
+    # wall-only geometry never trips it
+    SimConfig(nx=8, ny=8, max_disks=2, window=9, bc_west="wall",
+              bc_east="wall", bc_south="wall",
+              bc_north="wall").validate_periodic_dem()
 
 
 def _write_si_deck(tmp_path):
