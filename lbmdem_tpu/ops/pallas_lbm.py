@@ -100,14 +100,30 @@ def _collide_window(win, cfg: SimConfig, eps=None, usx=None, usy=None,
     w_i*shift (bf16 storage mode, lbm.storage_shift). The whole update
     keeps its exact form with feq -> geq = feq - w_i*shift: moments
     need only the rho offset (sum(w)=1, sum(w e)=0), BGK/IMB/Guo/BB
-    shifts cancel (w_opp = w_i), and phi stays physical. shift=0.0
-    compiles the original expressions bit-for-bit.
+    shifts cancel (w_opp = w_i), and phi stays physical.
+
+    PAIR-SYMMETRIC ALGEBRA (the VPU-bound coupled collide measured
+    ~2.1 ms/step at 4096^2): with e_opp = -e and w_opp = w, every
+    equilibrium splits into an even and an odd part per direction pair,
+        feq_i  = E + O,   feq_opp = E - O,
+        E = w (rho_b + rho (4.5 eu^2 - 1.5 u^2)),  O = 3 w rho eu,
+    so the 8 non-rest equilibria cost 4 evaluations; the IMB source
+    collapses the same way: with W = f_opp - f_i, P = E_s - E_f,
+    Q = O_s + O_f,
+        Omega_i  =  W + P + Q,   Omega_opp = -W + P - Q,
+    and the momentum exchange per pair is phi -= e_i * 2B(W + Q)
+    (the P parts cancel under e_i <-> -e_i). Guo's projection splits
+    identically (even: 9 eu (e.g) - 3 u.g, odd: 3 e.g with e.g a
+    static scalar). Same update, ~2/3 the vector ops.
     """
     tau = cfg.tau
     w_c = lattice.W.astype(np.float32)
     ex_c = lattice.EX.astype(np.float32)
     ey_c = lattice.EY.astype(np.float32)
     gx, gy = cfg.gx, cfg.gy
+    # direction pairs (i < opp(i)) + the rest population 0
+    pairs = [(i, int(lattice.OPP[i])) for i in range(1, 9)
+             if i < int(lattice.OPP[i])]
 
     rho_g = win[0]
     jx = jnp.zeros_like(rho_g)
@@ -123,18 +139,46 @@ def _collide_window(win, cfg: SimConfig, eps=None, usx=None, usy=None,
     ux = (jx + 0.5 * gx) * inv_rho
     uy = (jy + 0.5 * gy) * inv_rho
     usq = ux * ux + uy * uy
+    # rho_b is the density the '1' in feq multiplies: the raw (shifted)
+    # sum in storage-shift mode, so geq = feq - w*shift exactly
+    rho_b = rho_g if shift != 0.0 else rho
+    rho3 = 3.0 * rho
 
-    def feq_i(i, ux_, uy_, usq_):
-        eu = ex_c[i] * ux_ + ey_c[i] * uy_
-        if shift != 0.0:  # geq_i = feq_i - w_i*shift, via rho-shift=rho_g
-            return w_c[i] * (rho_g + rho * (3.0 * eu + 4.5 * eu * eu
-                                            - 1.5 * usq_))
-        return w_c[i] * rho * (1.0 + 3.0 * eu + 4.5 * eu * eu - 1.5 * usq_)
+    def eu_of(i, ux_, uy_):
+        """e_i . u as +-adds (components are -1/0/+1)."""
+        ex, ey = int(lattice.E[i, 0]), int(lattice.E[i, 1])
+        t = None
+        if ex:
+            t = ux_ if ex > 0 else -ux_
+        if ey:
+            if t is None:
+                t = uy_ if ey > 0 else -uy_
+            else:
+                t = t + uy_ if ey > 0 else t - uy_
+        return t
 
+    def eo_parts(i, ux_, uy_, m15sq):
+        """(E, O) equilibrium parts for pair representative i.
+        m15sq = -1.5*|u|^2 precomputed once per velocity field."""
+        eu = eu_of(i, ux_, uy_)
+        E = w_c[i] * (rho_b + rho * (4.5 * (eu * eu) + m15sq))
+        return E, (w_c[i] * rho3) * eu, eu
+
+    m15 = -1.5 * usq
+    feq0 = w_c[0] * (rho_b + rho * m15)
+    fparts = {i: eo_parts(i, ux, uy, m15) for i, _ in pairs}
+
+    coupled = eps is not None
+    feqs = None
     if cfg.smagorinsky > 0.0:
+        # LES needs all 9 equilibria up front (non-eq stress norm)
+        feqs = [feq0] * 9
+        for i, io in pairs:
+            E, O, _ = fparts[i]
+            feqs[i] = E + O
+            feqs[io] = E - O
         # Smagorinsky LES (C8): tau_eff from the non-equilibrium stress
         # norm, same closed form as the oracle (ops/lbm.smagorinsky_tau)
-        feqs = [feq_i(i, ux, uy, usq) for i in range(9)]
         pxx = jnp.zeros_like(rho)
         pyy = jnp.zeros_like(rho)
         pxy = jnp.zeros_like(rho)
@@ -150,41 +194,79 @@ def _collide_window(win, cfg: SimConfig, eps=None, usx=None, usy=None,
         c_les = np.float32(18.0 * np.sqrt(2.0) * cfg.smagorinsky**2)
         tau = 0.5 * (tau + jnp.sqrt(tau * tau + c_les * pnorm / rho))
 
-    coupled = eps is not None
     if coupled:
         eps_c = jnp.clip(eps, 0.0, 1.0)
         tm = tau - 0.5
         B = eps_c * tm / ((1.0 - eps_c) + tm)
         one_minus_B = 1.0 - B
         usq_s = usx * usx + usy * usy
+        m15_s = -1.5 * usq_s
+        feq0_s = w_c[0] * (rho_b + rho * m15_s)
+        sparts = {i: eo_parts(i, usx, usy, m15_s) for i, _ in pairs}
         phix = jnp.zeros_like(rho)
         phiy = jnp.zeros_like(rho)
 
     inv_tau = 1.0 / tau
     force_pref = 1.0 - 0.5 * inv_tau
-    outs = []
-    for i in range(9):
-        feq = feqs[i] if cfg.smagorinsky > 0.0 else feq_i(i, ux, uy, usq)
+    forced = gx != 0.0 or gy != 0.0
+    if forced:
+        ug3 = 3.0 * (ux * gx + uy * gy)  # shared even Guo term
+
+    def guo_parts(i, eu):
+        """(even, odd) of w*force_pref*proj for pair representative i;
+        odd part's 3 e.g is a static scalar that folds into w."""
+        ex, ey = int(lattice.E[i, 0]), int(lattice.E[i, 1])
+        eg = ex * gx + ey * gy
+        wpref = w_c[i] * force_pref
+        even = wpref * ((9.0 * eg) * eu - ug3)
+        odd = wpref * np.float32(3.0 * eg) if eg != 0.0 else None
+        return even, odd
+
+    outs = [None] * 9
+    relax = one_minus_B * inv_tau if coupled else inv_tau
+    # rest population
+    fp0 = win[0] - relax * (win[0] - feq0)
+    if coupled:
+        # Omega_0 = feq_s0 - feq0 (the f terms cancel at e=0)
+        fp0 = fp0 + B * (feq0_s - feq0)
+    if forced:
+        src0 = (w_c[0] * force_pref) * (-ug3)
+        fp0 = fp0 + (one_minus_B * src0 if coupled else src0)
+    outs[0] = fp0
+
+    for i, io in pairs:
+        Ef, Of, eu = fparts[i]
         if coupled:
-            io = int(lattice.OPP[i])
-            feq_s = feq_i(i, usx, usy, usq_s)
-            feq_o = feq_i(io, ux, uy, usq)
-            omega_s = win[io] - win[i] + feq_s - feq_o
-            fp = win[i] - one_minus_B * (win[i] - feq) * inv_tau + B * omega_s
-            if ex_c[i]:
-                phix = phix - ex_c[i] * (B * omega_s)
-            if ey_c[i]:
-                phiy = phiy - ey_c[i] * (B * omega_s)
+            Es, Os, _ = sparts[i]
+            Wd = win[io] - win[i]
+            P = Es - Ef
+            Q = Os + Of
+            WQ = Wd + Q
+            fp_i = win[i] - relax * (win[i] - (Ef + Of)) + B * (WQ + P)
+            fp_o = win[io] - relax * (win[io] - (Ef - Of)) + B * (P - WQ)
+            # phi -= e_i * (B*Omega_i) + e_io * (B*Omega_io)
+            #      = e_i * 2B(W + Q)
+            pair_phi = (2.0 * B) * WQ
+            ex, ey = int(lattice.E[i, 0]), int(lattice.E[i, 1])
+            if ex:
+                phix = phix - pair_phi if ex > 0 else phix + pair_phi
+            if ey:
+                phiy = phiy - pair_phi if ey > 0 else phiy + pair_phi
         else:
-            fp = win[i] - (win[i] - feq) * inv_tau
-        if gx != 0.0 or gy != 0.0:
-            eu = ex_c[i] * ux + ey_c[i] * uy
-            proj = 3.0 * ((ex_c[i] - ux) * gx + (ey_c[i] - uy) * gy) + 9.0 * eu * (
-                ex_c[i] * gx + ey_c[i] * gy
-            )
-            src = w_c[i] * force_pref * proj
-            fp = fp + (one_minus_B * src if coupled else src)
-        outs.append(fp)
+            fp_i = win[i] - relax * (win[i] - (Ef + Of))
+            fp_o = win[io] - relax * (win[io] - (Ef - Of))
+        if forced:
+            even, odd = guo_parts(i, eu)
+            src_i = even + odd if odd is not None else even
+            src_o = even - odd if odd is not None else even
+            if coupled:
+                fp_i = fp_i + one_minus_B * src_i
+                fp_o = fp_o + one_minus_B * src_o
+            else:
+                fp_i = fp_i + src_i
+                fp_o = fp_o + src_o
+        outs[i] = fp_i
+        outs[io] = fp_o
     phi = jnp.stack([phix, phiy]) if coupled else None
     return outs, phi
 
