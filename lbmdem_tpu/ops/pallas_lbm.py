@@ -125,15 +125,25 @@ def _collide_window(win, cfg: SimConfig, eps=None, usx=None, usy=None,
     pairs = [(i, int(lattice.OPP[i])) for i in range(1, 9)
              if i < int(lattice.OPP[i])]
 
+    # pair-form moments: with S = f_i + f_opp, D = f_i - f_opp,
+    # rho = f0 + sum S and j = sum e_i D (4 adds + 4 subs + 8 signed
+    # adds vs 8 adds + 12 mul-adds); D doubles as the coupled path's
+    # W = f_opp - f_i term below
+    Ds = {}
     rho_g = win[0]
-    jx = jnp.zeros_like(rho_g)
-    jy = jnp.zeros_like(rho_g)
-    for i in range(1, 9):
-        rho_g = rho_g + win[i]
-        if ex_c[i]:
-            jx = jx + ex_c[i] * win[i]
-        if ey_c[i]:
-            jy = jy + ey_c[i] * win[i]
+    jx = None
+    jy = None
+    for i, io in pairs:
+        rho_g = rho_g + (win[i] + win[io])
+        D = win[i] - win[io]
+        Ds[i] = D
+        ex, ey = int(lattice.E[i, 0]), int(lattice.E[i, 1])
+        if ex:
+            t = D if ex > 0 else -D
+            jx = t if jx is None else jx + t
+        if ey:
+            t = D if ey > 0 else -D
+            jy = t if jy is None else jy + t
     rho = rho_g + np.float32(shift) if shift != 0.0 else rho_g
     inv_rho = 1.0 / rho
     ux = (jx + 0.5 * gx) * inv_rho
@@ -238,10 +248,9 @@ def _collide_window(win, cfg: SimConfig, eps=None, usx=None, usy=None,
         Ef, Of, eu = fparts[i]
         if coupled:
             Es, Os, _ = sparts[i]
-            Wd = win[io] - win[i]
             P = Es - Ef
             Q = Os + Of
-            WQ = Wd + Q
+            WQ = Q - Ds[i]  # W = f_opp - f_i = -D from the moments
             fp_i = win[i] - relax * (win[i] - (Ef + Of)) + B * (WQ + P)
             fp_o = win[io] - relax * (win[io] - (Ef - Of)) + B * (P - WQ)
             # phi -= e_i * (B*Omega_i) + e_io * (B*Omega_io)
