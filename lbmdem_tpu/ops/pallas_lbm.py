@@ -469,7 +469,6 @@ def fused_step_fluid(f: jax.Array, cfg: SimConfig, prehalo: bool = False,
     assert f.dtype == fdt, (
         f"Pallas path wants {fdt} storage (use_pallas=False for f64)"
     )
-    assert not (prehalo and shift), "bf16 storage: single-chip only for now"
     th, tw = tile_dims(cfg, wide=True)
     assert f.shape[1] == cfg.ny + (2 * hy if prehalo else 0)
     assert f.shape[2] == cfg.nx + (2 * _HX if prehalo == "yx" else 0)
@@ -636,7 +635,6 @@ def fused_step_fluid_multi(f: jax.Array, cfg: SimConfig, k: int,
     out_buf: dead donated buffer, see fused_step_fluid."""
     fdt, hy, shift = _storage(cfg)
     assert f.dtype == fdt
-    assert not (prehalo and shift), "bf16 storage: single-chip only for now"
     assert 1 <= k <= hy, f"temporal block k={k} exceeds the {hy}-row halo"
     if k == 1 and not prehalo:
         return fused_step_fluid(f, cfg, out_buf=out_buf)

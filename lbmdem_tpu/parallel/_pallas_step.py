@@ -38,11 +38,18 @@ def make_sharded_step_pallas(cfg: SimConfig, grid, mesh, h: int, w: int,
     from lbmdem_tpu.simulation import SimState
     from lbmdem_tpu.parallel.sharding import state_specs
 
-    assert cfg.f_storage == "float32", (
-        "sharded Pallas path is float32-storage only (the prehalo "
-        "exchange and stamp canvas are 8-row granular)"
-    )
     coupled = cfg.max_disks > 0
+    # bf16 f storage: exchange halos at the bf16 (16, 128) VMEM tile
+    # granule; the kernels dequantize + shift in place. Pure fluid
+    # only - the coupled path's stamp canvas and edge-fixup collide
+    # assume raw-f32 f (pallas_supported gates this with a clear error).
+    assert cfg.f_storage == "float32" or not coupled, (
+        "sharded Pallas coupled path is float32-storage only"
+    )
+    hy = 16 if cfg.f_storage == "bfloat16" else _HY
+    assert cfg.f_storage == "float32" or h % 16 == 0, (
+        f"bf16 sharded shards need local ny%16==0 (h={h})"
+    )
     use_slab_dem = False
     if coupled and cfg.kt == 0.0:
         from lbmdem_tpu.ops import pallas_dem
@@ -85,7 +92,8 @@ def make_sharded_step_pallas(cfg: SimConfig, grid, mesh, h: int, w: int,
                 corr = _wall_corr(i, cfg.uw_south, 0.0, cfg)
                 sl = _y_row_cols(i)
                 fnew = fnew.at[i, 0, sl].set(
-                    jnp.where(at, fpost_bot[io, 0, sl] + corr, fnew[i, 0, sl])
+                    jnp.where(at, fpost_bot[io, 0, sl] + corr,
+                              fnew[i, 0, sl]).astype(fnew.dtype)
                 )
         if cfg.bc_north == WALL:
             at = iy == ny_sh - 1
@@ -94,7 +102,8 @@ def make_sharded_step_pallas(cfg: SimConfig, grid, mesh, h: int, w: int,
                 corr = _wall_corr(i, cfg.uw_north, 0.0, cfg)
                 sl = _y_row_cols(i)
                 fnew = fnew.at[i, -1, sl].set(
-                    jnp.where(at, fpost_top[io, 0, sl] + corr, fnew[i, -1, sl])
+                    jnp.where(at, fpost_top[io, 0, sl] + corr,
+                              fnew[i, -1, sl]).astype(fnew.dtype)
                 )
         return fnew
 
@@ -108,7 +117,8 @@ def make_sharded_step_pallas(cfg: SimConfig, grid, mesh, h: int, w: int,
                 io = int(opp[i])
                 corr = _wall_corr(i, 0.0, cfg.uw_west, cfg)
                 fnew = fnew.at[i, :, 0].set(
-                    jnp.where(at, fpost_w[io, :, 0] + corr, fnew[i, :, 0])
+                    jnp.where(at, fpost_w[io, :, 0] + corr,
+                              fnew[i, :, 0]).astype(fnew.dtype)
                 )
         if cfg.bc_east == WALL:
             at = ix == nx_sh - 1
@@ -116,14 +126,15 @@ def make_sharded_step_pallas(cfg: SimConfig, grid, mesh, h: int, w: int,
                 io = int(opp[i])
                 corr = _wall_corr(i, 0.0, cfg.uw_east, cfg)
                 fnew = fnew.at[i, :, -1].set(
-                    jnp.where(at, fpost_e[io, :, 0] + corr, fnew[i, :, -1])
+                    jnp.where(at, fpost_e[io, :, 0] + corr,
+                              fnew[i, :, -1]).astype(fnew.dtype)
                 )
         return fnew
 
     def exchange(f):
-        """(9, h, w) -> (9, h+2*_HY, w [+ 2*_HX]) pre-collision frame."""
-        lo = jax.lax.ppermute(f[:, -_HY:, :], "y", _ring_perm(ny_sh, +1))
-        hi = jax.lax.ppermute(f[:, :_HY, :], "y", _ring_perm(ny_sh, -1))
+        """(9, h, w) -> (9, h+2*hy, w [+ 2*_HX]) pre-collision frame."""
+        lo = jax.lax.ppermute(f[:, -hy:, :], "y", _ring_perm(ny_sh, +1))
+        hi = jax.lax.ppermute(f[:, :hy, :], "y", _ring_perm(ny_sh, -1))
         ext = jnp.concatenate([lo, f, hi], axis=1)
         if two_d:
             le = jax.lax.ppermute(ext[:, :, -_HX:], "x", _ring_perm(nx_sh, +1))
@@ -244,7 +255,15 @@ def make_sharded_step_pallas(cfg: SimConfig, grid, mesh, h: int, w: int,
             return state._replace(f=fnew, step=state.step + temporal_k)
         fnew = pallas_lbm.fused_step_fluid(f_ext, local_cfg, prehalo=prehalo,
                                            out_buf=f_scratch)
-        col = lambda a: lbm.collide(a, cfg.tau, cfg.gx, cfg.gy, cfg.smagorinsky)
+
+        def col(a):
+            # storage-aware 1-row oracle collide for the edge fixup; the
+            # result stays in STORAGE form (the +corr bounce-back add is
+            # shift-invariant since w_opp = w_i)
+            fp = lbm.collide(lbm.from_storage(a, cfg), cfg.tau, cfg.gx,
+                             cfg.gy, cfg.smagorinsky)
+            return lbm.to_storage(fp, cfg)
+
         fnew = fix_y_walls(fnew, col(f[:, 0:1, :]), col(f[:, -1:, :]))
         if two_d:
             fnew = fix_x_walls(fnew, col(f[:, :, 0:1]), col(f[:, :, -1:]))

@@ -201,11 +201,6 @@ def make_sharded_step(
 
     coupled = cfg.max_disks > 0
     periodic_dem = coupled and bool(cfg.wrap_lx or cfg.wrap_ly)
-    assert cfg.f_storage == "float32", (
-        "sharded steps are float32-storage only: the local steps consume "
-        "state.f raw and would silently collide on shifted-bf16 g "
-        "(rho = sum(g) = 0 at rest -> NaN)"
-    )
     ny_sh, nx_sh = mesh.shape["y"], mesh.shape["x"]
     assert cfg.ny % ny_sh == 0 and cfg.nx % nx_sh == 0, (
         f"lattice {cfg.ny}x{cfg.nx} must tile the mesh {ny_sh}x{nx_sh}"
@@ -220,6 +215,12 @@ def make_sharded_step(
         return make_sharded_step_pallas(cfg, grid, mesh, h, w, dem_axis,
                                         temporal_k=temporal_k)
     assert temporal_k == 1, "temporal blocking needs the Pallas path"
+    assert cfg.f_storage == "float32", (
+        "the sharded XLA step is float32-storage only: it consumes "
+        "state.f raw and would silently collide on shifted-bf16 g "
+        "(rho = sum(g) = 0 at rest -> NaN); bf16 on a mesh needs the "
+        "pure-fluid Pallas path"
+    )
     # Local view: the shard behaves like a small lattice of shape (h, w)
     # whose cells map to globals via the (oy, ox) offset.
     local_cfg = cfg.replace(nx=w, ny=h)

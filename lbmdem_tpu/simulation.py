@@ -127,15 +127,27 @@ def pallas_supported(cfg: SimConfig, mesh=None) -> Optional[str]:
     if cfg.dtype != "float32":
         return f"Pallas path is float32-only (dtype={cfg.dtype})"
     if cfg.f_storage == "bfloat16":
-        # bf16 VMEM tiles are (16, 128): halo DMA row chunks double, so
-        # the wrap-offset alignment proofs need ny % 16 (single-chip
-        # only for now - the sharded prehalo exchange is 8-row)
+        # bf16 VMEM tiles are (16, 128): the halo DMA row granule (and,
+        # sharded, the prehalo ppermute exchange) doubles to 16 rows,
+        # so the (per-shard) height must be 16-divisible. The sharded
+        # COUPLED path additionally round-trips raw f through the stamp
+        # canvas / edge fixups and stays f32-only.
+        ny_chk = cfg.ny
         if mesh is not None:
-            return "f_storage='bfloat16' is single-chip only (for now)"
-        if cfg.ny % 16:
+            if cfg.max_disks > 0:
+                return ("f_storage='bfloat16' with disks is single-chip "
+                        "only (the sharded stamp canvas consumes raw f32 f)")
+            if cfg.ny % mesh.shape["y"]:
+                return (
+                    f"lattice ny={cfg.ny} does not tile the mesh "
+                    f"({mesh.shape['y']} shards)"
+                )
+            ny_chk = cfg.ny // mesh.shape["y"]
+        if ny_chk % 16:
+            where = "per-shard ny" if mesh is not None else "ny"
             return (
-                f"f_storage='bfloat16' needs ny%16==0 (16-row bf16 DMA "
-                f"granule; ny={cfg.ny})"
+                f"f_storage='bfloat16' needs {where}%16==0 (16-row bf16 "
+                f"DMA granule; got {ny_chk})"
             )
     ny, nx = cfg.ny, cfg.nx
     two_d = False
@@ -401,12 +413,15 @@ class Simulation:
             reason = pallas_supported(cfg, mesh)
             if reason is not None:
                 raise ValueError(f"use_pallas=True unsupported: {reason}")
-        if mesh is not None and cfg.f_storage != "float32":
-            # the sharded steps (XLA oracle and Pallas alike) consume
-            # state.f raw; neither dequantizes shifted-bf16 storage
+        if (mesh is not None and cfg.f_storage != "float32"
+                and not (use_pallas and cfg.max_disks == 0)):
+            # Only the sharded PURE-FLUID Pallas path handles shifted
+            # bf16 storage (16-row prehalo exchange + in-kernel shift);
+            # the XLA sharded step and the sharded coupled paths consume
+            # state.f raw.
             raise ValueError(
-                "f_storage='bfloat16' is single-chip only (sharded steps "
-                "do not handle shifted storage)"
+                "f_storage='bfloat16' on a mesh needs use_pallas=True "
+                "and no disks (other sharded steps consume raw f32 f)"
             )
         self.cfg = cfg
         self.use_pallas = use_pallas

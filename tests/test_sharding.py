@@ -143,6 +143,65 @@ def test_pallas_sharded_cavity_matches(meshdims):
                                rtol=0, atol=1e-7)
 
 
+@pytest.mark.parametrize("meshdims", [(4, 1), (2, 2)])
+def test_pallas_sharded_fluid_bf16_matches(meshdims):
+    """Shifted-bf16 f storage on a mesh: the prehalo ppermute exchange
+    runs at the bf16 16-row granule and the kernels shift in-kernel.
+    Edge rows go through the storage-aware oracle fixup (one bf16
+    rounding either way), so parity vs the single-chip fused path is
+    ulp-tight in the shifted-g space."""
+    mesh = _mesh(*meshdims)
+    cfg = SimConfig(nx=512, ny=64, tau=0.7, gy=-1e-5, dtype="float32",
+                    f_storage="bfloat16", bc_west="wall", bc_east="wall",
+                    uw_north=0.03)
+    sref, ssh = _run_both_pallas(cfg, [], mesh, 4)
+    assert ssh.f.dtype == jnp.bfloat16
+    # edge rows round through the storage-aware oracle fixup, so the
+    # sharded and single-chip values can land one bf16 ulp apart
+    np.testing.assert_allclose(np.asarray(sref.f, np.float32),
+                               np.asarray(ssh.f, np.float32),
+                               rtol=1e-2, atol=1e-6)
+
+
+def test_pallas_sharded_fluid_bf16_temporal():
+    """bf16 + temporal blocking on a mesh: one 16-row halo exchange
+    feeds k=4 inner f32 steps; quantization points match single-chip."""
+    from lbmdem_tpu.simulation import TEMPORAL_K
+
+    mesh = _mesh(4, 1)
+    cfg = SimConfig(nx=512, ny=64, tau=0.8, gy=-1e-5, dtype="float32",
+                    f_storage="bfloat16", bc_west="wall", bc_east="wall",
+                    out_interval=100)
+    ref = Simulation(cfg, use_pallas=True)
+    sh = Simulation(cfg, use_pallas=True, mesh=mesh)
+    n = 2 * TEMPORAL_K
+    ref.run(n)
+    sh.run(n)
+    assert int(sh.state.step) == n
+    np.testing.assert_allclose(np.asarray(ref.state.f, np.float32),
+                               np.asarray(sh.state.f, np.float32),
+                               rtol=0, atol=2e-6)
+
+
+def test_bf16_mesh_rejections():
+    """bf16 on a mesh: only the pure-fluid Pallas path qualifies."""
+    mesh = _mesh(2, 2)
+    cfg = SimConfig(nx=512, ny=64, dtype="float32", f_storage="bfloat16",
+                    bc_west="wall", bc_east="wall")
+    with pytest.raises(ValueError, match="raw f32"):
+        Simulation(cfg, mesh=mesh)  # XLA sharded path
+    cfg_d = cfg.replace(max_disks=2, window=9, tile_cap=16)
+    with pytest.raises(ValueError, match="single-chip"):
+        Simulation(cfg_d, [DiskSpec(30.0, 30.0, 2.5)], use_pallas=True,
+                   mesh=mesh)
+    # per-shard ny must hit the 16-row bf16 granule
+    mesh8 = _mesh(8, 1)
+    cfg8 = SimConfig(nx=512, ny=64, dtype="float32", f_storage="bfloat16",
+                     bc_west="wall", bc_east="wall")
+    with pytest.raises(ValueError, match="16"):
+        Simulation(cfg8, use_pallas=True, mesh=mesh8)
+
+
 @pytest.mark.parametrize("meshdims", [
     (4, 1),
     pytest.param((2, 2), marks=pytest.mark.slow),  # ~85 s interpret-mode
@@ -231,15 +290,17 @@ def test_simulation_mesh_temporal_chunks_match():
 
 
 def test_mesh_bf16_storage_rejected():
-    """mesh + f_storage='bfloat16' must be rejected at construction:
-    the sharded steps consume state.f raw, and shifted-bf16 g would
-    silently collide to NaN (rho = sum(g) = 0 at rest)."""
+    """mesh + bf16 outside the pure-fluid Pallas path must be rejected
+    at construction: those sharded steps consume state.f raw, and
+    shifted-bf16 g would silently collide to NaN (rho = sum(g) = 0 at
+    rest). The 16x32 shard here also fails the 16-row bf16 granule on
+    the Pallas path."""
     mesh = _mesh(2, 2)
     cfg = SimConfig(nx=128, ny=32, tau=0.8, dtype="float32",
                     f_storage="bfloat16")
-    with pytest.raises(ValueError, match="single-chip"):
+    with pytest.raises(ValueError, match="raw f32"):
         Simulation(cfg, mesh=mesh)
-    with pytest.raises(ValueError, match="single-chip"):
+    with pytest.raises(ValueError, match="16"):
         Simulation(cfg, use_pallas=True, mesh=mesh)
 
 
