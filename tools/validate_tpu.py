@@ -120,6 +120,41 @@ def _cavity():
     print("CAVITY OK")
 
 
+def _periodic():
+    """Compiled periodic-DEM invariance: shifting the scene by nx/2
+    along the periodic axis must shift the trajectory exactly (ghost
+    stamping + min-image contacts), including through a seam crossing.
+    Interpret mode cannot catch Mosaic-only miscompiles of the ghost
+    binning/banded-reduce paths - this leg runs them compiled."""
+    from lbmdem_tpu.config import DiskSpec, SimConfig, window_for_radius
+    from lbmdem_tpu.simulation import Simulation
+
+    cfg = SimConfig(nx=256, ny=64, tau=0.8, dtype="float32",
+                    window=window_for_radius(4.0), max_disks=3,
+                    kn=0.5, gamma_n=0.2, n_sub=4, out_interval=10**9,
+                    bc_west="periodic", bc_east="periodic")
+    rows = [(255.3, 32.0, 4.0, 0.06, 0.0, 0.0),
+            (6.0, 44.0, 4.0, -0.02, 0.0, 0.01),
+            (100.0, 30.0, 3.0, 0.0, -0.01, 0.0)]
+    sh, L = 128, cfg.nx
+    outs = []
+    for shift in (0, sh):
+        disks = [DiskSpec((x + shift) % L, y, r, vx, vy, om)
+                 for x, y, r, vx, vy, om in rows]
+        sim = Simulation(cfg, disks, use_pallas=True)
+        sim.run(50)
+        outs.append(np.asarray(sim.state.disks.x[:3]))
+        assert int(sim.state.overflow) == 0, "periodic leg overflow"
+    dx = (outs[1][:, 0] - outs[0][:, 0] - sh) % L
+    dx = np.minimum(dx, L - dx)
+    dy = np.abs(outs[1][:, 1] - outs[0][:, 1])
+    print(f"periodic invariance: max|dx mod L|={dx.max():.2e} "
+          f"max|dy|={dy.max():.2e} crosser at x={outs[0][0, 0]:.2f}")
+    assert dx.max() < 1e-3 and dy.max() < 1e-3, "PERIODIC INVARIANCE FAIL"
+    assert outs[0][0, 0] < 20.0, "seam crossing did not happen"
+    print("PERIODIC OK")
+
+
 def main():
     import jax
 
@@ -159,6 +194,7 @@ def main():
     print(f"final y: tpu {rows[-1, 0]:.4f} vs golden {golden[-1, 2]:.4f} "
           f"(|dy| = {y_err:.4f} cells)")
     _dkt()
+    _periodic()
     _cavity()
     print("TPU PHYSICS VALIDATION OK")
 
