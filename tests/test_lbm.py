@@ -137,3 +137,49 @@ def test_taylor_green_viscosity():
     nu_meas = -np.log(e2 / e1) / (4.0 * k * k * t_meas)
     nu_true = (tau - 0.5) / 3.0
     assert abs(nu_meas / nu_true - 1.0) < 0.01, (nu_meas, nu_true)
+
+
+def test_taylor_green_viscous_decay():
+    """Doubly-periodic Taylor-Green vortex vs the analytic Navier-Stokes
+    solution: kinetic energy decays as exp(-4 nu k^2 t). An INDEPENDENT
+    analytic validation of the viscosity calibration nu = (tau-1/2)/3
+    and the periodic streaming (the channel/cavity legs pin walls; this
+    pins the bulk operator)."""
+    n = 64
+    tau = 0.8
+    nu = (tau - 0.5) / 3.0
+    cfg = SimConfig(nx=n, ny=n, tau=tau, dtype="float64",
+                    bc_south="periodic", bc_north="periodic")
+    k = 2.0 * np.pi / n
+    u0 = 0.02
+    x = (jnp.arange(n, dtype=jnp.float64))[None, :] * k
+    y = (jnp.arange(n, dtype=jnp.float64))[:, None] * k
+    ux = -u0 * jnp.cos(x) * jnp.sin(y)
+    uy = u0 * jnp.sin(x) * jnp.cos(y)
+    # consistent initial pressure field (else an acoustic transient
+    # rings for ~n/cs steps and pollutes the early decay)
+    rho = 1.0 - (3.0 * u0 * u0 / 4.0) * (jnp.cos(2 * x) + jnp.cos(2 * y))
+    f = lbm.equilibrium(rho, ux, uy)
+
+    @jax.jit
+    def chunk(f):
+        return jax.lax.fori_loop(
+            0, 100, lambda _, g: lbm.step_pure_fluid(g, cfg), f
+        )
+
+    def ke(f):
+        _, vx, vy = lbm.moments(f)
+        return float(jnp.sum(vx * vx + vy * vy))
+
+    f = chunk(f)  # settle the O(Ma^2) initialization transient
+    e1 = ke(f)
+    for _ in range(3):
+        f = chunk(f)
+    e2 = ke(f)
+    rate = -np.log(e2 / e1) / 300.0
+    analytic = 4.0 * nu * k * k
+    err = abs(rate - analytic) / analytic
+    assert err < 0.02, (
+        f"TGV decay rate {rate:.6e} vs analytic {analytic:.6e} "
+        f"({err:.2%} off, budget 2%)"
+    )
