@@ -156,9 +156,13 @@ class SimConfig:
         for s in (self.bc_west, self.bc_east, self.bc_south, self.bc_north):
             if s not in (WALL, PERIODIC):
                 raise ValueError(f"bad bc {s!r}: want {WALL!r} or {PERIODIC!r}")
-        if self.bc_west == PERIODIC and self.bc_east != PERIODIC:
+        # pairing must hold in BOTH directions: a lone periodic east
+        # side would wrap the fluid exchange against a wall side, and
+        # disks would get neither wall forces nor wrap on that axis
+        # (wrap_lx/wrap_ly key off bc_west/bc_south)
+        if (self.bc_west == PERIODIC) != (self.bc_east == PERIODIC):
             raise ValueError("periodic bc must pair: west/east")
-        if self.bc_south == PERIODIC and self.bc_north != PERIODIC:
+        if (self.bc_south == PERIODIC) != (self.bc_north == PERIODIC):
             raise ValueError("periodic bc must pair: south/north")
         if self.tau <= 0.5:
             raise ValueError(f"tau must exceed 0.5 (got {self.tau})")

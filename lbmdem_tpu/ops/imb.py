@@ -314,6 +314,18 @@ def fold_ghost_forces(
     )
 
 
+def periodic_ghosts(x, v, omega, r, active, cfg: SimConfig, margin: int = 0):
+    """Wrap + select + augment in one call — the sanctioned entry point
+    for every coupling path (positions must wrap EXACTLY at selection
+    points, see wrap_positions). Returns (x_wrapped, augmented_arrays,
+    parent, axes, overflow) where augmented_arrays is the
+    (x, v, omega, r, active) tuple with ghost rows appended."""
+    xw = wrap_positions(x, active, cfg)
+    parent, axes, ovf = ghost_selection(xw, active, cfg, margin)
+    aug = apply_ghosts(parent, axes, xw, v, omega, r, active, cfg)
+    return xw, aug, parent, axes, ovf
+
+
 def wrap_positions(x: jax.Array, active: jax.Array, cfg: SimConfig):
     """Wrap ACTIVE disk centers into the periodic domain [-1/2, L-1/2).
 

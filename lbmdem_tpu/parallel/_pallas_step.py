@@ -46,6 +46,11 @@ def make_sharded_step_pallas(cfg: SimConfig, grid, mesh, h: int, w: int,
     assert cfg.f_storage == "float32" or not coupled, (
         "sharded Pallas coupled path is float32-storage only"
     )
+    assert not (coupled and (cfg.wrap_lx or cfg.wrap_ly)), (
+        "periodic DEM is not supported on the sharded Pallas path "
+        "(no wrap/ghost handling in the local stamp canvas); use the "
+        "XLA sharded path or a single chip"
+    )
     hy = 16 if cfg.f_storage == "bfloat16" else _HY
     assert cfg.f_storage == "float32" or h % 16 == 0, (
         f"bf16 sharded shards need local ny%16==0 (h={h})"

@@ -238,13 +238,11 @@ def make_sharded_step(
                 # wrap + ghost-select at GLOBAL coords (disk state is
                 # replicated, so every shard computes the same
                 # augmentation) BEFORE the local-frame shift
-                d = d._replace(x=imb.wrap_positions(d.x, d.active, cfg))
-                gparent, gaxes, govf = imb.ghost_selection(
-                    d.x, d.active, cfg
+                xw, aug, gparent, _, govf = imb.periodic_ghosts(
+                    d.x, d.v, d.omega, d.r, d.active, cfg
                 )
-                xa, va, oma, ra, acta = imb.apply_ghosts(
-                    gparent, gaxes, d.x, d.v, d.omega, d.r, d.active, cfg
-                )
+                d = d._replace(x=xw)
+                xa, va, oma, ra, acta = aug
             else:
                 xa, va, oma, ra, acta = d.x, d.v, d.omega, d.r, d.active
             # Shift replicated disk coords into this shard's local frame;

@@ -209,9 +209,13 @@ def make_step_fn(
     stream-BB fast path (SS3.3). `use_pallas` swaps the lattice update
     for the fused Pallas kernel (ops/pallas_lbm.py) where available.
 
-    `tile_lists` = (lists, counts, entry_slots, x_bin) lets the caller
-    amortize the stamp binning over several steps (see BIN_CADENCE);
-    travel beyond BIN_MARGIN is counted into state.overflow.
+    `tile_lists` = (lists, counts, entry_slots, x_bin, gparent, gaxes)
+    lets the caller amortize the stamp binning over several steps (see
+    BIN_CADENCE); travel beyond BIN_MARGIN is counted into
+    state.overflow. gparent/gaxes are the periodic ghost selection made
+    at the same rebuild (None when no axis is periodic): the step
+    re-derives ghost COORDS from current parent positions each step,
+    but must NOT re-wrap or re-select mid-cadence.
 
     The returned step takes an optional `f_scratch` (a dead f-shaped
     buffer): on the Pallas paths the kernel output is written into it
@@ -236,7 +240,7 @@ def make_step_fn(
         if coupled:
             d = state.disks
             n_real = d.x.shape[0]
-            gparent = gaxes = None
+            gparent = gaxes = aug = None
             govf = jnp.zeros((), jnp.int32)
             if periodic_dem and tile_lists is None:
                 # Periodic DEM: wrap positions, then select the disks
@@ -246,14 +250,17 @@ def make_step_fn(
                 # (With tile_lists, the Verlet-cadence driver did this
                 # at the last rebuild - positions must NOT re-wrap here
                 # or the +-L jump would invalidate the persistent lists.)
-                d = d._replace(x=imb.wrap_positions(d.x, d.active, cfg))
-                gparent, gaxes, govf = imb.ghost_selection(
-                    d.x, d.active, cfg
+                xw, aug, gparent, gaxes, govf = imb.periodic_ghosts(
+                    d.x, d.v, d.omega, d.r, d.active, cfg
                 )
+                d = d._replace(x=xw)
 
             def augmented(d):
                 if not periodic_dem:
                     return d.x, d.v, d.omega, d.r, d.active
+                if aug is not None:  # fresh per-step selection above
+                    return aug
+                # Verlet-cadence: the stored selection, current positions
                 return imb.apply_ghosts(
                     gparent, gaxes, d.x, d.v, d.omega, d.r, d.active, cfg
                 )
@@ -491,19 +498,16 @@ class Simulation:
                         # the ghost threshold carries the same
                         # BIN_MARGIN slack as the tile lists, and the
                         # existing travel check flags violations
-                        d = d._replace(
-                            x=imb.wrap_positions(d.x, d.active, cfg)
+                        xw, (xb, _, _, _, actb), gparent, gaxes, govf = (
+                            imb.periodic_ghosts(
+                                d.x, d.v, d.omega, d.r, d.active, cfg,
+                                margin=BIN_MARGIN,
+                            )
                         )
-                        st = st._replace(disks=d)
-                        gparent, gaxes, govf = imb.ghost_selection(
-                            d.x, d.active, cfg, margin=BIN_MARGIN
-                        )
+                        d = d._replace(x=xw)
                         st = st._replace(
-                            overflow=jnp.maximum(st.overflow, govf)
-                        )
-                        xb, vb, omb, rb, actb = imb.apply_ghosts(
-                            gparent, gaxes, d.x, d.v, d.omega, d.r,
-                            d.active, cfg,
+                            disks=d,
+                            overflow=jnp.maximum(st.overflow, govf),
                         )
                     else:
                         xb, actb = d.x, d.active
@@ -654,9 +658,9 @@ class Simulation:
         cfg = self.cfg
         x, v, om, r, act = d.x, d.v, d.omega, d.r, d.active
         if cfg.max_disks > 0 and (cfg.wrap_lx or cfg.wrap_ly):
-            x = imb.wrap_positions(x, act, cfg)
-            gp, ga, _ = imb.ghost_selection(x, act, cfg)
-            x, v, om, r, act = imb.apply_ghosts(gp, ga, x, v, om, r, act, cfg)
+            _, (x, v, om, r, act), _, _, _ = imb.periodic_ghosts(
+                x, v, om, r, act, cfg
+            )
         eps, _, _ = imb.stamp_solid_fraction(x, v, om, r, act, cfg)
         return np.asarray(jnp.clip(eps, 0.0, 1.0))
 

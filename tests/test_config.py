@@ -185,3 +185,14 @@ def test_si_deck_requires_base_scales(tmp_path):
     p.write_text("nx 8\nny 8\nnu_phys 1e-6\n")
     with pytest.raises(ValueError, match="base scales"):
         load_param_file(str(p))
+
+
+def test_periodic_pairing_bidirectional():
+    # a lone periodic EAST side used to slip through (the check keyed
+    # only off bc_west): fluid would wrap against a wall side and disks
+    # would get neither wall forces nor wrap on that axis
+    with pytest.raises(ValueError, match="pair"):
+        SimConfig(nx=16, ny=16, bc_west="wall", bc_east="periodic")
+    with pytest.raises(ValueError, match="pair"):
+        SimConfig(nx=16, ny=16, bc_south="periodic", bc_north="wall",
+                  bc_west="wall", bc_east="wall")
