@@ -30,6 +30,10 @@ def main(argv=None) -> int:
     ap.add_argument("--restore", default=None, metavar="CKPT",
                     help="resume from checkpoint file")
     ap.add_argument("--ascii-vtk", action="store_true")
+    ap.add_argument("--sync-io", action="store_true",
+                    help="write snapshots inline instead of overlapping "
+                         "file I/O with the next chunk's device execution "
+                         "(utils/async_io.py)")
     ap.add_argument("--paranoid", action="store_true",
                     help="validate f/rho/disks after every step inside "
                          "the jitted chunk; abort at the exact failing "
@@ -124,6 +128,18 @@ def main(argv=None) -> int:
 
     os.makedirs(args.out, exist_ok=True)
     logger = MetricsLogger(os.path.join(args.out, "metrics.csv"))
+    from lbmdem_tpu.utils.async_io import AsyncWriter
+
+    writer = AsyncWriter(max_pending=0 if args.sync_io else 2)
+
+    def emit(fn, *a, **kw):
+        # --sync-io: run inline (debugging / strict-ordering needs);
+        # default: overlap file work with the next chunk (the args are
+        # host numpy arrays, so the device buffers stay donatable)
+        if args.sync_io:
+            fn(*a, **kw)
+        else:
+            writer.submit(fn, *a, **kw)
 
     def snapshot(s: Simulation):
         step = int(s.state.step)
@@ -138,34 +154,54 @@ def main(argv=None) -> int:
             raise RuntimeError(f"NaN in distributions at step {step}")
         rho, ux, uy = s.macroscopic()
         eps = s.solid_fraction() if cfg.max_disks else None
-        write_fluid_vtk(
+        emit(
+            write_fluid_vtk,
             os.path.join(args.out, f"fluid_{step:08d}.vtk"),
             rho, ux, uy, eps, binary=not args.ascii_vtk,
         )
         if cfg.max_disks:
             d = s.disk_arrays()
-            write_particles_vtk(
-                os.path.join(args.out, f"particles_{step:08d}.vtk"), d
+            emit(
+                write_particles_vtk,
+                os.path.join(args.out, f"particles_{step:08d}.vtk"), d,
             )
-            append_particle_csv(
-                os.path.join(args.out, "trajectories.csv"), step, d
+            emit(
+                append_particle_csv,
+                os.path.join(args.out, "trajectories.csv"), step, d,
             )
         if args.checkpoint_every and step % args.checkpoint_every == 0:
-            ckpt.save_state(
-                os.path.join(args.out, "restart.npz"), s.state, s.cfg
+            import jax
+
+            # materialize BEFORE queueing: the next chunk donates the
+            # device buffers, so the worker must never touch s.state
+            host_state = jax.device_get(s.state)
+            emit(
+                ckpt.save_state,
+                os.path.join(args.out, "restart.npz"), host_state, s.cfg,
             )
 
     remaining = cfg.steps - int(sim.state.step)
     if remaining <= 0:
         print("nothing to do (steps already completed)", file=sys.stderr)
         return 0
-    if args.profile:
-        from lbmdem_tpu.utils.profiling import trace
+    run_failed = False
+    try:
+        if args.profile:
+            from lbmdem_tpu.utils.profiling import trace
 
-        with trace(args.profile):
+            with trace(args.profile):
+                mlups = sim.run(remaining, callback=snapshot)
+        else:
             mlups = sim.run(remaining, callback=snapshot)
-    else:
-        mlups = sim.run(remaining, callback=snapshot)
+    except BaseException:
+        run_failed = True
+        raise
+    finally:
+        try:
+            writer.close()  # drain pending frames; surface write errors
+        except Exception:
+            if not run_failed:  # never mask a run() failure
+                raise
     print(f"done: {remaining} steps, {mlups:.0f} MLUPS overall")
     return 0
 
