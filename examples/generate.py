@@ -76,6 +76,17 @@ def main() -> None:
         "bounce-back, SURVEY C6).\n"
         "Run:  python -m lbmdem_tpu.cli examples/cavity.par --out out/"
     ))
+    emit("cylinder", "cylinder", (
+        "Flow past a fixed cylinder: a body-force-driven periodic-x\n"
+        "channel with an infinite-mass obstacle disk (fixed=1 in the\n"
+        "particle file); drag via Simulation.hydro_forces. Re ~ 25.\n"
+        "Run:  python -m lbmdem_tpu.cli examples/cylinder.par --out out/"
+    ))
+    emit("porous_bed", "porous_bed", (
+        "Darcy flow through a square array of fixed cylinders (fully\n"
+        "periodic, body-force driven): permeability K = <u> nu / g.\n"
+        "Run:  python -m lbmdem_tpu.cli examples/porous_bed.par --out out/"
+    ))
 
 
 if __name__ == "__main__":

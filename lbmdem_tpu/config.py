@@ -24,13 +24,19 @@ Parameter keywords (reference-format; SURVEY C18 lists the set):
     g_px, g_py            gravity acting on particles (lattice units)
     buoyancy [0|1]        add analytic buoyancy -rho_f*V*g to disks
     smagorinsky <Cs>      LES constant (0 disables; SURVEY C8)
+    collision bgk|trt     collision operator (default bgk; trt adds a
+                          second relaxation rate for the odd moments)
+    trt_magic <L>         TRT magic parameter (default 3/16: exact
+                          mid-link walls)
     eps_samples <n>       n x n subgrid samples per cell for the solid
                           fraction (SURVEY C9)
     dtype float32|float64
     f_storage float32|bfloat16   HBM storage of f on the fused path
                           (bfloat16 = shifted-population storage)
 
-Particle file: one disk per line, `x y r [vx vy omega]` in lattice units.
+Particle file: one disk per line, `x y r [vx vy omega [fixed]]` in
+lattice units (fixed = 0/1: infinite-mass obstacle / prescribed-motion
+disk, see DiskSpec).
 """
 
 from __future__ import annotations
@@ -48,7 +54,15 @@ _SIDES = ("west", "east", "south", "north")
 
 @dataclasses.dataclass(frozen=True)
 class DiskSpec:
-    """Initial condition of one DEM disk (lattice units)."""
+    """Initial condition of one DEM disk (lattice units).
+
+    `fixed` disks have infinite mass/inertia: forces (hydro, contact,
+    gravity) never change their velocity, but position still integrates
+    from the (constant) initial v/omega. v = 0 gives a stationary
+    obstacle (flow past a cylinder, porous beds); v != 0 a prescribed-
+    motion boundary (towed or rotating cylinder). The IMB coupling is
+    unchanged - hydro force/torque on fixed disks is still computed, so
+    drag on obstacles is observable (Simulation.hydro_forces)."""
 
     x: float
     y: float
@@ -56,6 +70,7 @@ class DiskSpec:
     vx: float = 0.0
     vy: float = 0.0
     omega: float = 0.0
+    fixed: bool = False
 
 
 @dataclasses.dataclass(frozen=True)
@@ -117,6 +132,15 @@ class SimConfig:
     ghost_cap: int = 0
     # Smagorinsky LES constant (0 = plain BGK).
     smagorinsky: float = 0.0
+    # Collision operator: "bgk" (single relaxation time, the reference's
+    # operator) or "trt" (two-relaxation-time: the even/odd parts of
+    # f - feq relax at separate rates; the odd rate follows from the
+    # "magic" parameter Lambda = (tau+ - 1/2)(tau- - 1/2), default 3/16,
+    # which pins the half-way bounce-back wall EXACTLY mid-link at any
+    # tau - removing BGK's viscosity-dependent wall slip). Viscosity,
+    # B(eps, tau) and the LES closure all keep using tau (= tau+).
+    collision: str = "bgk"
+    trt_magic: float = 3.0 / 16.0
     # Paranoid/debug mode (SURVEY SS5.2/5.3): validate f finite, rho>0,
     # disk state finite and zero overflow after EVERY step inside the
     # jitted chunk; the first failing step number lands in
@@ -176,6 +200,14 @@ class SimConfig:
                 "f_storage='bfloat16' requires dtype='float32' (bf16 is a "
                 "storage format for the f32 fused-kernel path)"
             )
+        if self.collision not in ("bgk", "trt"):
+            raise ValueError(
+                f"bad collision {self.collision!r}: want 'bgk' or 'trt'"
+            )
+        if self.collision == "trt" and self.trt_magic <= 0.0:
+            raise ValueError(
+                f"trt_magic must be positive (got {self.trt_magic})"
+            )
         if self.eps_method not in ("exact", "sample", "ramp"):
             raise ValueError(
                 f"bad eps_method {self.eps_method!r}: "
@@ -204,6 +236,12 @@ class SimConfig:
     @property
     def nu(self) -> float:
         return (self.tau - 0.5) / 3.0
+
+    @property
+    def trt_lambda(self) -> float:
+        """TRT magic parameter Lambda, or 0.0 when collision='bgk'
+        (the single scalar the collide paths branch on)."""
+        return self.trt_magic if self.collision == "trt" else 0.0
 
     @property
     def wrap_lx(self) -> float:
@@ -346,10 +384,12 @@ def load_param_file(path: str) -> Tuple[SimConfig, Optional[str]]:
                 kw[key] = int(float(vals[0]))
             elif key in ("buoyancy", "paranoia"):
                 kw[key] = bool(int(vals[0]))
+            elif key == "collision":
+                kw["collision"] = vals[0]
             elif key in ("tau", "gx", "gy", "kn", "kt", "gamma_n", "gamma_t",
                          "mu", "rho_s", "g_px", "g_py", "smagorinsky",
-                         "rho0", "u0x", "u0y", "uw_west", "uw_east",
-                         "uw_south", "uw_north"):
+                         "trt_magic", "rho0", "u0x", "u0y", "uw_west",
+                         "uw_east", "uw_south", "uw_north"):
                 kw[key] = float(vals[0])
             else:
                 raise ValueError(f"unknown parameter keyword {key!r}")
@@ -358,7 +398,9 @@ def load_param_file(path: str) -> Tuple[SimConfig, Optional[str]]:
 
 
 def load_particle_file(path: str, units=None) -> list[DiskSpec]:
-    """Parse a particle list file: `x y r [vx vy omega]` per line.
+    """Parse a particle list file: `x y r [vx vy omega [fixed]]` per
+    line (`fixed` = 0/1; 1 marks an infinite-mass obstacle disk, see
+    DiskSpec).
 
     With `units` (a UnitSystem, e.g. `cfg.units` of an SI deck) the file
     is read as SI — x/y/r in m, vx/vy in m/s, omega in rad/s — and
@@ -371,19 +413,27 @@ def load_particle_file(path: str, units=None) -> list[DiskSpec]:
             if not line:
                 continue
             v = [float(t) for t in line.split()]
-            if len(v) not in (3, 6):
+            if len(v) not in (3, 6, 7):
                 raise ValueError(f"bad particle line: {raw!r}")
+            fixed = bool(v.pop()) if len(v) == 7 else False
             if units is not None:
                 v[0:3] = [q / units.dx for q in v[0:3]]
                 if len(v) == 6:
                     v[3] /= units.velocity_scale
                     v[4] /= units.velocity_scale
                     v[5] *= units.dt  # rad/s -> rad/step
-            disks.append(DiskSpec(*v))
+            disks.append(DiskSpec(*v, fixed=fixed))
     return disks
 
 
 def save_particle_file(path: str, disks: Sequence[DiskSpec]) -> None:
+    if any(d.fixed for d in disks):
+        with open(path, "w") as fh:
+            fh.write("# x y r vx vy omega fixed\n")
+            for d in disks:
+                fh.write(f"{d.x} {d.y} {d.r} {d.vx} {d.vy} {d.omega} "
+                         f"{int(d.fixed)}\n")
+        return
     with open(path, "w") as fh:
         fh.write("# x y r vx vy omega\n")
         for d in disks:

@@ -4,9 +4,11 @@ from lbmdem_tpu.models.scenarios import (
     SCENARIOS,
     cavity,
     column_collapse,
+    cylinder,
     dkt,
     make_scenario,
     poiseuille,
+    porous_bed,
     settling_column,
     single_disk_sedimentation,
 )
@@ -20,4 +22,6 @@ __all__ = [
     "dkt",
     "settling_column",
     "column_collapse",
+    "cylinder",
+    "porous_bed",
 ]

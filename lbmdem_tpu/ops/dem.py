@@ -108,6 +108,10 @@ class DiskState(NamedTuple):
     mass: jax.Array  # (N,) rho_s * pi r^2 (unit depth)
     inertia: jax.Array  # (N,) 0.5 m r^2
     active: jax.Array  # (N,) bool
+    # (N,) bool; False = infinite-mass disk (DiskSpec.fixed): forces
+    # never change v/omega, but x/theta still drift at the constant
+    # v/omega (stationary obstacles and prescribed-motion boundaries)
+    mobile: jax.Array
     # tangential contact history (kt > 0): per-slot partner id and
     # spring stretch, re-matched to the fresh candidate list each step
     ct_j: jax.Array  # (N, contact_cap) int32, -1 = no contact
@@ -413,8 +417,12 @@ def dem_subcycle(
     """
     dt = disks.x.dtype
     h = jnp.asarray(1.0 / cfg.n_sub, dt)
-    inv_m = jnp.where(disks.active, 1.0 / disks.mass, 0.0)
-    inv_i = jnp.where(disks.active, 1.0 / disks.inertia, 0.0)
+    # fixed (non-mobile) disks: inv mass/inertia 0 -> velocity-Verlet
+    # kicks vanish, but the drift x += h v still applies, so they move
+    # at their prescribed constant v/omega
+    free = disks.active & disks.mobile
+    inv_m = jnp.where(free, 1.0 / disks.mass, 0.0)
+    inv_i = jnp.where(free, 1.0 / disks.inertia, 0.0)
     act2 = disks.active[:, None]
 
     # Verlet-list pattern: the cell table + candidate list are built once
@@ -484,12 +492,14 @@ def make_disk_state(specs, cfg: SimConfig, dtype=None) -> DiskState:
     om = np.zeros((n,), dt)
     r = np.ones((n,), dt)  # inactive slots keep r=1 to avoid div-by-zero
     active = np.zeros((n,), bool)
+    mobile = np.ones((n,), bool)
     for i, s in enumerate(specs):
         x[i] = (s.x, s.y)
         v[i] = (s.vx, s.vy)
         om[i] = s.omega
         r[i] = s.r
         active[i] = True
+        mobile[i] = not getattr(s, "fixed", False)
     # Park inactive disks far outside the domain so they never stamp
     # coverage or enter the cell table (cid is masked anyway).
     x[len(specs):] = (-1e6, -1e6)
@@ -504,6 +514,7 @@ def make_disk_state(specs, cfg: SimConfig, dtype=None) -> DiskState:
         mass=jnp.asarray(mass.astype(dt)),
         inertia=jnp.asarray(inertia.astype(dt)),
         active=jnp.asarray(active),
+        mobile=jnp.asarray(mobile),
         ct_j=jnp.full((n, cfg.contact_cap), -1, jnp.int32),
         ct_xi=jnp.zeros((n, cfg.contact_cap), dt),
         wall_xi=jnp.zeros((n, 4), dt),

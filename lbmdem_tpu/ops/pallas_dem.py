@@ -58,9 +58,11 @@ def _interpret() -> bool:
 
 SLAB_K = 4  # slots per broadphase cell (cells hold <= ~2 disks of r_max)
 
-# state plane channels
-_X, _Y, _VX, _VY, _OM, _TH, _R, _FHX, _FHY, _THQ = range(10)
-_NCH = 10
+# state plane channels (_MOB = 1.0 mobile / 0.0 fixed: zeroes the
+# velocity-Verlet kicks so infinite-mass disks keep their prescribed
+# v/omega while still drifting - mirrors ops/dem.dem_subcycle)
+_X, _Y, _VX, _VY, _OM, _TH, _R, _FHX, _FHY, _THQ, _MOB = range(11)
+_NCH = 11
 
 
 def slab_dims(grid: DemGrid, axis: str) -> Tuple[int, int, int, int, int]:
@@ -170,6 +172,7 @@ def build_slabs(
         (f_hydro[:, 0] + body_f[:, 0]).astype(f32),
         (f_hydro[:, 1] + body_f[:, 1]).astype(f32),
         t_hydro.astype(f32),
+        disks.mobile.astype(f32),
     ]
     nslots = SLAB_K * R * C
     sdisk = order.astype(jnp.int32)
@@ -336,8 +339,10 @@ def _dem_kernel(kmax_ref, nocc_ref, bands_ref, s_ref, out_ref, nc_ref, fscr,
         # per-force-eval total carried by the fori_loop
         return nc_tot + jnp.sum(nc_acc)
 
-    def _mass(Rk):
-        inv_m = jnp.where(Rk > 0, 1.0 / (rho_pi * Rk * Rk), 0.0)
+    def _mass(Rk, mob):
+        # mob = 0 makes the disk effectively infinite-mass: kicks vanish
+        # but the drift (x += h v) below still applies (prescribed motion)
+        inv_m = jnp.where(Rk > 0, mob / (rho_pi * Rk * Rk), 0.0)
         inv_i = jnp.where(
             Rk > 0, inv_m * 2.0 / jnp.maximum(Rk * Rk, 1e-12), 0.0
         )
@@ -349,7 +354,7 @@ def _dem_kernel(kmax_ref, nocc_ref, bands_ref, s_ref, out_ref, nc_ref, fscr,
         # XLA oracle.
         off = pl.multiple_of(bands_ref[i], 8)
         for k in range(K):
-            inv_m, inv_i, a = _mass(rd(_R, k, off))
+            inv_m, inv_i, a = _mass(rd(_R, k, off), rd(_MOB, k, off))
             vxh = rd(_VX, k, off) + (0.5 * h) * fscr[0, k, pl.ds(off, 8)] * inv_m
             vyh = rd(_VY, k, off) + (0.5 * h) * fscr[1, k, pl.ds(off, 8)] * inv_m
             omh = rd(_OM, k, off) + (0.5 * h) * fscr[2, k, pl.ds(off, 8)] * inv_i
@@ -364,7 +369,7 @@ def _dem_kernel(kmax_ref, nocc_ref, bands_ref, s_ref, out_ref, nc_ref, fscr,
     def band_kick2(i, c):
         off = pl.multiple_of(bands_ref[i], 8)
         for k in range(K):
-            inv_m, inv_i, a = _mass(rd(_R, k, off))
+            inv_m, inv_i, a = _mass(rd(_R, k, off), rd(_MOB, k, off))
             out_ref[_VX, k, pl.ds(off, 8)] = (
                 rd(_VX, k, off) + (0.5 * h) * fscr[0, k, pl.ds(off, 8)] * inv_m
             ) * a
@@ -463,8 +468,8 @@ def _leftover_fallback(new, disks, leftover, overflow, f_hydro, t_hydro,
     """Velocity-Verlet (no disk-disk contacts) for un-slotted disks."""
     dt = disks.x.dtype
     h = jnp.asarray(1.0 / cfg.n_sub, dt)
-    inv_m = jnp.where(leftover, 1.0 / disks.mass, 0.0)
-    inv_i = jnp.where(leftover, 1.0 / disks.inertia, 0.0)
+    inv_m = jnp.where(leftover & disks.mobile, 1.0 / disks.mass, 0.0)
+    inv_i = jnp.where(leftover & disks.mobile, 1.0 / disks.inertia, 0.0)
     lo2 = leftover[:, None]
 
     def force(d):

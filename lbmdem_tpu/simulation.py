@@ -201,6 +201,7 @@ def pallas_supported(cfg: SimConfig, mesh=None) -> Optional[str]:
 def make_step_fn(
     cfg: SimConfig, grid: Optional[DemGrid], use_pallas: bool = False,
     tile_lists=None, dem_axis: str = "y", temporal_k: int = 1,
+    dem_mode: str = "subcycle",
 ) -> Callable[[SimState], SimState]:
     """Build the fused per-step function (SURVEY SS3.2 rebuilt).
 
@@ -233,8 +234,23 @@ def make_step_fn(
         use_slab_dem = (
             coupled
             and cfg.kt == 0.0
+            and dem_mode == "subcycle"
             and pallas_dem.slab_supported(grid, dem_axis)
         )
+
+    def advance_disks(d, fh, th):
+        # dem_mode "drift" (every disk fixed, e.g. a porous bed or a
+        # periodic obstacle array): no contact machinery at all - fixed
+        # disks just translate/rotate at their prescribed constant
+        # v/omega over the LBM step (dt = 1)
+        if dem_mode == "drift":
+            nd = d._replace(
+                x=d.x + d.v * d.active[:, None],
+                theta=d.theta + d.omega * d.active,
+            )
+            z = jnp.zeros((), jnp.int32)
+            return nd, z, z
+        return dem.dem_subcycle(d, fh, th, grid, cfg)
 
     def step(state: SimState, f_scratch=None) -> SimState:
         if coupled:
@@ -339,7 +355,7 @@ def make_step_fn(
                 )
                 if periodic_dem:
                     fh, th = imb.fold_ghost_forces(fh, th, gparent, n_real)
-            disks, ovf, nc = dem.dem_subcycle(d, fh, th, grid, cfg)
+            disks, ovf, nc = advance_disks(d, fh, th)
             return SimState(
                 f=fnew,
                 disks=disks,
@@ -438,6 +454,11 @@ class Simulation:
         from lbmdem_tpu.ops import pallas_dem
 
         self.dem_axis = pallas_dem.choose_axis(disks, cfg)
+        # every disk fixed -> no contact mechanics at all: positions
+        # just drift at the prescribed v/omega (obstacle arrays, beds)
+        self.dem_mode = (
+            "drift" if disks and all(d.fixed for d in disks) else "subcycle"
+        )
         self.state = SimState(
             f=lbm.to_storage(lbm.init_equilibrium(cfg), cfg),
             disks=dem.make_disk_state(disks, cfg),
@@ -454,7 +475,8 @@ class Simulation:
             self.state = shard_state(self.state, mesh)
         else:
             self._step = make_step_fn(cfg, self.grid, use_pallas,
-                                      dem_axis=self.dem_axis)
+                                      dem_axis=self.dem_axis,
+                                      dem_mode=self.dem_mode)
         self._chunk_cache = {}
         self.mlups_last = 0.0
 
@@ -522,6 +544,7 @@ class Simulation:
                         tile_lists=(lists, counts, entry_slots, d.x,
                                     gparent, gaxes),
                         dem_axis=self.dem_axis,
+                        dem_mode=self.dem_mode,
                     )
                     k2, krem = divmod(k, 2)
                     st, scr = jax.lax.fori_loop(
@@ -667,3 +690,26 @@ class Simulation:
     def disk_arrays(self):
         d = self.state.disks
         return {k: np.asarray(v) for k, v in d._asdict().items()}
+
+    def hydro_forces(self):
+        """(F (N, 2), T (N,)) hydrodynamic force/torque per disk, from
+        one oracle IMB evaluation of the CURRENT state (observation
+        only - the stepping paths compute theirs in-kernel). The primary
+        use is reading the drag on fixed obstacle disks (DiskSpec.fixed),
+        whose forces never feed back into motion."""
+        cfg = self.cfg
+        d = self.state.disks
+        n_real = d.x.shape[0]
+        x, v, om, r, act = d.x, d.v, d.omega, d.r, d.active
+        gparent = None
+        if cfg.max_disks > 0 and (cfg.wrap_lx or cfg.wrap_ly):
+            _, (x, v, om, r, act), gparent, _, _ = imb.periodic_ghosts(
+                x, v, om, r, act, cfg
+            )
+        eps, usx, usy = imb.stamp_solid_fraction(x, v, om, r, act, cfg)
+        f_phys = lbm.from_storage(self.state.f, cfg)
+        _, phix, phiy = imb.collide_imb(f_phys, eps, usx, usy, cfg)
+        fh, th = imb.reduce_hydro_forces(x, r, act, eps, phix, phiy, cfg)
+        if gparent is not None:
+            fh, th = imb.fold_ghost_forces(fh, th, gparent, n_real)
+        return np.asarray(fh), np.asarray(th)

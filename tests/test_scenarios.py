@@ -17,6 +17,8 @@ SMALL = {
     "dkt": dict(nx=64, ny=160, r=4.0),
     "settling_column": dict(nx=128, ny=128, n_disks=40, r=4.0),
     "column_collapse": dict(nx=128, ny=128, n_disks=30, r=4.0),
+    "cylinder": dict(nx=64, ny=32, r=4.0),
+    "porous_bed": dict(nx=64, ny=64, r=4.0, pitch=16),
 }
 
 
