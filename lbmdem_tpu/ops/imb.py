@@ -357,7 +357,7 @@ def collide_imb(
     us_y: jax.Array,
     cfg: SimConfig,
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
-    """NT-blended BGK collision (C10) + momentum-exchange field (C12).
+    """NT-blended BGK/TRT collision (C10) + momentum-exchange field (C12).
 
     f <- f - (1-B)[(f - f_eq)/tau - S_i] + B Omega_i,
     Omega_i = f_opp - f_i + f_i^eq(rho, u_s) - f_opp^eq(rho, u).
@@ -383,9 +383,31 @@ def collide_imb(
     feq_opp = feq[opp]
     omega_s = f_opp - f + feq_s - feq_opp
 
-    fpost = f - (1.0 - B) * (f - feq) / tau_eff + B * omega_s
-    if cfg.gx != 0.0 or cfg.gy != 0.0:
-        fpost = fpost + (1.0 - B) * guo_force_term(ux, uy, tau_eff, cfg.gx, cfg.gy)
+    trt = cfg.trt_lambda
+    forced = cfg.gx != 0.0 or cfg.gy != 0.0
+    if trt <= 0.0:
+        fpost = f - (1.0 - B) * (f - feq) / tau_eff + B * omega_s
+        if forced:
+            fpost = fpost + (1.0 - B) * guo_force_term(
+                ux, uy, tau_eff, cfg.gx, cfg.gy
+            )
+    else:
+        # TRT fluid relaxation under the same (1-B) NT blend: even/odd
+        # parts of f - feq relax at 1/tau and 1/tau- (lbm.collide)
+        from lbmdem_tpu.ops.lbm import _guo_proj, trt_tau_minus
+
+        tau_m = trt_tau_minus(tau_eff, trt)
+        ne = f - feq
+        ne_o = ne[opp]
+        relax = (0.5 / tau_eff) * (ne + ne_o) + (0.5 / tau_m) * (ne - ne_o)
+        fpost = f - (1.0 - B) * relax + B * omega_s
+        if forced:
+            S = _guo_proj(ux, uy, cfg.gx, cfg.gy)
+            S_o = S[opp]
+            src = (1.0 - 0.5 / tau_eff) * 0.5 * (S + S_o) + (
+                1.0 - 0.5 / tau_m
+            ) * 0.5 * (S - S_o)
+            fpost = fpost + (1.0 - B) * src
 
     ex = jnp.asarray(lattice.EX, dt)[:, None, None]
     ey = jnp.asarray(lattice.EY, dt)[:, None, None]

@@ -107,6 +107,18 @@ def smagorinsky_tau(
     return 0.5 * (tau0 + jnp.sqrt(tau0 * tau0 + c * pnorm / rho))
 
 
+def _guo_proj(ux: jax.Array, uy: jax.Array, gx: float, gy: float) -> jax.Array:
+    """w_i [3 (e_i - u) + 9 (e_i . u) e_i] . F — the Guo projection
+    WITHOUT the relaxation prefactor (BGK and TRT scale it differently)."""
+    dt = ux.dtype
+    w = jnp.asarray(lattice.W, dt)[:, None, None]
+    ex = jnp.asarray(lattice.EX, dt)[:, None, None]
+    ey = jnp.asarray(lattice.EY, dt)[:, None, None]
+    eu = ex * ux + ey * uy
+    proj = 3.0 * ((ex - ux) * gx + (ey - uy) * gy) + 9.0 * eu * (ex * gx + ey * gy)
+    return w * proj
+
+
 def guo_force_term(
     ux: jax.Array, uy: jax.Array, tau, gx: float, gy: float
 ) -> jax.Array:
@@ -115,13 +127,13 @@ def guo_force_term(
     S_i = w_i (1 - 1/(2 tau)) [3 (e_i - u) + 9 (e_i . u) e_i] . F
     `tau` may be a scalar or a per-cell array (LES).
     """
-    dt = ux.dtype
-    w = jnp.asarray(lattice.W, dt)[:, None, None]
-    ex = jnp.asarray(lattice.EX, dt)[:, None, None]
-    ey = jnp.asarray(lattice.EY, dt)[:, None, None]
-    eu = ex * ux + ey * uy
-    proj = 3.0 * ((ex - ux) * gx + (ey - uy) * gy) + 9.0 * eu * (ex * gx + ey * gy)
-    return w * (1.0 - 0.5 / tau) * proj
+    return (1.0 - 0.5 / tau) * _guo_proj(ux, uy, gx, gy)
+
+
+def trt_tau_minus(tau, trt_magic: float):
+    """Odd-moment relaxation time from the magic parameter:
+    Lambda = (tau+ - 1/2)(tau- - 1/2). `tau` may be a per-cell array."""
+    return 0.5 + trt_magic / (tau - 0.5)
 
 
 def collide(
@@ -130,16 +142,44 @@ def collide(
     gx: float = 0.0,
     gy: float = 0.0,
     smagorinsky: float = 0.0,
+    trt_magic: float = 0.0,
 ) -> jax.Array:
-    """BGK relaxation + optional Guo forcing + optional LES (C3/C7/C8)."""
+    """BGK/TRT relaxation + optional Guo forcing + optional LES
+    (C3/C7/C8; trt_magic > 0 selects TRT, see SimConfig.collision).
+
+    TRT: the even/odd parts of f - feq (under e -> -e) relax at 1/tau
+    and 1/tau-, with tau- from the magic parameter (trt_tau_minus).
+    tau keeps setting the viscosity (and the LES closure); the Guo
+    source splits the same way, each part scaled by (1 - 1/(2 tau±)).
+    """
     rho, ux, uy = moments(f, gx, gy)
     feq = equilibrium(rho, ux, uy)
     tau_eff = (
         smagorinsky_tau(f, feq, rho, tau, smagorinsky) if smagorinsky > 0.0 else tau
     )
-    fpost = f - (f - feq) / tau_eff
-    if gx != 0.0 or gy != 0.0:
-        fpost = fpost + guo_force_term(ux, uy, tau_eff, gx, gy)
+    forced = gx != 0.0 or gy != 0.0
+    if trt_magic <= 0.0:
+        fpost = f - (f - feq) / tau_eff
+        if forced:
+            fpost = fpost + guo_force_term(ux, uy, tau_eff, gx, gy)
+        return fpost
+    opp = lattice.OPP
+    tau_m = trt_tau_minus(tau_eff, trt_magic)
+    ne = f - feq
+    ne_o = ne[opp]
+    fpost = (
+        f
+        - (0.5 / tau_eff) * (ne + ne_o)
+        - (0.5 / tau_m) * (ne - ne_o)
+    )
+    if forced:
+        S = _guo_proj(ux, uy, gx, gy)
+        S_o = S[opp]
+        fpost = (
+            fpost
+            + (1.0 - 0.5 / tau_eff) * 0.5 * (S + S_o)
+            + (1.0 - 0.5 / tau_m) * 0.5 * (S - S_o)
+        )
     return fpost
 
 
@@ -212,7 +252,8 @@ def step_pure_fluid(
     wall_speed: Tuple[float, float, float, float] = None,
 ) -> jax.Array:
     """One pure-fluid LBM step (SURVEY SS3.3 fast path): collide-stream-BB."""
-    fpost = collide(f, cfg.tau, cfg.gx, cfg.gy, cfg.smagorinsky)
+    fpost = collide(f, cfg.tau, cfg.gx, cfg.gy, cfg.smagorinsky,
+                    cfg.trt_lambda)
     fnew = stream(fpost)
     return apply_bounce_back(fnew, fpost, cfg, wall_speed)
 

@@ -92,7 +92,7 @@ def tile_dims(cfg: SimConfig, wide: bool = False) -> Tuple[int, int]:
 
 def _collide_window(win, cfg: SimConfig, eps=None, usx=None, usy=None,
                     shift: float = 0.0):
-    """Moments + (NT-blended) BGK + Guo forcing on a (9, H, W) window.
+    """Moments + (NT-blended) BGK/TRT + Guo forcing on a (9, H, W) window.
 
     Returns (fpost list of 9 (H, W) planes, phi (2, H, W) or None).
 
@@ -125,16 +125,22 @@ def _collide_window(win, cfg: SimConfig, eps=None, usx=None, usy=None,
     pairs = [(i, int(lattice.OPP[i])) for i in range(1, 9)
              if i < int(lattice.OPP[i])]
 
+    trt = cfg.trt_lambda  # 0.0 = BGK; > 0 = TRT magic parameter
     # pair-form moments: with S = f_i + f_opp, D = f_i - f_opp,
     # rho = f0 + sum S and j = sum e_i D (4 adds + 4 subs + 8 signed
     # adds vs 8 adds + 12 mul-adds); D doubles as the coupled path's
-    # W = f_opp - f_i term below
+    # W = f_opp - f_i term below, and (S, D) ARE the TRT even/odd
+    # decomposition (f± = (S ± ... )/2), so TRT costs no extra moments
     Ds = {}
+    Ss = {}
     rho_g = win[0]
     jx = None
     jy = None
     for i, io in pairs:
-        rho_g = rho_g + (win[i] + win[io])
+        S = win[i] + win[io]
+        if trt > 0.0:
+            Ss[i] = S
+        rho_g = rho_g + S
         D = win[i] - win[io]
         Ds[i] = D
         ex, ey = int(lattice.E[i, 0]), int(lattice.E[i, 1])
@@ -218,18 +224,24 @@ def _collide_window(win, cfg: SimConfig, eps=None, usx=None, usy=None,
 
     inv_tau = 1.0 / tau
     force_pref = 1.0 - 0.5 * inv_tau
+    if trt > 0.0:
+        # odd-moment rate from the magic parameter (lbm.trt_tau_minus);
+        # tau may be a per-cell array under LES - all elementwise
+        inv_tau_m = 1.0 / (0.5 + trt / (tau - 0.5))
+        force_pref_m = 1.0 - 0.5 * inv_tau_m
     forced = gx != 0.0 or gy != 0.0
     if forced:
         ug3 = 3.0 * (ux * gx + uy * gy)  # shared even Guo term
 
     def guo_parts(i, eu):
-        """(even, odd) of w*force_pref*proj for pair representative i;
-        odd part's 3 e.g is a static scalar that folds into w."""
+        """(even, odd) of the prefactor-scaled Guo projection for pair
+        representative i; the odd part's 3 e.g is a static scalar that
+        folds into w. TRT scales the odd part by (1 - 1/(2 tau-))."""
         ex, ey = int(lattice.E[i, 0]), int(lattice.E[i, 1])
         eg = ex * gx + ey * gy
-        wpref = w_c[i] * force_pref
-        even = wpref * ((9.0 * eg) * eu - ug3)
-        odd = wpref * np.float32(3.0 * eg) if eg != 0.0 else None
+        even = (w_c[i] * force_pref) * ((9.0 * eg) * eu - ug3)
+        opref = force_pref_m if trt > 0.0 else force_pref
+        odd = (w_c[i] * np.float32(3.0 * eg)) * opref if eg != 0.0 else None
         return even, odd
 
     outs = [None] * 9
@@ -246,13 +258,24 @@ def _collide_window(win, cfg: SimConfig, eps=None, usx=None, usy=None,
 
     for i, io in pairs:
         Ef, Of, eu = fparts[i]
+        if trt > 0.0:
+            # TRT relaxation terms: even/odd non-equilibrium parts from
+            # the pair sum/difference already in hand
+            ne_e = inv_tau * (0.5 * Ss[i] - Ef)
+            ne_o = inv_tau_m * (0.5 * Ds[i] - Of)
+            rt_i = ne_e + ne_o
+            rt_o = ne_e - ne_o
         if coupled:
             Es, Os, _ = sparts[i]
             P = Es - Ef
             Q = Os + Of
             WQ = Q - Ds[i]  # W = f_opp - f_i = -D from the moments
-            fp_i = win[i] - relax * (win[i] - (Ef + Of)) + B * (WQ + P)
-            fp_o = win[io] - relax * (win[io] - (Ef - Of)) + B * (P - WQ)
+            if trt > 0.0:
+                fp_i = win[i] - one_minus_B * rt_i + B * (WQ + P)
+                fp_o = win[io] - one_minus_B * rt_o + B * (P - WQ)
+            else:
+                fp_i = win[i] - relax * (win[i] - (Ef + Of)) + B * (WQ + P)
+                fp_o = win[io] - relax * (win[io] - (Ef - Of)) + B * (P - WQ)
             # phi -= e_i * (B*Omega_i) + e_io * (B*Omega_io)
             #      = e_i * 2B(W + Q)
             pair_phi = (2.0 * B) * WQ
@@ -261,6 +284,9 @@ def _collide_window(win, cfg: SimConfig, eps=None, usx=None, usy=None,
                 phix = phix - pair_phi if ex > 0 else phix + pair_phi
             if ey:
                 phiy = phiy - pair_phi if ey > 0 else phiy + pair_phi
+        elif trt > 0.0:
+            fp_i = win[i] - rt_i
+            fp_o = win[io] - rt_o
         else:
             fp_i = win[i] - relax * (win[i] - (Ef + Of))
             fp_o = win[io] - relax * (win[io] - (Ef - Of))

@@ -266,7 +266,7 @@ def make_sharded_step_pallas(cfg: SimConfig, grid, mesh, h: int, w: int,
             # result stays in STORAGE form (the +corr bounce-back add is
             # shift-invariant since w_opp = w_i)
             fp = lbm.collide(lbm.from_storage(a, cfg), cfg.tau, cfg.gx,
-                             cfg.gy, cfg.smagorinsky)
+                             cfg.gy, cfg.smagorinsky, cfg.trt_lambda)
             return lbm.to_storage(fp, cfg)
 
         fnew = fix_y_walls(fnew, col(f[:, 0:1, :]), col(f[:, -1:, :]))

@@ -254,7 +254,8 @@ def make_sharded_step(
             )
             fpost, phix, phiy = imb.collide_imb(f, eps, usx, usy, local_cfg)
         else:
-            fpost = lbm.collide(f, cfg.tau, cfg.gx, cfg.gy, cfg.smagorinsky)
+            fpost = lbm.collide(f, cfg.tau, cfg.gx, cfg.gy, cfg.smagorinsky,
+                                cfg.trt_lambda)
 
         ext = exchange_halo(fpost, mesh)
         fnew = stream_from_halo(ext)

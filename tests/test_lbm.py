@@ -79,6 +79,47 @@ def test_poiseuille_profile():
     np.testing.assert_allclose(prof, analytic, rtol=2e-3, atol=3e-7)
 
 
+def test_trt_poiseuille_exact_walls():
+    """The TRT selling point: with magic Lambda = 3/16 the half-way
+    bounce-back wall sits EXACTLY mid-link at any tau, so body-force
+    Poiseuille converges to the discrete parabola to near machine
+    precision - while BGK's wall slip error grows ~(tau - 1/2)^2."""
+    ny, nx = 24, 4
+    tau, g = 1.5, 1e-6  # coarse channel + large tau: worst case for BGK
+    y = np.arange(ny) + 0.5
+    H = float(ny)
+
+    def profile_err(collision):
+        cfg = SimConfig(nx=nx, ny=ny, tau=tau, gx=g, dtype="float64",
+                        collision=collision)
+        nu = cfg.nu
+        analytic = g / (2.0 * nu) * y * (H - y)
+        sim = Simulation(cfg)
+        sim.run(12000)
+        _, ux, _ = sim.macroscopic()
+        prof = ux.mean(axis=1)
+        return float(np.max(np.abs(prof - analytic)) / analytic.max())
+
+    err_bgk = profile_err("bgk")
+    err_trt = profile_err("trt")
+    assert err_trt < 1e-9, f"TRT(3/16) Poiseuille not exact: {err_trt}"
+    assert err_bgk > 100 * err_trt  # and BGK really is the one slipping
+
+
+def test_trt_reduces_to_bgk_at_matched_rates():
+    """With Lambda = (tau - 1/2)^2 both rates equal 1/tau: TRT == BGK."""
+    cfg_b = SimConfig(nx=16, ny=12, tau=0.8, gx=1e-5, dtype="float64")
+    lam = (cfg_b.tau - 0.5) ** 2
+    cfg_t = cfg_b.replace(collision="trt", trt_magic=lam)
+    f = _rand_f(12, 16)
+    fb, ft = f, f
+    for _ in range(3):
+        fb = lbm.step_pure_fluid(fb, cfg_b)
+        ft = lbm.step_pure_fluid(ft, cfg_t)
+    np.testing.assert_allclose(np.asarray(ft), np.asarray(fb), rtol=1e-13,
+                               atol=1e-18)
+
+
 def test_cavity_no_slip_and_circulation():
     """Moving north lid: no-slip at static walls, lid drags fluid."""
     cfg = SimConfig(nx=24, ny=24, tau=0.8, bc_west="wall", bc_east="wall",

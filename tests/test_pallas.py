@@ -34,6 +34,10 @@ CFGS = [
     dict(bc_west="wall", bc_east="wall", uw_north=0.08),
     dict(bc_west="wall", bc_east="wall", uw_west=0.05, uw_south=-0.02,
          uw_east=-0.03, uw_north=0.04),
+    # TRT collision (even/odd split in the pair-form kernel algebra)
+    dict(collision="trt"),
+    dict(collision="trt", bc_west="wall", bc_east="wall", gx=2e-5),
+    dict(collision="trt", smagorinsky=0.16, gx=1e-5),  # TRT + LES
 ]
 
 
@@ -118,6 +122,7 @@ def _bf16_oracle_step(fs, cfg):
 @pytest.mark.parametrize("overrides", [
     dict(gx=1e-5),
     dict(bc_west="wall", bc_east="wall", uw_north=0.05, gy=-1e-5),
+    dict(collision="trt", gx=1e-5),  # shift algebra under the TRT split
 ])
 def test_fused_fluid_bf16_matches_emulated_oracle(overrides):
     """Shifted-bf16 storage (f_storage='bfloat16'): kernel vs the
@@ -220,3 +225,28 @@ def test_fused_imb_matches_oracle():
     # the tiny near-zero phi values
     np.testing.assert_allclose(np.asarray(phix), np.asarray(phix_r), rtol=1e-5, atol=5e-8)
     np.testing.assert_allclose(np.asarray(phiy), np.asarray(phiy_r), rtol=1e-5, atol=5e-8)
+
+
+def test_fused_imb_trt_matches_oracle():
+    """Coupled kernel under TRT: the (1-B)-blended even/odd relaxation
+    plus the unchanged NT solid term must match the oracle."""
+    cfg = SimConfig(nx=128, ny=32, tau=0.9, dtype="float32", max_disks=1,
+                    window=13, collision="trt", gy=-1e-5)
+    f = _rand_f(cfg.ny, cfg.nx, seed=11)
+    xp = jnp.asarray([[40.0, 16.0]], jnp.float32)
+    vp = jnp.asarray([[-0.01, 0.02]], jnp.float32)
+    om = jnp.asarray([-0.004], jnp.float32)
+    rr = jnp.asarray([4.0], jnp.float32)
+    act = jnp.asarray([True])
+    eps, usx, usy = imb.stamp_solid_fraction(xp, vp, om, rr, act, cfg)
+
+    fpost, phix_r, phiy_r = imb.collide_imb(f, eps, usx, usy, cfg)
+    fref = lbm.apply_bounce_back(lbm.stream(fpost), fpost, cfg)
+
+    fgot, phix, phiy = pallas_lbm.fused_step_imb(f, eps, usx, usy, cfg)
+    np.testing.assert_allclose(np.asarray(fgot), np.asarray(fref),
+                               rtol=1e-6, atol=1e-7)
+    np.testing.assert_allclose(np.asarray(phix), np.asarray(phix_r),
+                               rtol=1e-5, atol=5e-8)
+    np.testing.assert_allclose(np.asarray(phiy), np.asarray(phiy_r),
+                               rtol=1e-5, atol=5e-8)

@@ -155,6 +155,35 @@ def _periodic():
     print("PERIODIC OK")
 
 
+def _trt():
+    """Compiled TRT leg: magic Lambda = 3/16 pins the bounce-back wall
+    exactly mid-link, so body-force Poiseuille on the COMPILED f32
+    kernel must sit on the analytic parabola to f32 roundoff while BGK
+    at the same tau carries a real slip error."""
+    from lbmdem_tpu.config import SimConfig
+    from lbmdem_tpu.simulation import Simulation
+
+    errs = {}
+    for coll in ("trt", "bgk"):
+        cfg = SimConfig(nx=128, ny=32, tau=1.5, gx=1e-6, dtype="float32",
+                        collision=coll, out_interval=10**9)
+        sim = Simulation(cfg, use_pallas=True)
+        sim.run(12000)
+        _, ux, _ = sim.macroscopic()
+        y = np.arange(cfg.ny) + 0.5
+        analytic = cfg.gx / (2.0 * cfg.nu) * y * (cfg.ny - y)
+        prof = np.asarray(ux).mean(axis=1)
+        errs[coll] = float(np.abs(prof - analytic).max() / analytic.max())
+    print(f"poiseuille tau=1.5 rel err: trt {errs['trt']:.2e} "
+          f"bgk {errs['bgk']:.2e}")
+    # f32 bound: exact in exact arithmetic; 12k steps of f32 rounding
+    # leave O(1e-5..1e-4) relative drift. BGK's slip at tau=1.5/ny=32 is
+    # O(1e-2) relative - orders apart either way.
+    assert errs["trt"] < 2e-4, "TRT(3/16) wall not exact on TPU"
+    assert errs["bgk"] > 5 * errs["trt"], "BGK/TRT contrast missing"
+    print("TRT OK")
+
+
 def main():
     import jax
 
@@ -196,6 +225,7 @@ def main():
     _dkt()
     _periodic()
     _cavity()
+    _trt()
     print("TPU PHYSICS VALIDATION OK")
 
 
