@@ -23,7 +23,8 @@ _FIELDS = [
     "nx", "ny", "tau", "gx", "gy", "steps", "out_interval",
     "kn", "kt", "gamma_n", "gamma_t", "mu", "rho_s", "n_sub",
     "g_px", "g_py", "buoyancy", "smagorinsky",
-    "uw_west", "uw_east", "uw_south", "uw_north", "dtype",
+    "uw_west", "uw_east", "uw_south", "uw_north",
+    "u_inlet", "inlet_profile", "rho_outlet", "dtype",
 ]
 
 

@@ -20,7 +20,12 @@ Parameter keywords (reference-format; SURVEY C18 lists the set):
     rho_s                 solid density (lattice units; fluid rho0 = 1)
     n_sub                 DEM substeps per LBM step
     bc <side> <type>      side in {west,east,south,north}, type in
-                          {wall, periodic}
+                          {wall, periodic}; west also takes `inlet`
+                          (Zou/He velocity) paired with east `outlet`
+                          (Zou/He pressure)
+    u_inlet <u>           inlet x-velocity (peak for poiseuille profile)
+    inlet_profile <p>     uniform | poiseuille
+    rho_outlet <rho>      outlet density (0 = rho0)
     g_px, g_py            gravity acting on particles (lattice units)
     buoyancy [0|1]        add analytic buoyancy -rho_f*V*g to disks
     smagorinsky <Cs>      LES constant (0 disables; SURVEY C8)
@@ -49,6 +54,8 @@ import numpy as np
 
 WALL = "wall"
 PERIODIC = "periodic"
+INLET = "inlet"
+OUTLET = "outlet"
 _SIDES = ("west", "east", "south", "north")
 
 
@@ -167,6 +174,15 @@ class SimConfig:
     uw_east: float = 0.0
     uw_south: float = 0.0
     uw_north: float = 0.0
+    # Open boundaries (Zou/He non-equilibrium bounce-back): bc_west
+    # 'inlet' prescribes the x-velocity profile at the west column and
+    # bc_east 'outlet' prescribes the density at the east column (0 ->
+    # rho0) with the normal velocity from the Zou/He closure. They come
+    # as a pair. inlet_profile: 'uniform' (u = u_inlet everywhere) or
+    # 'poiseuille' (parabola peaking at u_inlet, zero at the y walls).
+    u_inlet: float = 0.0
+    inlet_profile: str = "uniform"
+    rho_outlet: float = 0.0
     # Physical base scales of the deck (SURVEY C17): 0 = the deck was
     # written directly in lattice units. When set (SI decks: `dx`,
     # `dt_phys`, `rho_phys` keywords), every other field above is
@@ -177,9 +193,39 @@ class SimConfig:
     phys_rho: float = 0.0
 
     def __post_init__(self):
-        for s in (self.bc_west, self.bc_east, self.bc_south, self.bc_north):
+        if self.bc_west not in (WALL, PERIODIC, INLET):
+            raise ValueError(
+                f"bad bc west {self.bc_west!r}: want {WALL!r}, "
+                f"{PERIODIC!r} or {INLET!r}"
+            )
+        if self.bc_east not in (WALL, PERIODIC, OUTLET):
+            raise ValueError(
+                f"bad bc east {self.bc_east!r}: want {WALL!r}, "
+                f"{PERIODIC!r} or {OUTLET!r}"
+            )
+        for s in (self.bc_south, self.bc_north):
             if s not in (WALL, PERIODIC):
                 raise ValueError(f"bad bc {s!r}: want {WALL!r} or {PERIODIC!r}")
+        # open boundaries come as a west-inlet / east-outlet pair (the
+        # canonical channel orientation; rotate the scene otherwise)
+        if (self.bc_west == INLET) != (self.bc_east == OUTLET):
+            raise ValueError("open bc must pair: west inlet with east outlet")
+        if self.bc_west == INLET:
+            if self.inlet_profile not in ("uniform", "poiseuille"):
+                raise ValueError(
+                    f"bad inlet_profile {self.inlet_profile!r}: want "
+                    "'uniform' or 'poiseuille'"
+                )
+            if not -0.4 < self.u_inlet < 0.4:
+                raise ValueError(
+                    f"u_inlet {self.u_inlet} out of the stable lattice "
+                    f"range (|u| < 0.4)"
+                )
+            if self.f_storage != "float32":
+                raise ValueError(
+                    "open boundaries are not supported with "
+                    "f_storage='bfloat16' (Zou/He reads raw populations)"
+                )
         # pairing must hold in BOTH directions: a lone periodic east
         # side would wrap the fluid exchange against a wall side, and
         # disks would get neither wall forces nor wrap on that axis
@@ -300,6 +346,7 @@ _PHYS_KEYS = {
     "uw_east_phys": ("uw_east", "velocity"),
     "uw_south_phys": ("uw_south", "velocity"),
     "uw_north_phys": ("uw_north", "velocity"),
+    "u_inlet_phys": ("u_inlet", "velocity"),
     "t_end_phys": ("steps", "time"),         # s -> step count
     "out_interval_phys": ("out_interval", "time"),
 }
@@ -386,10 +433,13 @@ def load_param_file(path: str) -> Tuple[SimConfig, Optional[str]]:
                 kw[key] = bool(int(vals[0]))
             elif key == "collision":
                 kw["collision"] = vals[0]
+            elif key == "inlet_profile":
+                kw["inlet_profile"] = vals[0]
             elif key in ("tau", "gx", "gy", "kn", "kt", "gamma_n", "gamma_t",
                          "mu", "rho_s", "g_px", "g_py", "smagorinsky",
                          "trt_magic", "rho0", "u0x", "u0y", "uw_west",
-                         "uw_east", "uw_south", "uw_north"):
+                         "uw_east", "uw_south", "uw_north",
+                         "u_inlet", "rho_outlet"):
                 kw[key] = float(vals[0])
             else:
                 raise ValueError(f"unknown parameter keyword {key!r}")

@@ -9,6 +9,7 @@ from lbmdem_tpu.models.scenarios import (
     make_scenario,
     poiseuille,
     porous_bed,
+    schafer_turek,
     settling_column,
     single_disk_sedimentation,
 )
@@ -24,4 +25,5 @@ __all__ = [
     "column_collapse",
     "cylinder",
     "porous_bed",
+    "schafer_turek",
 ]

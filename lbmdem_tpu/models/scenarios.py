@@ -187,11 +187,33 @@ def porous_bed(
     return cfg, disks
 
 
+def schafer_turek(
+    nx: int = 440, ny: int = 82, r: float = 10.0, cx: float = 39.5,
+    cy: float = 39.5, u_max: float = 0.075, tau: float = 0.65,
+) -> Scene:
+    """Schafer-Turek 2D-1 benchmark: steady flow past a cylinder in a
+    channel at Re = 20 (u_mean D / nu with u_mean = 2/3 u_max).
+
+    Canonical geometry at dx = 5 mm: channel 2.2 x 0.41 m -> 440 x 82,
+    cylinder D = 0.1 m at (0.2, 0.2) -> r = 10 at (39.5, 39.5) (the
+    intentional 2.44% blockage asymmetry of the benchmark). Parabolic
+    Zou/He inlet, pressure outlet. Published drag/lift coefficients:
+    cD = 5.5795, cL = 0.0106 (tools/benchmark_cylinder.py measures
+    ours). ny = 82 is not 8-divisible: runs on the XLA path."""
+    cfg = SimConfig(
+        nx=nx, ny=ny, tau=tau, steps=40000, out_interval=1000,
+        bc_west="inlet", bc_east="outlet", u_inlet=u_max,
+        inlet_profile="poiseuille", max_disks=1, n_sub=1,
+    )
+    return cfg, [DiskSpec(x=cx, y=cy, r=r, fixed=True)]
+
+
 SCENARIOS = {
     "poiseuille": poiseuille,
     "cavity": cavity,
     "cylinder": cylinder,
     "porous_bed": porous_bed,
+    "schafer_turek": schafer_turek,
     "sedimentation": single_disk_sedimentation,
     "dkt": dkt,
     "settling_column": settling_column,

@@ -246,6 +246,62 @@ def apply_bounce_back(
     return fnew
 
 
+def inlet_profile_array(cfg: SimConfig) -> np.ndarray:
+    """(ny,) inlet x-velocity profile (host constant, baked into jit).
+
+    'poiseuille' peaks at u_inlet mid-channel and hits zero exactly at
+    the half-way wall planes y = -1/2 and ny - 1/2, matching the
+    bounce-back wall position."""
+    y = np.arange(cfg.ny, dtype=np.float64) + 0.5
+    H = float(cfg.ny)
+    if cfg.inlet_profile == "poiseuille":
+        return (4.0 * cfg.u_inlet / (H * H) * y * (H - y)).astype(cfg.dtype)
+    return np.full(cfg.ny, cfg.u_inlet, cfg.dtype)
+
+
+def apply_open_boundaries(fnew: jax.Array, cfg: SimConfig) -> jax.Array:
+    """Zou/He non-equilibrium bounce-back open boundaries.
+
+    West inlet (prescribed u = (u_in(y), 0)): the three unknown
+    populations entering from outside the domain (IN_E = 1, 5, 8) are
+    reconstructed from the post-stream knowns of the SAME cell:
+        rho = (f0 + f2 + f4 + 2 (f3 + f6 + f7)) / (1 - u)
+        f1 = f3 + (2/3) rho u
+        f5 = f7 - (f2 - f4)/2 + (1/6) rho u
+        f8 = f6 + (f2 - f4)/2 + (1/6) rho u
+    East outlet (prescribed rho = rho_out, v = 0): mirror closure with
+        u = -1 + (f0 + f2 + f4 + 2 (f1 + f5 + f8)) / rho_out.
+    Applied AFTER bounce-back so wall corners supply the tangential
+    knowns (f2/f4); with the poiseuille profile u -> 0 there, the
+    corner closure degrades gracefully to a resting-wall cell."""
+    if cfg.bc_west != "inlet":
+        return fnew
+    dt = fnew.dtype
+    u_in = jnp.asarray(inlet_profile_array(cfg), dt)  # (ny,)
+    f0, f1, f2, f3, f4, f5, f6, f7, f8 = (fnew[i] for i in range(9))
+
+    # west inlet at column 0
+    uw = u_in
+    rho_w = (f0[:, 0] + f2[:, 0] + f4[:, 0]
+             + 2.0 * (f3[:, 0] + f6[:, 0] + f7[:, 0])) / (1.0 - uw)
+    d24 = 0.5 * (f2[:, 0] - f4[:, 0])
+    ru = rho_w * uw
+    fnew = fnew.at[1, :, 0].set(f3[:, 0] + (2.0 / 3.0) * ru)
+    fnew = fnew.at[5, :, 0].set(f7[:, 0] - d24 + (1.0 / 6.0) * ru)
+    fnew = fnew.at[8, :, 0].set(f6[:, 0] + d24 + (1.0 / 6.0) * ru)
+
+    # east outlet at column nx-1
+    rho_o = jnp.asarray(cfg.rho_outlet or cfg.rho0, dt)
+    ue = -1.0 + (f0[:, -1] + f2[:, -1] + f4[:, -1]
+                 + 2.0 * (f1[:, -1] + f5[:, -1] + f8[:, -1])) / rho_o
+    d24e = 0.5 * (f2[:, -1] - f4[:, -1])
+    rue = rho_o * ue
+    fnew = fnew.at[3, :, -1].set(f1[:, -1] - (2.0 / 3.0) * rue)
+    fnew = fnew.at[7, :, -1].set(f5[:, -1] + d24e - (1.0 / 6.0) * rue)
+    fnew = fnew.at[6, :, -1].set(f8[:, -1] - d24e - (1.0 / 6.0) * rue)
+    return fnew
+
+
 def step_pure_fluid(
     f: jax.Array,
     cfg: SimConfig,
@@ -255,7 +311,8 @@ def step_pure_fluid(
     fpost = collide(f, cfg.tau, cfg.gx, cfg.gy, cfg.smagorinsky,
                     cfg.trt_lambda)
     fnew = stream(fpost)
-    return apply_bounce_back(fnew, fpost, cfg, wall_speed)
+    fnew = apply_bounce_back(fnew, fpost, cfg, wall_speed)
+    return apply_open_boundaries(fnew, cfg)
 
 
 def init_equilibrium(cfg: SimConfig) -> jax.Array:

@@ -348,7 +348,10 @@ def make_step_fn(
                 fpost, phix, phiy = imb.collide_imb(f_phys, eps, usx, usy, cfg)
                 fnew = lbm.stream(fpost)
                 fnew = lbm.to_storage(
-                    lbm.apply_bounce_back(fnew, fpost, cfg), cfg
+                    lbm.apply_open_boundaries(
+                        lbm.apply_bounce_back(fnew, fpost, cfg), cfg
+                    ),
+                    cfg,
                 )
                 fh, th = imb.reduce_hydro_forces(
                     xa, ra, acta, eps, phix, phiy, cfg
@@ -403,6 +406,19 @@ class Simulation:
         devices and replicates disks with force-psum - the run()/step()
         API is unchanged (SURVEY SS5.7/5.8)."""
         disks = list(disks)
+        if cfg.bc_west == "inlet":
+            if mesh is not None:
+                raise ValueError(
+                    "open boundaries (inlet/outlet) are single-chip only "
+                    "for now (the sharded edge fixups do not reconstruct "
+                    "Zou/He populations)"
+                )
+            if any(not d.fixed for d in disks):
+                raise ValueError(
+                    "mobile disks with open boundaries are not supported "
+                    "(a disk crossing the inlet/outlet would leave the "
+                    "coupled domain); mark obstacle disks fixed=1"
+                )
         if disks:
             r_max = max(d.r for d in disks)
             if cfg.window <= 0:
@@ -567,6 +583,7 @@ class Simulation:
                         carry = k_steps(carry, n_rem)
                     return carry[0]
             elif (self.use_pallas and self.cfg.max_disks == 0
+                  and self.cfg.bc_west != "inlet"
                   and n >= TEMPORAL_K > 1):
                 # pure fluid: temporal blocking - k steps per kernel
                 # pass / HBM round-trip (the halo window's 8-row margin

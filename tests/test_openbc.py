@@ -1,0 +1,162 @@
+"""Zou/He open boundaries: west velocity inlet / east pressure outlet.
+
+Beyond-reference capability (the reference drives flow with body forces
+only): non-equilibrium bounce-back reconstruction of the three unknown
+populations at open domain ends, enabling inflow/outflow channels and
+the Schafer-Turek cylinder benchmark (with fixed obstacle disks).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from lbmdem_tpu import lattice
+from lbmdem_tpu.config import DiskSpec, SimConfig
+from lbmdem_tpu.ops import imb, lbm, pallas_lbm
+from lbmdem_tpu.simulation import Simulation
+
+
+@pytest.fixture()
+def _interpret(monkeypatch):
+    monkeypatch.setattr(pallas_lbm, "_INTERPRET", True)
+
+
+def test_config_validation():
+    with pytest.raises(ValueError, match="pair"):
+        SimConfig(nx=32, ny=16, bc_west="inlet")
+    with pytest.raises(ValueError, match="bad bc east"):
+        SimConfig(nx=32, ny=16, bc_east="inlet")
+    with pytest.raises(ValueError, match="inlet_profile"):
+        SimConfig(nx=32, ny=16, bc_west="inlet", bc_east="outlet",
+                  u_inlet=0.05, inlet_profile="plug")
+    with pytest.raises(ValueError, match="u_inlet"):
+        SimConfig(nx=32, ny=16, bc_west="inlet", bc_east="outlet",
+                  u_inlet=0.7)
+    with pytest.raises(ValueError, match="bfloat16"):
+        SimConfig(nx=32, ny=16, bc_west="inlet", bc_east="outlet",
+                  u_inlet=0.05, f_storage="bfloat16")
+    with pytest.raises(ValueError, match="mobile"):
+        Simulation(
+            SimConfig(nx=64, ny=32, bc_west="inlet", bc_east="outlet",
+                      u_inlet=0.05, max_disks=1),
+            [DiskSpec(32.0, 16.0, 3.0)],
+        )
+
+
+def test_uniform_plug_flow_is_fixed_point():
+    """Uniform equilibrium flow through inlet/outlet is an EXACT fixed
+    point of the Zou/He closure (the reconstruction formulas reproduce
+    the equilibrium identities)."""
+    u = 0.05
+    cfg = SimConfig(nx=32, ny=16, tau=0.8, dtype="float64",
+                    bc_west="inlet", bc_east="outlet", u_inlet=u,
+                    bc_south="periodic", bc_north="periodic", u0x=u)
+    f0 = lbm.init_equilibrium(cfg)
+    f = f0
+    for _ in range(5):
+        f = lbm.step_pure_fluid(f, cfg)
+    np.testing.assert_allclose(np.asarray(f), np.asarray(f0), atol=1e-15)
+
+
+def test_channel_inflow_outflow_poiseuille():
+    """Parabolic inlet + y walls at steady state: the profile SHAPE
+    stays parabolic everywhere (the amplitude grows ~Ma^2 downstream as
+    rho drops - real compressible channel physics, u ~ flux/rho), the
+    column mass flux rho*u is constant along the interior, and the
+    outlet density is pinned. The Zou/He pressure outlet carries a
+    known even-odd artifact confined to the last few columns - bounded
+    here, excluded from the interior-constancy check."""
+    ny, nx = 24, 96
+    umax = 0.05
+    cfg = SimConfig(nx=nx, ny=ny, tau=0.8, dtype="float64",
+                    bc_west="inlet", bc_east="outlet", u_inlet=umax,
+                    inlet_profile="poiseuille")
+    sim = Simulation(cfg)
+    sim.run(12000)
+    rho, ux, _ = sim.macroscopic()
+    y = np.arange(ny) + 0.5
+    parab = 4.0 * umax / ny**2 * y * (ny - y)
+    # inlet column carries the exact prescribed profile
+    np.testing.assert_allclose(ux[:, 0], parab, rtol=0, atol=1e-12)
+    # normalized profile shape stays parabolic along the channel
+    pshape = parab / parab.max()
+    for xq in (nx // 4, nx // 2, 3 * nx // 4):
+        shape = ux[:, xq] / ux[:, xq].max()
+        np.testing.assert_allclose(shape, pshape, atol=2e-3)
+    # column mass flux constant along the interior (steady continuity)
+    flux = (rho * ux).sum(axis=0)
+    interior = flux[2 : nx - 8]
+    np.testing.assert_allclose(interior, interior[0], rtol=3e-3)
+    # the outlet boundary-layer artifact stays small and local
+    np.testing.assert_allclose(flux, interior[0], rtol=0.02)
+    # outlet density pinned at rho0
+    np.testing.assert_allclose(rho[:, -1].mean(), 1.0, atol=1e-6)
+
+
+def test_openbc_kernel_parity(_interpret):
+    """Fused kernel Zou/He fixup vs the oracle, random state."""
+    for prof, extra in (("poiseuille", {}),
+                        ("uniform", dict(collision="trt")),
+                        ("uniform", dict(bc_south="periodic",
+                                         bc_north="periodic"))):
+        cfg = SimConfig(nx=128, ny=16, tau=0.8, dtype="float32",
+                        bc_west="inlet", bc_east="outlet", u_inlet=0.05,
+                        inlet_profile=prof, **extra)
+        rng = np.random.default_rng(3)
+        base = lattice.W[:, None, None].astype(np.float32)
+        f = jnp.asarray(
+            base * (1.0 + 0.02 * rng.standard_normal((9, 16, 128))
+                    .astype(np.float32))
+        )
+        ref, got = f, f
+        for _ in range(2):
+            ref = lbm.step_pure_fluid(ref, cfg)
+            got = pallas_lbm.fused_step_fluid(got, cfg)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=1e-6, atol=1e-7)
+
+
+def test_openbc_coupled_kernel_parity(_interpret):
+    """Coupled kernel with a fixed obstacle + open boundaries."""
+    cfg = SimConfig(nx=128, ny=32, tau=0.7, dtype="float32", max_disks=1,
+                    window=13, bc_west="inlet", bc_east="outlet",
+                    u_inlet=0.05, inlet_profile="poiseuille")
+    rng = np.random.default_rng(5)
+    base = lattice.W[:, None, None].astype(np.float32)
+    f = jnp.asarray(
+        base * (1.0 + 0.02 * rng.standard_normal((9, 32, 128))
+                .astype(np.float32))
+    )
+    xp = jnp.asarray([[48.0, 16.0]], jnp.float32)
+    vp = jnp.zeros((1, 2), jnp.float32)
+    om = jnp.zeros((1,), jnp.float32)
+    rr = jnp.asarray([5.0], jnp.float32)
+    act = jnp.asarray([True])
+    eps, usx, usy = imb.stamp_solid_fraction(xp, vp, om, rr, act, cfg)
+    fpost, _, _ = imb.collide_imb(f, eps, usx, usy, cfg)
+    fref = lbm.apply_open_boundaries(
+        lbm.apply_bounce_back(lbm.stream(fpost), fpost, cfg), cfg
+    )
+    fgot, _, _ = pallas_lbm.fused_step_imb(f, eps, usx, usy, cfg)
+    np.testing.assert_allclose(np.asarray(fgot), np.asarray(fref),
+                               rtol=1e-6, atol=1e-7)
+
+
+def test_cylinder_in_channel_drag():
+    """Fixed cylinder in an inflow/outflow channel develops a positive
+    drag and a finite recirculation; flux still balances around it."""
+    cfg = SimConfig(nx=128, ny=48, tau=0.65, dtype="float64", max_disks=1,
+                    bc_west="inlet", bc_east="outlet", u_inlet=0.08,
+                    inlet_profile="poiseuille")
+    sim = Simulation(cfg, [DiskSpec(32.0, 24.0, 6.0, fixed=True)])
+    sim.run(3000)
+    F, T = sim.hydro_forces()
+    assert F[0, 0] > 0.0
+    rho, ux, _ = sim.macroscopic()
+    assert np.isfinite(ux).all()
+    # wake: centerline velocity right behind the cylinder is depressed
+    # vs the free channel ahead of it
+    assert ux[24, 44] < 0.5 * ux[24, 8]
+    # flow recovers downstream of the wake
+    assert ux[24, 100] > ux[24, 44]

@@ -19,6 +19,8 @@ SMALL = {
     "column_collapse": dict(nx=128, ny=128, n_disks=30, r=4.0),
     "cylinder": dict(nx=64, ny=32, r=4.0),
     "porous_bed": dict(nx=64, ny=64, r=4.0, pitch=16),
+    "schafer_turek": dict(nx=128, ny=42, r=5.0, cx=20.5, cy=20.5,
+                          u_max=0.05),
 }
 
 
@@ -32,7 +34,8 @@ def test_scenario_runs(name):
     s = chunk(sim.state)
     f = np.asarray(s.f)
     assert np.isfinite(f).all()
-    assert abs(f.sum() / (cfg.nx * cfg.ny) - 1.0) < 1e-6  # mass
+    if cfg.bc_west != "inlet":  # open boundaries exchange mass by design
+        assert abs(f.sum() / (cfg.nx * cfg.ny) - 1.0) < 1e-6  # mass
     assert int(s.overflow) == 0
     if cfg.max_disks:
         x = np.asarray(s.disks.x)[np.asarray(s.disks.active)]

@@ -1,0 +1,85 @@
+"""Schafer-Turek 2D-1 benchmark: steady cylinder drag/lift at Re = 20.
+
+External validation of the whole coupled stack (Zou/He inlet/outlet,
+half-way BB walls, IMB obstacle coupling, hydro force reduction)
+against the published benchmark interval: the 1996 "Benchmark
+computations of laminar flow around a cylinder" (Schafer & Turek)
+reference values for the 2D-1 steady case are
+
+    cD = 5.5700 .. 5.5900   (converged value 5.5795)
+    cL = 0.0104 .. 0.0110   (converged value 0.0106)
+
+with cD = 2 Fx / (rho u_mean^2 D), u_mean = (2/3) u_max. Measured here
+(f64 oracle, D = 20 cells, 30k steps): cD = 5.827 (+4.4% vs 5.5795),
+cL = 0.0095 - the expected bias of a diffuse-interface IMB at this
+resolution (the partially-saturated boundary cells act as an
+effectively slightly larger cylinder); finer grids converge toward
+the reference (pass --scale 2).
+
+Run (TPU): PYTHONPATH=/root/repo:/root/.axon_site python tools/benchmark_cylinder.py
+Run (CPU): add --cpu (float64 oracle; slower but exactly the test paths)
+"""
+
+import argparse
+import time
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--cpu", action="store_true", help="force CPU float64")
+    ap.add_argument("--scale", type=int, default=1,
+                    help="grid refinement factor (1 -> 440x82, D=20)")
+    ap.add_argument("--steps", type=int, default=0,
+                    help="override total steps (0 -> auto by scale)")
+    args = ap.parse_args(argv)
+
+    import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    import numpy as np
+
+    from lbmdem_tpu.models import make_scenario
+    from lbmdem_tpu.simulation import Simulation
+
+    s = args.scale
+    cfg, disks = make_scenario(
+        "schafer_turek", nx=440 * s, ny=82 * s, r=10.0 * s,
+        cx=40.0 * s - 0.5, cy=40.0 * s - 0.5,
+        u_max=0.075 / s,  # keep Re=20: u ~ 1/s, D ~ s, nu fixed
+    )
+    cfg = cfg.replace(dtype="float64" if args.cpu else "float32",
+                      out_interval=10**9)
+    steps = args.steps or 30000 * s * s
+    sim = Simulation(cfg, disks)
+
+    u_mean = (2.0 / 3.0) * cfg.u_inlet
+    D = 2.0 * disks[0].r
+    denom = 0.5 * cfg.rho0 * u_mean * u_mean * D
+
+    print(f"platform {jax.devices()[0].platform}; grid {cfg.nx}x{cfg.ny}, "
+          f"D={D:.0f}, u_max={cfg.u_inlet}, tau={cfg.tau}, "
+          f"Re={u_mean * D / cfg.nu:.1f}, steps={steps}")
+    t0 = time.perf_counter()
+    chunk = max(steps // 10, 1)
+    done = 0
+    hist = []
+    while done < steps:
+        sim.run(chunk)
+        done += chunk
+        F, T = sim.hydro_forces()
+        cd = float(F[0, 0]) / denom
+        cl = float(F[0, 1]) / denom
+        hist.append((done, cd, cl))
+        print(f"  step {done}: cD={cd:.4f} cL={cl:.5f} "
+              f"({time.perf_counter() - t0:.0f}s)", flush=True)
+    cd, cl = hist[-1][1], hist[-1][2]
+    dcd = abs(hist[-1][1] - hist[-2][1])
+    print(f"FINAL cD={cd:.4f} cL={cl:.5f} (last-interval dcD={dcd:.1e})")
+    print(f"published 2D-1: cD in [5.57, 5.59] (5.5795), "
+          f"cL in [0.0104, 0.0110] (0.0106)")
+    print(f"cD deviation from 5.5795: {abs(cd - 5.5795) / 5.5795:.2%}")
+
+
+if __name__ == "__main__":
+    main()

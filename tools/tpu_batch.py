@@ -36,3 +36,10 @@ bench_coupled("float32")
 bench_coupled("bfloat16")
 print("pure fluid 4096^2 temporal k=4 ms/step:", flush=True)
 bench_fluid(4096, 4)
+
+# bonus leg (last on purpose - a timeout here loses nothing critical):
+# Schafer-Turek 2D-1 cylinder drag on the compiled f32 path.
+import benchmark_cylinder  # noqa: E402
+
+print("schafer-turek 2D-1 (f32, D=20):", flush=True)
+benchmark_cylinder.main([])
