@@ -78,6 +78,9 @@ class DiskSpec:
     vy: float = 0.0
     omega: float = 0.0
     fixed: bool = False
+    # per-disk solid density (lattice units); 0.0 = use cfg.rho_s.
+    # Mixed densities drive segregation/stratification problems.
+    rho_s: float = 0.0
 
 
 @dataclasses.dataclass(frozen=True)
@@ -448,13 +451,14 @@ def load_param_file(path: str) -> Tuple[SimConfig, Optional[str]]:
 
 
 def load_particle_file(path: str, units=None) -> list[DiskSpec]:
-    """Parse a particle list file: `x y r [vx vy omega [fixed]]` per
-    line (`fixed` = 0/1; 1 marks an infinite-mass obstacle disk, see
-    DiskSpec).
+    """Parse a particle list file:
+    `x y r [vx vy omega [fixed [rho_s]]]` per line (`fixed` = 0/1 marks
+    an infinite-mass obstacle disk; `rho_s` = per-disk solid density,
+    0 = the deck's global rho_s - see DiskSpec).
 
     With `units` (a UnitSystem, e.g. `cfg.units` of an SI deck) the file
-    is read as SI — x/y/r in m, vx/vy in m/s, omega in rad/s — and
-    converted to lattice units.
+    is read as SI — x/y/r in m, vx/vy in m/s, omega in rad/s, rho_s in
+    kg/m^3 — and converted to lattice units.
     """
     disks = []
     with open(path) as fh:
@@ -463,8 +467,9 @@ def load_particle_file(path: str, units=None) -> list[DiskSpec]:
             if not line:
                 continue
             v = [float(t) for t in line.split()]
-            if len(v) not in (3, 6, 7):
+            if len(v) not in (3, 6, 7, 8):
                 raise ValueError(f"bad particle line: {raw!r}")
+            rho_s = v.pop() if len(v) == 8 else 0.0
             fixed = bool(v.pop()) if len(v) == 7 else False
             if units is not None:
                 v[0:3] = [q / units.dx for q in v[0:3]]
@@ -472,11 +477,20 @@ def load_particle_file(path: str, units=None) -> list[DiskSpec]:
                     v[3] /= units.velocity_scale
                     v[4] /= units.velocity_scale
                     v[5] *= units.dt  # rad/s -> rad/step
-            disks.append(DiskSpec(*v, fixed=fixed))
+                if rho_s:
+                    rho_s = units.density_to_lattice(rho_s)
+            disks.append(DiskSpec(*v, fixed=fixed, rho_s=rho_s))
     return disks
 
 
 def save_particle_file(path: str, disks: Sequence[DiskSpec]) -> None:
+    if any(d.rho_s for d in disks):
+        with open(path, "w") as fh:
+            fh.write("# x y r vx vy omega fixed rho_s\n")
+            for d in disks:
+                fh.write(f"{d.x} {d.y} {d.r} {d.vx} {d.vy} {d.omega} "
+                         f"{int(d.fixed)} {d.rho_s}\n")
+        return
     if any(d.fixed for d in disks):
         with open(path, "w") as fh:
             fh.write("# x y r vx vy omega fixed\n")

@@ -493,6 +493,7 @@ def make_disk_state(specs, cfg: SimConfig, dtype=None) -> DiskState:
     r = np.ones((n,), dt)  # inactive slots keep r=1 to avoid div-by-zero
     active = np.zeros((n,), bool)
     mobile = np.ones((n,), bool)
+    rho = np.full((n,), cfg.rho_s, np.float64)
     for i, s in enumerate(specs):
         x[i] = (s.x, s.y)
         v[i] = (s.vx, s.vy)
@@ -500,10 +501,12 @@ def make_disk_state(specs, cfg: SimConfig, dtype=None) -> DiskState:
         r[i] = s.r
         active[i] = True
         mobile[i] = not getattr(s, "fixed", False)
+        if getattr(s, "rho_s", 0.0):
+            rho[i] = s.rho_s
     # Park inactive disks far outside the domain so they never stamp
     # coverage or enter the cell table (cid is masked anyway).
     x[len(specs):] = (-1e6, -1e6)
-    mass = cfg.rho_s * np.pi * r * r
+    mass = rho * np.pi * r * r
     inertia = 0.5 * mass * r * r
     return DiskState(
         x=jnp.asarray(x),

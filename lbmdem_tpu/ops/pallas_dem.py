@@ -58,10 +58,12 @@ def _interpret() -> bool:
 
 SLAB_K = 4  # slots per broadphase cell (cells hold <= ~2 disks of r_max)
 
-# state plane channels (_MOB = 1.0 mobile / 0.0 fixed: zeroes the
-# velocity-Verlet kicks so infinite-mass disks keep their prescribed
-# v/omega while still drifting - mirrors ops/dem.dem_subcycle)
-_X, _Y, _VX, _VY, _OM, _TH, _R, _FHX, _FHY, _THQ, _MOB = range(11)
+# state plane channels. _MINV carries 1/mass per slot: 0.0 for fixed
+# (infinite-mass) disks - kicks vanish, the drift keeps the prescribed
+# v/omega - and the true per-disk inverse mass otherwise, so per-disk
+# densities (DiskSpec.rho_s) ride the same channel; inertia follows as
+# 1/I = (1/m) * 2/r^2.
+_X, _Y, _VX, _VY, _OM, _TH, _R, _FHX, _FHY, _THQ, _MINV = range(11)
 _NCH = 11
 
 
@@ -172,7 +174,9 @@ def build_slabs(
         (f_hydro[:, 0] + body_f[:, 0]).astype(f32),
         (f_hydro[:, 1] + body_f[:, 1]).astype(f32),
         t_hydro.astype(f32),
-        disks.mobile.astype(f32),
+        jnp.where(
+            disks.mobile & disks.active, 1.0 / disks.mass, 0.0
+        ).astype(f32),
     ]
     nslots = SLAB_K * R * C
     sdisk = order.astype(jnp.int32)
@@ -199,7 +203,6 @@ def _dem_kernel(kmax_ref, nocc_ref, bands_ref, s_ref, out_ref, nc_ref, fscr,
     h = np.float32(1.0 / cfg.n_sub)
     kn, gn, gt, mu = (np.float32(cfg.kn), np.float32(cfg.gamma_n),
                       np.float32(cfg.gamma_t), np.float32(cfg.mu))
-    rho_pi = np.float32(cfg.rho_s * np.pi)
     kmax = kmax_ref[0]
     nocc = nocc_ref[0]
 
@@ -339,13 +342,11 @@ def _dem_kernel(kmax_ref, nocc_ref, bands_ref, s_ref, out_ref, nc_ref, fscr,
         # per-force-eval total carried by the fori_loop
         return nc_tot + jnp.sum(nc_acc)
 
-    def _mass(Rk, mob):
-        # mob = 0 makes the disk effectively infinite-mass: kicks vanish
-        # but the drift (x += h v) below still applies (prescribed motion)
-        inv_m = jnp.where(Rk > 0, mob / (rho_pi * Rk * Rk), 0.0)
-        inv_i = jnp.where(
-            Rk > 0, inv_m * 2.0 / jnp.maximum(Rk * Rk, 1e-12), 0.0
-        )
+    def _mass(Rk, inv_m):
+        # inv_m is the _MINV channel: already 0 for fixed/empty slots -
+        # kicks vanish but the drift (x += h v) below still applies
+        # (prescribed motion); per-disk densities arrive through it too
+        inv_i = inv_m * 2.0 / jnp.maximum(Rk * Rk, 1e-12)
         return inv_m, inv_i, (Rk > 0).astype(jnp.float32)
 
     def band_kickdrift(i, c):
@@ -354,7 +355,7 @@ def _dem_kernel(kmax_ref, nocc_ref, bands_ref, s_ref, out_ref, nc_ref, fscr,
         # XLA oracle.
         off = pl.multiple_of(bands_ref[i], 8)
         for k in range(K):
-            inv_m, inv_i, a = _mass(rd(_R, k, off), rd(_MOB, k, off))
+            inv_m, inv_i, a = _mass(rd(_R, k, off), rd(_MINV, k, off))
             vxh = rd(_VX, k, off) + (0.5 * h) * fscr[0, k, pl.ds(off, 8)] * inv_m
             vyh = rd(_VY, k, off) + (0.5 * h) * fscr[1, k, pl.ds(off, 8)] * inv_m
             omh = rd(_OM, k, off) + (0.5 * h) * fscr[2, k, pl.ds(off, 8)] * inv_i
@@ -369,7 +370,7 @@ def _dem_kernel(kmax_ref, nocc_ref, bands_ref, s_ref, out_ref, nc_ref, fscr,
     def band_kick2(i, c):
         off = pl.multiple_of(bands_ref[i], 8)
         for k in range(K):
-            inv_m, inv_i, a = _mass(rd(_R, k, off), rd(_MOB, k, off))
+            inv_m, inv_i, a = _mass(rd(_R, k, off), rd(_MINV, k, off))
             out_ref[_VX, k, pl.ds(off, 8)] = (
                 rd(_VX, k, off) + (0.5 * h) * fscr[0, k, pl.ds(off, 8)] * inv_m
             ) * a

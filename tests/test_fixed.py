@@ -153,6 +153,62 @@ def test_simulation_all_fixed_uses_drift():
     assert F[0, 0] > 0.0
 
 
+def test_particle_file_rho_s_roundtrip(tmp_path):
+    disks = [DiskSpec(10.0, 20.0, 3.0, rho_s=3.5),
+             DiskSpec(40.0, 20.0, 2.0, fixed=True)]
+    p = str(tmp_path / "disks.txt")
+    save_particle_file(p, disks)
+    assert load_particle_file(p) == disks
+
+
+def test_per_disk_density_masses():
+    """DiskSpec.rho_s overrides the global solid density per disk."""
+    cfg = _cfg(max_disks=2, rho_s=2.0)
+    specs = [DiskSpec(30.0, 30.0, 3.0), DiskSpec(60.0, 30.0, 3.0, rho_s=5.0)]
+    d = dem.make_disk_state(specs, cfg, "float32")
+    import math
+    np.testing.assert_allclose(np.asarray(d.mass),
+                               [2.0 * math.pi * 9, 5.0 * math.pi * 9],
+                               rtol=1e-6)
+    # denser disk accelerates less under the same applied force
+    grid = DemGrid.build(cfg, 3.0)
+    F = jnp.asarray([[0.0, -1.0], [0.0, -1.0]], jnp.float32)
+    z1 = jnp.zeros((2,), jnp.float32)
+    out, _, _ = jax.jit(dem.dem_subcycle, static_argnums=(3, 4))(
+        d, F, z1, grid, cfg.replace(g_py=0.0))
+    v = np.asarray(out.v)
+    np.testing.assert_allclose(v[0, 1] / v[1, 1], 5.0 / 2.0, rtol=1e-4)
+
+
+def test_slab_kernel_density_parity():
+    """The slab kernel's _MINV channel must reproduce the XLA oracle
+    for mixed per-disk densities (interpret mode)."""
+    cfg = _cfg(max_disks=10)
+    rng = np.random.default_rng(9)
+    specs = [
+        DiskSpec(rng.uniform(20.0, 60.0), rng.uniform(20.0, 60.0), 3.0,
+                 rng.uniform(-0.05, 0.05), rng.uniform(-0.05, 0.05),
+                 rng.uniform(-0.01, 0.01),
+                 rho_s=float(rng.uniform(1.2, 6.0)))
+        for _ in range(10)
+    ]
+    disks = dem.make_disk_state(specs, cfg, "float32")
+    grid = DemGrid.build(cfg, 3.0)
+    fh = jnp.asarray(rng.uniform(-1e-3, 1e-3, (10, 2)), jnp.float32)
+    th = jnp.asarray(rng.uniform(-1e-4, 1e-4, (10,)), jnp.float32)
+    d_ref, _, _ = jax.jit(dem.dem_subcycle, static_argnums=(3, 4))(
+        disks, fh, th, grid, cfg)
+    d_pal, ovf, _ = jax.jit(pallas_dem.dem_subcycle, static_argnums=(3, 4))(
+        disks, fh, th, grid, cfg)
+    assert int(ovf) == 0
+    np.testing.assert_allclose(np.asarray(d_pal.x), np.asarray(d_ref.x),
+                               rtol=0, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(d_pal.v), np.asarray(d_ref.v),
+                               rtol=0, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(d_pal.omega),
+                               np.asarray(d_ref.omega), rtol=0, atol=2e-5)
+
+
 @pytest.mark.slow
 def test_tow_equivalence():
     """Galilean check of the IMB obstacle coupling: a FIXED disk in a
