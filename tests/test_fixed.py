@@ -102,9 +102,10 @@ def test_mobile_bounces_off_fixed():
 
 
 def test_slab_kernel_fixed_parity():
-    """The slab kernel's _MOB channel must reproduce the XLA oracle for
-    a mixed fixed/mobile scene (interpret mode)."""
-    cfg = _cfg(max_disks=12)
+    """The slab kernel's _MINV channel must reproduce the XLA oracle
+    for a mixed fixed/mobile scene (interpret mode; n_sub kept small -
+    interpret cost is per substep)."""
+    cfg = _cfg(max_disks=12, n_sub=4)
     rng = np.random.default_rng(7)
     specs = [
         DiskSpec(rng.uniform(20.0, 60.0), rng.uniform(20.0, 60.0), 3.0,
@@ -180,10 +181,11 @@ def test_per_disk_density_masses():
     np.testing.assert_allclose(v[0, 1] / v[1, 1], 5.0 / 2.0, rtol=1e-4)
 
 
+@pytest.mark.slow  # fixed-parity covers the _MINV channel in the quick lane
 def test_slab_kernel_density_parity():
     """The slab kernel's _MINV channel must reproduce the XLA oracle
     for mixed per-disk densities (interpret mode)."""
-    cfg = _cfg(max_disks=10)
+    cfg = _cfg(max_disks=10, n_sub=4)
     rng = np.random.default_rng(9)
     specs = [
         DiskSpec(rng.uniform(20.0, 60.0), rng.uniform(20.0, 60.0), 3.0,

@@ -94,27 +94,32 @@ def test_channel_inflow_outflow_poiseuille():
     np.testing.assert_allclose(rho[:, -1].mean(), 1.0, atol=1e-6)
 
 
-def test_openbc_kernel_parity(_interpret):
+_PARITY_CFGS = [
+    ("poiseuille", {}),
+    pytest.param("uniform", dict(collision="trt"), marks=pytest.mark.slow),
+    pytest.param("uniform", dict(bc_south="periodic", bc_north="periodic"),
+                 marks=pytest.mark.slow),
+]
+
+
+@pytest.mark.parametrize("prof,extra", _PARITY_CFGS)
+def test_openbc_kernel_parity(_interpret, prof, extra):
     """Fused kernel Zou/He fixup vs the oracle, random state."""
-    for prof, extra in (("poiseuille", {}),
-                        ("uniform", dict(collision="trt")),
-                        ("uniform", dict(bc_south="periodic",
-                                         bc_north="periodic"))):
-        cfg = SimConfig(nx=128, ny=16, tau=0.8, dtype="float32",
-                        bc_west="inlet", bc_east="outlet", u_inlet=0.05,
-                        inlet_profile=prof, **extra)
-        rng = np.random.default_rng(3)
-        base = lattice.W[:, None, None].astype(np.float32)
-        f = jnp.asarray(
-            base * (1.0 + 0.02 * rng.standard_normal((9, 16, 128))
-                    .astype(np.float32))
-        )
-        ref, got = f, f
-        for _ in range(2):
-            ref = lbm.step_pure_fluid(ref, cfg)
-            got = pallas_lbm.fused_step_fluid(got, cfg)
-        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
-                                   rtol=1e-6, atol=1e-7)
+    cfg = SimConfig(nx=128, ny=16, tau=0.8, dtype="float32",
+                    bc_west="inlet", bc_east="outlet", u_inlet=0.05,
+                    inlet_profile=prof, **extra)
+    rng = np.random.default_rng(3)
+    base = lattice.W[:, None, None].astype(np.float32)
+    f = jnp.asarray(
+        base * (1.0 + 0.02 * rng.standard_normal((9, 16, 128))
+                .astype(np.float32))
+    )
+    ref, got = f, f
+    for _ in range(2):
+        ref = lbm.step_pure_fluid(ref, cfg)
+        got = pallas_lbm.fused_step_fluid(got, cfg)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-6, atol=1e-7)
 
 
 def test_openbc_coupled_kernel_parity(_interpret):
@@ -143,6 +148,7 @@ def test_openbc_coupled_kernel_parity(_interpret):
                                rtol=1e-6, atol=1e-7)
 
 
+@pytest.mark.slow  # physics covered quicker by bookkeeping/parity tests
 def test_cylinder_in_channel_drag():
     """Fixed cylinder in an inflow/outflow channel develops a positive
     drag and a finite recirculation; flux still balances around it."""
