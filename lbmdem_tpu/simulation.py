@@ -149,6 +149,9 @@ def pallas_supported(cfg: SimConfig, mesh=None) -> Optional[str]:
                 f"f_storage='bfloat16' needs {where}%16==0 (16-row bf16 "
                 f"DMA granule; got {ny_chk})"
             )
+    if mesh is not None and cfg.bc_west == "inlet":
+        return ("open boundaries on a mesh run the sharded XLA step "
+                "(the sharded Pallas edge fixups lack Zou/He)")
     ny, nx = cfg.ny, cfg.nx
     two_d = False
     if mesh is not None:
@@ -407,11 +410,11 @@ class Simulation:
         API is unchanged (SURVEY SS5.7/5.8)."""
         disks = list(disks)
         if cfg.bc_west == "inlet":
-            if mesh is not None:
+            if mesh is not None and use_pallas:
                 raise ValueError(
-                    "open boundaries (inlet/outlet) are single-chip only "
-                    "for now (the sharded edge fixups do not reconstruct "
-                    "Zou/He populations)"
+                    "open boundaries on a mesh need use_pallas=False (the "
+                    "sharded Pallas edge fixups do not reconstruct Zou/He "
+                    "populations; the sharded XLA step does)"
                 )
             if any(not d.fixed for d in disks):
                 raise ValueError(

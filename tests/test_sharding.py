@@ -50,6 +50,35 @@ def test_pure_fluid_all_walls_sharded_matches():
     np.testing.assert_array_equal(np.asarray(sref.f), np.asarray(ssh.f))
 
 
+@pytest.mark.parametrize("meshdims", [(2, 2), (4, 1)])
+def test_openbc_sharded_matches(meshdims):
+    """Zou/He inlet/outlet on the sharded XLA step: the edge-shard
+    reconstruction (global-y inlet profile sliced from the SAME host
+    array the oracle bakes in, outlet closure) must reproduce the
+    unsharded oracle to f64 roundoff. Not bitwise like the wall tests:
+    the closure's mul-add chains FMA-fuse differently in the two
+    program shapes (observed 1-2 ulp at single inlet rows)."""
+    mesh = _mesh(*meshdims)
+    cfg = SimConfig(nx=32, ny=16, tau=0.8, dtype="float64",
+                    bc_west="inlet", bc_east="outlet", u_inlet=0.06,
+                    inlet_profile="poiseuille")
+    sref, ssh = _run_both(cfg, [], mesh, 6)
+    np.testing.assert_allclose(np.asarray(sref.f), np.asarray(ssh.f),
+                               rtol=0, atol=1e-14)
+
+
+def test_openbc_sharded_with_obstacle():
+    """Fixed obstacle + open boundaries on a 2x2 mesh."""
+    mesh = _mesh(2, 2)
+    cfg = SimConfig(nx=32, ny=16, tau=0.8, dtype="float64", max_disks=1,
+                    window=9, bc_west="inlet", bc_east="outlet",
+                    u_inlet=0.06, inlet_profile="poiseuille")
+    disks = [DiskSpec(16.0, 8.0, 3.0, fixed=True)]
+    sref, ssh = _run_both(cfg, disks, mesh, 4)
+    np.testing.assert_allclose(np.asarray(sref.f), np.asarray(ssh.f),
+                               rtol=0, atol=1e-15)
+
+
 def test_coupled_sharded_matches():
     """Disks straddling shard boundaries: stamping, force psum, DEM."""
     mesh = _mesh(2, 2)
