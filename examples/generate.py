@@ -88,6 +88,13 @@ def main() -> None:
         "periodic, body-force driven): permeability K = <u> nu / g.\n"
         "Run:  python -m lbmdem_tpu.cli examples/porous_bed.par --out out/"
     ))
+    emit("schafer_turek", "schafer_turek", (
+        "Schafer-Turek 2D-1: steady flow past a cylinder in a channel at\n"
+        "Re = 20 - parabolic Zou/He inlet, pressure outlet, fixed obstacle\n"
+        "disk. Published cD = 5.5795, cL = 0.0106; measure ours with\n"
+        "tools/benchmark_cylinder.py.\n"
+        "Run:  python -m lbmdem_tpu.cli examples/schafer_turek.par --out out/"
+    ))
 
 
 if __name__ == "__main__":

@@ -229,6 +229,12 @@ class SimConfig:
                     "open boundaries are not supported with "
                     "f_storage='bfloat16' (Zou/He reads raw populations)"
                 )
+            if self.rho_outlet and not 0.2 <= self.rho_outlet <= 5.0:
+                raise ValueError(
+                    f"rho_outlet {self.rho_outlet} is not a plausible "
+                    f"lattice density (want 0 = rho0, or ~O(1); SI decks "
+                    f"use rho_outlet_phys)"
+                )
         # pairing must hold in BOTH directions: a lone periodic east
         # side would wrap the fluid exchange against a wall side, and
         # disks would get neither wall forces nor wrap on that axis
@@ -350,6 +356,7 @@ _PHYS_KEYS = {
     "uw_south_phys": ("uw_south", "velocity"),
     "uw_north_phys": ("uw_north", "velocity"),
     "u_inlet_phys": ("u_inlet", "velocity"),
+    "rho_outlet_phys": ("rho_outlet", "density"),  # kg/m^3
     "t_end_phys": ("steps", "time"),         # s -> step count
     "out_interval_phys": ("out_interval", "time"),
 }

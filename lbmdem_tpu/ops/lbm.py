@@ -259,18 +259,42 @@ def inlet_profile_array(cfg: SimConfig) -> np.ndarray:
     return np.full(cfg.ny, cfg.u_inlet, cfg.dtype)
 
 
-def apply_open_boundaries(fnew: jax.Array, cfg: SimConfig) -> jax.Array:
-    """Zou/He non-equilibrium bounce-back open boundaries.
-
-    West inlet (prescribed u = (u_in(y), 0)): the three unknown
-    populations entering from outside the domain (IN_E = 1, 5, 8) are
-    reconstructed from the post-stream knowns of the SAME cell:
-        rho = (f0 + f2 + f4 + 2 (f3 + f6 + f7)) / (1 - u)
+def zou_he_inlet(fs, uw):
+    """Zou/He west-inlet closure: reconstruct the unknown populations
+    (1, 5, 8) at an inlet cell with prescribed u = (uw, 0) from the
+    post-stream knowns of the SAME cell:
+        rho = (f0 + f2 + f4 + 2 (f3 + f6 + f7)) / (1 - uw)
         f1 = f3 + (2/3) rho u
         f5 = f7 - (f2 - f4)/2 + (1/6) rho u
         f8 = f6 + (f2 - f4)/2 + (1/6) rho u
-    East outlet (prescribed rho = rho_out, v = 0): mirror closure with
-        u = -1 + (f0 + f2 + f4 + 2 (f1 + f5 + f8)) / rho_out.
+    `fs` is the 9-sequence of same-shaped arrays. THE single definition
+    shared by the oracle, the sharded edge fixup and the Pallas kernels
+    (the closure algebra must never diverge between them)."""
+    f0, f1, f2, f3, f4, f5, f6, f7, f8 = fs
+    rho_w = (f0 + f2 + f4 + 2.0 * (f3 + f6 + f7)) / (1.0 - uw)
+    d24 = 0.5 * (f2 - f4)
+    ru = rho_w * uw
+    return (f3 + (2.0 / 3.0) * ru,
+            f7 - d24 + (1.0 / 6.0) * ru,
+            f6 + d24 + (1.0 / 6.0) * ru)
+
+
+def zou_he_outlet(fs, rho_o):
+    """Zou/He east-outlet closure (prescribed rho = rho_o, v = 0):
+    reconstruct populations (3, 7, 6) with the normal velocity from
+        u = -1 + (f0 + f2 + f4 + 2 (f1 + f5 + f8)) / rho_o."""
+    f0, f1, f2, f3, f4, f5, f6, f7, f8 = fs
+    ue = -1.0 + (f0 + f2 + f4 + 2.0 * (f1 + f5 + f8)) / rho_o
+    d24 = 0.5 * (f2 - f4)
+    rue = rho_o * ue
+    return (f1 - (2.0 / 3.0) * rue,
+            f5 + d24 - (1.0 / 6.0) * rue,
+            f8 - d24 - (1.0 / 6.0) * rue)
+
+
+def apply_open_boundaries(fnew: jax.Array, cfg: SimConfig) -> jax.Array:
+    """Zou/He open boundaries (zou_he_inlet / zou_he_outlet closures).
+
     Applied AFTER bounce-back so wall corners supply the tangential
     knowns (f2/f4); with the poiseuille profile u -> 0 there, the
     corner closure degrades gracefully to a resting-wall cell."""
@@ -278,27 +302,16 @@ def apply_open_boundaries(fnew: jax.Array, cfg: SimConfig) -> jax.Array:
         return fnew
     dt = fnew.dtype
     u_in = jnp.asarray(inlet_profile_array(cfg), dt)  # (ny,)
-    f0, f1, f2, f3, f4, f5, f6, f7, f8 = (fnew[i] for i in range(9))
 
-    # west inlet at column 0
-    uw = u_in
-    rho_w = (f0[:, 0] + f2[:, 0] + f4[:, 0]
-             + 2.0 * (f3[:, 0] + f6[:, 0] + f7[:, 0])) / (1.0 - uw)
-    d24 = 0.5 * (f2[:, 0] - f4[:, 0])
-    ru = rho_w * uw
-    fnew = fnew.at[1, :, 0].set(f3[:, 0] + (2.0 / 3.0) * ru)
-    fnew = fnew.at[5, :, 0].set(f7[:, 0] - d24 + (1.0 / 6.0) * ru)
-    fnew = fnew.at[8, :, 0].set(f6[:, 0] + d24 + (1.0 / 6.0) * ru)
-
-    # east outlet at column nx-1
+    f1, f5, f8 = zou_he_inlet(tuple(fnew[i, :, 0] for i in range(9)), u_in)
     rho_o = jnp.asarray(cfg.rho_outlet or cfg.rho0, dt)
-    ue = -1.0 + (f0[:, -1] + f2[:, -1] + f4[:, -1]
-                 + 2.0 * (f1[:, -1] + f5[:, -1] + f8[:, -1])) / rho_o
-    d24e = 0.5 * (f2[:, -1] - f4[:, -1])
-    rue = rho_o * ue
-    fnew = fnew.at[3, :, -1].set(f1[:, -1] - (2.0 / 3.0) * rue)
-    fnew = fnew.at[7, :, -1].set(f5[:, -1] + d24e - (1.0 / 6.0) * rue)
-    fnew = fnew.at[6, :, -1].set(f8[:, -1] - d24e - (1.0 / 6.0) * rue)
+    f3, f7, f6 = zou_he_outlet(tuple(fnew[i, :, -1] for i in range(9)), rho_o)
+    fnew = fnew.at[1, :, 0].set(f1)
+    fnew = fnew.at[5, :, 0].set(f5)
+    fnew = fnew.at[8, :, 0].set(f8)
+    fnew = fnew.at[3, :, -1].set(f3)
+    fnew = fnew.at[7, :, -1].set(f7)
+    fnew = fnew.at[6, :, -1].set(f6)
     return fnew
 
 

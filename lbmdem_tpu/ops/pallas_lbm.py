@@ -448,8 +448,14 @@ def _stream_and_bb(fpost, cfg, th, tw, iy, ix, nty, ntx, prehalo=False):
                 at, bbslice(int(lattice.OPP[i]), wall_corr(i, 0.0, cfg.uw_east)),
                 outs[i])
     if cfg.bc_west == "inlet" and not skip_x_bb:
-        # Zou/He open boundaries (oracle: lbm.apply_open_boundaries),
+        # Zou/He open boundaries (shared closure: lbm.zou_he_inlet),
         # applied after BB so wall corners supply the tangential knowns.
+        # The profile is re-evaluated in traced f32 from the traced tile
+        # row (unlike the oracle/sharded paths, which slice a host-f64
+        # numpy array): the in-kernel inlet column can differ from the
+        # oracle's by ~1 f32 ulp per row - inside the 1e-6 parity
+        # tolerance, and a constant-operand plumbing through all three
+        # windowed kernels is not worth that ulp.
         at = (col == 0) & (ix == 0)
         yg = (iy * th + row).astype(jnp.float32) + 0.5
         H = np.float32(cfg.ny)
@@ -457,28 +463,21 @@ def _stream_and_bb(fpost, cfg, th, tw, iy, ix, nty, ntx, prehalo=False):
             u = (np.float32(4.0 * cfg.u_inlet) / (H * H)) * yg * (H - yg)
         else:
             u = jnp.full((th, tw), np.float32(cfg.u_inlet))
-        rho_w = (outs[0] + outs[2] + outs[4]
-                 + 2.0 * (outs[3] + outs[6] + outs[7])) / (1.0 - u)
-        d24 = 0.5 * (outs[2] - outs[4])
-        ru = rho_w * u
-        outs[1] = jnp.where(at, outs[3] + np.float32(2.0 / 3.0) * ru, outs[1])
-        outs[5] = jnp.where(at, outs[7] - d24 + np.float32(1.0 / 6.0) * ru,
-                            outs[5])
-        outs[8] = jnp.where(at, outs[6] + d24 + np.float32(1.0 / 6.0) * ru,
-                            outs[8])
+        from lbmdem_tpu.ops.lbm import zou_he_inlet
+
+        n1, n5, n8 = zou_he_inlet(outs, u)
+        outs[1] = jnp.where(at, n1, outs[1])
+        outs[5] = jnp.where(at, n5, outs[5])
+        outs[8] = jnp.where(at, n8, outs[8])
     if cfg.bc_east == "outlet" and not skip_x_bb:
+        from lbmdem_tpu.ops.lbm import zou_he_outlet
+
         at = (col == tw - 1) & (ix == ntx - 1)
         rho_o = np.float32(cfg.rho_outlet or cfg.rho0)
-        ue = -1.0 + (outs[0] + outs[2] + outs[4]
-                     + 2.0 * (outs[1] + outs[5] + outs[8])) / rho_o
-        d24 = 0.5 * (outs[2] - outs[4])
-        rue = rho_o * ue
-        outs[3] = jnp.where(at, outs[1] - np.float32(2.0 / 3.0) * rue,
-                            outs[3])
-        outs[7] = jnp.where(at, outs[5] + d24 - np.float32(1.0 / 6.0) * rue,
-                            outs[7])
-        outs[6] = jnp.where(at, outs[8] - d24 - np.float32(1.0 / 6.0) * rue,
-                            outs[6])
+        n3, n7, n6 = zou_he_outlet(outs, rho_o)
+        outs[3] = jnp.where(at, n3, outs[3])
+        outs[7] = jnp.where(at, n7, outs[7])
+        outs[6] = jnp.where(at, n6, outs[6])
     return jnp.stack(outs)
 
 
@@ -694,10 +693,14 @@ def fused_step_fluid_multi(f: jax.Array, cfg: SimConfig, k: int,
     fdt, hy, shift = _storage(cfg)
     assert f.dtype == fdt
     assert 1 <= k <= hy, f"temporal block k={k} exceeds the {hy}-row halo"
-    assert cfg.bc_west != "inlet" or k == 1, (
-        "temporal blocking does not reconstruct Zou/He open boundaries "
-        "in-window (Simulation gates this path off for open-bc configs)"
-    )
+    if cfg.bc_west == "inlet" and k > 1:
+        # a hard error, not an assert: silently skipping the Zou/He
+        # reconstruction inside the window would be wrong physics
+        raise ValueError(
+            "temporal blocking does not reconstruct Zou/He open "
+            "boundaries in-window (Simulation gates this path off for "
+            "open-bc configs)"
+        )
     if k == 1 and not prehalo:
         return fused_step_fluid(f, cfg, out_buf=out_buf)
     th, tw = tile_dims(cfg, wide=True)

@@ -197,35 +197,24 @@ def _apply_open_boundaries_sharded(
     ix = jax.lax.axis_index("x")
     # the shard's rows of the GLOBAL host-precomputed profile (the same
     # numpy values the oracle bakes in - a traced re-evaluation would
-    # differ by an FMA ulp and break the bitwise sharded-parity tests)
+    # differ by an FMA ulp and break the sharded-parity tests)
     u_glob = jnp.asarray(lbm.inlet_profile_array(cfg), dt)
     uw = jax.lax.dynamic_slice(u_glob, (iy * h,), (h,))
-    f0, f1, f2, f3, f4, f5, f6, f7, f8 = (fnew[i] for i in range(9))
 
     at_w = ix == 0
-    rho_w = (f0[:, 0] + f2[:, 0] + f4[:, 0]
-             + 2.0 * (f3[:, 0] + f6[:, 0] + f7[:, 0])) / (1.0 - uw)
-    d24 = 0.5 * (f2[:, 0] - f4[:, 0])
-    ru = rho_w * uw
-    fnew = fnew.at[1, :, 0].set(
-        jnp.where(at_w, f3[:, 0] + (2.0 / 3.0) * ru, f1[:, 0]))
-    fnew = fnew.at[5, :, 0].set(
-        jnp.where(at_w, f7[:, 0] - d24 + (1.0 / 6.0) * ru, f5[:, 0]))
-    fnew = fnew.at[8, :, 0].set(
-        jnp.where(at_w, f6[:, 0] + d24 + (1.0 / 6.0) * ru, f8[:, 0]))
-
+    w_cols = tuple(fnew[i, :, 0] for i in range(9))
+    n1, n5, n8 = lbm.zou_he_inlet(w_cols, uw)
     at_e = ix == nx_sh - 1
     rho_o = jnp.asarray(cfg.rho_outlet or cfg.rho0, dt)
-    ue = -1.0 + (f0[:, -1] + f2[:, -1] + f4[:, -1]
-                 + 2.0 * (f1[:, -1] + f5[:, -1] + f8[:, -1])) / rho_o
-    d24e = 0.5 * (f2[:, -1] - f4[:, -1])
-    rue = rho_o * ue
-    fnew = fnew.at[3, :, -1].set(
-        jnp.where(at_e, f1[:, -1] - (2.0 / 3.0) * rue, f3[:, -1]))
-    fnew = fnew.at[7, :, -1].set(
-        jnp.where(at_e, f5[:, -1] + d24e - (1.0 / 6.0) * rue, f7[:, -1]))
-    fnew = fnew.at[6, :, -1].set(
-        jnp.where(at_e, f8[:, -1] - d24e - (1.0 / 6.0) * rue, f6[:, -1]))
+    e_cols = tuple(fnew[i, :, -1] for i in range(9))
+    n3, n7, n6 = lbm.zou_he_outlet(e_cols, rho_o)
+
+    fnew = fnew.at[1, :, 0].set(jnp.where(at_w, n1, w_cols[1]))
+    fnew = fnew.at[5, :, 0].set(jnp.where(at_w, n5, w_cols[5]))
+    fnew = fnew.at[8, :, 0].set(jnp.where(at_w, n8, w_cols[8]))
+    fnew = fnew.at[3, :, -1].set(jnp.where(at_e, n3, e_cols[3]))
+    fnew = fnew.at[7, :, -1].set(jnp.where(at_e, n7, e_cols[7]))
+    fnew = fnew.at[6, :, -1].set(jnp.where(at_e, n6, e_cols[6]))
     return fnew
 
 

@@ -716,20 +716,32 @@ class Simulation:
         one oracle IMB evaluation of the CURRENT state (observation
         only - the stepping paths compute theirs in-kernel). The primary
         use is reading the drag on fixed obstacle disks (DiskSpec.fixed),
-        whose forces never feed back into motion."""
+        whose forces never feed back into motion. Jitted and cached:
+        eager op-by-op dispatch would mean one remote compile per
+        primitive on the axon runtime."""
         cfg = self.cfg
-        d = self.state.disks
-        n_real = d.x.shape[0]
-        x, v, om, r, act = d.x, d.v, d.omega, d.r, d.active
-        gparent = None
-        if cfg.max_disks > 0 and (cfg.wrap_lx or cfg.wrap_ly):
-            _, (x, v, om, r, act), gparent, _, _ = imb.periodic_ghosts(
-                x, v, om, r, act, cfg
-            )
-        eps, usx, usy = imb.stamp_solid_fraction(x, v, om, r, act, cfg)
-        f_phys = lbm.from_storage(self.state.f, cfg)
-        _, phix, phiy = imb.collide_imb(f_phys, eps, usx, usy, cfg)
-        fh, th = imb.reduce_hydro_forces(x, r, act, eps, phix, phiy, cfg)
-        if gparent is not None:
-            fh, th = imb.fold_ghost_forces(fh, th, gparent, n_real)
+
+        if not hasattr(self, "_hydro_fn"):
+            periodic = cfg.max_disks > 0 and bool(cfg.wrap_lx or cfg.wrap_ly)
+
+            def observe(f, d):
+                n_real = d.x.shape[0]
+                x, v, om, r, act = d.x, d.v, d.omega, d.r, d.active
+                gparent = None
+                if periodic:
+                    _, (x, v, om, r, act), gparent, _, _ = (
+                        imb.periodic_ghosts(x, v, om, r, act, cfg)
+                    )
+                eps, usx, usy = imb.stamp_solid_fraction(x, v, om, r, act, cfg)
+                f_phys = lbm.from_storage(f, cfg)
+                _, phix, phiy = imb.collide_imb(f_phys, eps, usx, usy, cfg)
+                fh, th = imb.reduce_hydro_forces(
+                    x, r, act, eps, phix, phiy, cfg
+                )
+                if gparent is not None:
+                    fh, th = imb.fold_ghost_forces(fh, th, gparent, n_real)
+                return fh, th
+
+            self._hydro_fn = jax.jit(observe)
+        fh, th = self._hydro_fn(self.state.f, self.state.disks)
         return np.asarray(fh), np.asarray(th)

@@ -57,7 +57,10 @@ def load_state(path: str, like) -> "SimState":
     template_leaves, treedef = jax.tree.flatten(like)
     assert len(leaves) == len(template_leaves), (
         f"checkpoint has {len(leaves)} leaves, state needs "
-        f"{len(template_leaves)}"
+        f"{len(template_leaves)} - the checkpoint was written by a "
+        f"different framework version (the SimState/DiskState pytree "
+        f"gained or lost fields, e.g. DiskState.mobile); re-create the "
+        f"state from the deck and copy fields over manually to migrate"
     )
     orig_dtypes = meta.get("dtypes") or [a.dtype.name for a in leaves]
     for got, want, odt in zip(leaves, template_leaves, orig_dtypes):

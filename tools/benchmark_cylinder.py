@@ -74,7 +74,7 @@ def main(argv=None):
         print(f"  step {done}: cD={cd:.4f} cL={cl:.5f} "
               f"({time.perf_counter() - t0:.0f}s)", flush=True)
     cd, cl = hist[-1][1], hist[-1][2]
-    dcd = abs(hist[-1][1] - hist[-2][1])
+    dcd = abs(hist[-1][1] - hist[-2][1]) if len(hist) > 1 else float("nan")
     print(f"FINAL cD={cd:.4f} cL={cl:.5f} (last-interval dcD={dcd:.1e})")
     print(f"published 2D-1: cD in [5.57, 5.59] (5.5795), "
           f"cL in [0.0104, 0.0110] (0.0106)")
