@@ -196,3 +196,37 @@ def test_periodic_pairing_bidirectional():
     with pytest.raises(ValueError, match="pair"):
         SimConfig(nx=16, ny=16, bc_south="periodic", bc_north="wall",
                   bc_west="wall", bc_east="wall")
+
+
+def test_si_open_boundary_keywords(tmp_path):
+    """u_inlet_phys / rho_outlet_phys convert through the unit system,
+    and SI particle files carry the fixed/rho_s columns."""
+    import textwrap
+
+    si = tmp_path / "si_open.par"
+    si.write_text(textwrap.dedent("""
+        nx 64
+        ny 32
+        dx 1e-3
+        dt_phys 1e-4
+        rho_phys 1000.0
+        nu_phys 2e-4
+        u_inlet_phys 0.5      # m/s -> 0.05 lattice (vel scale 10 m/s)
+        rho_outlet_phys 1100  # kg/m^3 -> 1.1 lattice
+        inlet_profile poiseuille
+        bc west inlet
+        bc east outlet
+        particles si_open_disks.txt
+    """))
+    # fixed dense obstacle: r=2e-3 m, rho_s 2500 kg/m^3
+    (tmp_path / "si_open_disks.txt").write_text(
+        "16e-3 16e-3 2e-3 0 0 0 1 2500\n"
+    )
+    cfg, pf = load_param_file(str(si))
+    assert cfg.bc_west == "inlet" and cfg.bc_east == "outlet"
+    np.testing.assert_allclose(cfg.u_inlet, 0.05, rtol=1e-12)
+    np.testing.assert_allclose(cfg.rho_outlet, 1.1, rtol=1e-12)
+    d = load_particle_file(pf, units=cfg.units)[0]
+    assert d.fixed
+    np.testing.assert_allclose(d.r, 2.0, rtol=1e-12)
+    np.testing.assert_allclose(d.rho_s, 2.5, rtol=1e-12)

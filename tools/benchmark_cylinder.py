@@ -31,6 +31,12 @@ def main(argv=None):
                     help="grid refinement factor (1 -> 440x82, D=20)")
     ap.add_argument("--steps", type=int, default=0,
                     help="override total steps (0 -> auto by scale)")
+    ap.add_argument("--unsteady", action="store_true",
+                    help="2D-2 case: Re=100 vortex shedding; measures the "
+                         "Strouhal number from the lift zero crossings "
+                         "(published St = 0.295..0.305, cD ~ 3.23, "
+                         "cL ~ 1.0; runs TRT - BGK at tau 0.53 is "
+                         "marginal on a D=20 grid)")
     args = ap.parse_args(argv)
 
     import jax
@@ -46,11 +52,17 @@ def main(argv=None):
     cfg, disks = make_scenario(
         "schafer_turek", nx=440 * s, ny=82 * s, r=10.0 * s,
         cx=40.0 * s - 0.5, cy=40.0 * s - 0.5,
-        u_max=0.075 / s,  # keep Re=20: u ~ 1/s, D ~ s, nu fixed
+        u_max=0.075 / s,  # keep Re fixed: u ~ 1/s, D ~ s, nu fixed
     )
     cfg = cfg.replace(dtype="float64" if args.cpu else "float32",
                       out_interval=10**9)
-    steps = args.steps or 30000 * s * s
+    if args.unsteady:
+        # Re = 100: nu = u_mean D / 100; TRT keeps the coarse grid
+        # well-behaved at the resulting tau ~ 0.53
+        u_mean = (2.0 / 3.0) * cfg.u_inlet
+        nu = u_mean * 2.0 * disks[0].r / 100.0
+        cfg = cfg.replace(tau=3.0 * nu + 0.5, collision="trt")
+    steps = args.steps or (50000 if args.unsteady else 30000) * s * s
     sim = Simulation(cfg, disks)
 
     u_mean = (2.0 / 3.0) * cfg.u_inlet
@@ -58,10 +70,12 @@ def main(argv=None):
     denom = 0.5 * cfg.rho0 * u_mean * u_mean * D
 
     print(f"platform {jax.devices()[0].platform}; grid {cfg.nx}x{cfg.ny}, "
-          f"D={D:.0f}, u_max={cfg.u_inlet}, tau={cfg.tau}, "
-          f"Re={u_mean * D / cfg.nu:.1f}, steps={steps}")
+          f"D={D:.0f}, u_max={cfg.u_inlet}, tau={cfg.tau:.4f} "
+          f"({cfg.collision}), Re={u_mean * D / cfg.nu:.1f}, steps={steps}")
     t0 = time.perf_counter()
-    chunk = max(steps // 10, 1)
+    # unsteady: fine sampling over the back 40% for the lift signal
+    # (shedding period ~ D/(St u_mean) ~ 1300 steps at scale 1)
+    chunk = max(steps // (100 if args.unsteady else 10), 1)
     done = 0
     hist = []
     while done < steps:
@@ -71,8 +85,28 @@ def main(argv=None):
         cd = float(F[0, 0]) / denom
         cl = float(F[0, 1]) / denom
         hist.append((done, cd, cl))
-        print(f"  step {done}: cD={cd:.4f} cL={cl:.5f} "
-              f"({time.perf_counter() - t0:.0f}s)", flush=True)
+        if not args.unsteady or done % (10 * chunk) == 0:
+            print(f"  step {done}: cD={cd:.4f} cL={cl:.5f} "
+                  f"({time.perf_counter() - t0:.0f}s)", flush=True)
+    if args.unsteady:
+        import numpy as np
+
+        tail = np.array(hist[int(0.6 * len(hist)):])  # (m, 3)
+        cl_sig = tail[:, 2] - tail[:, 2].mean()
+        # Strouhal from the mean period between upward zero crossings
+        up = np.where((cl_sig[:-1] < 0) & (cl_sig[1:] >= 0))[0]
+        if len(up) >= 3:
+            period = (tail[up[-1], 0] - tail[up[0], 0]) / (len(up) - 1)
+            st = D / (period * u_mean)
+            print(f"FINAL St={st:.4f} cD_max={tail[:, 1].max():.4f} "
+                  f"cL_max={tail[:, 2].max():.4f} "
+                  f"({len(up) - 1} periods measured)")
+            print("published 2D-2: St in [0.2950, 0.3050], cD_max ~ 3.23, "
+                  "cL_max ~ 1.0")
+        else:
+            print(f"shedding not (yet) periodic: {len(up)} zero crossings; "
+                  f"cL range [{tail[:, 2].min():.4f}, {tail[:, 2].max():.4f}]")
+        return
     cd, cl = hist[-1][1], hist[-1][2]
     dcd = abs(hist[-1][1] - hist[-2][1]) if len(hist) > 1 else float("nan")
     print(f"FINAL cD={cd:.4f} cL={cl:.5f} (last-interval dcD={dcd:.1e})")
