@@ -480,6 +480,34 @@ def dem_subcycle(
     return disks, ovf, nc
 
 
+def cull_open_boundaries(disks: DiskState, cfg: SimConfig) -> DiskState:
+    """Deactivate mobile disks advected fully past an open boundary.
+
+    With Zou/He inlet/outlet sides (cfg.bc_west == 'inlet') a mobile
+    disk can leave the domain through the open x ends. Once its whole
+    footprint is outside (center beyond the boundary plane by more than
+    its radius) it stops stamping coverage, exerting/receiving forces,
+    and integrating: the slot is deactivated and parked far outside,
+    exactly like an initially-unused slot (make_disk_state). While it
+    straddles the boundary only its in-domain part couples (the stamp
+    masks out-of-domain cells), the standard outflow truncation. Fixed
+    disks are exempt - a prescribed motion may carry them back in.
+    """
+    x0 = disks.x[:, 0]
+    gone = (
+        disks.active
+        & disks.mobile
+        & ((x0 - disks.r > cfg.nx - 0.5) | (x0 + disks.r < -0.5))
+    )
+    park = jnp.asarray([-1.0e6, -1.0e6], disks.x.dtype)
+    return disks._replace(
+        active=disks.active & ~gone,
+        x=jnp.where(gone[:, None], park[None, :], disks.x),
+        v=jnp.where(gone[:, None], jnp.zeros_like(disks.v), disks.v),
+        omega=jnp.where(gone, jnp.zeros_like(disks.omega), disks.omega),
+    )
+
+
 def make_disk_state(specs, cfg: SimConfig, dtype=None) -> DiskState:
     """Build a fixed-capacity DiskState from a list of DiskSpec (C11/C19)."""
     import numpy as np

@@ -185,6 +185,31 @@ def stamp_solid_fraction(
     return eps, fields[..., 1] * inv, fields[..., 2] * inv
 
 
+def mask_open_columns(eps, usx, usy):
+    """Force the open-boundary columns (global x = 0 and nx-1) to pure
+    fluid by zeroing the stamped solid fields there.
+
+    The Zou/He closure reconstructs the unknown populations assuming the
+    boundary node is FLUID; a disk straddling the inlet/outlet stamping
+    eps > 0 onto that column makes the prescribed-density/velocity
+    constraint fight the NT solid collision and blows the column up
+    (measured: rho collapses within ~20 steps of a disk reaching the
+    outlet column). Zeroing the first/last column restricts the
+    coupling to the disk's interior footprint - the standard
+    outflow-zone truncation; with eps = 0 the NT blend reduces to pure
+    BGK there and the momentum exchange phi (hence the hydro force
+    contribution from that column) is exactly zero, so the oracle and
+    kernel reduce paths stay bitwise consistent without masking of
+    their own. Callers apply this only on GLOBAL domain frames (the
+    sharded paths mask shard-locally on the edge shards).
+    """
+    return (
+        eps.at[:, 0].set(0.0).at[:, -1].set(0.0),
+        usx.at[:, 0].set(0.0).at[:, -1].set(0.0),
+        usy.at[:, 0].set(0.0).at[:, -1].set(0.0),
+    )
+
+
 # --- periodic ghost disks -------------------------------------------
 #
 # The stamp/reduce paths work in absolute cell coordinates, so a disk

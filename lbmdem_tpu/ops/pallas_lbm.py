@@ -447,7 +447,7 @@ def _stream_and_bb(fpost, cfg, th, tw, iy, ix, nty, ntx, prehalo=False):
             outs[i] = jnp.where(
                 at, bbslice(int(lattice.OPP[i]), wall_corr(i, 0.0, cfg.uw_east)),
                 outs[i])
-    if cfg.bc_west == "inlet" and not skip_x_bb:
+    if cfg.bc_west == "inlet" and not prehalo:
         # Zou/He open boundaries (shared closure: lbm.zou_he_inlet),
         # applied after BB so wall corners supply the tangential knowns.
         # The profile is re-evaluated in traced f32 from the traced tile
@@ -456,6 +456,12 @@ def _stream_and_bb(fpost, cfg, th, tw, iy, ix, nty, ntx, prehalo=False):
         # oracle's by ~1 f32 ulp per row - inside the 1e-6 parity
         # tolerance, and a constant-operand plumbing through all three
         # windowed kernels is not worth that ulp.
+        # Skipped in EVERY prehalo (multi-chip) mode - even 1D, where
+        # x-walls do run in-kernel: the profile needs GLOBAL y (the
+        # kernel only has the shard-local row) and the corner knowns
+        # must come from the externally-fixed y-wall rows; the sharded
+        # caller applies sharding._apply_open_boundaries_sharded after
+        # its wall fixups instead.
         at = (col == 0) & (ix == 0)
         yg = (iy * th + row).astype(jnp.float32) + 0.5
         H = np.float32(cfg.ny)
@@ -469,7 +475,7 @@ def _stream_and_bb(fpost, cfg, th, tw, iy, ix, nty, ntx, prehalo=False):
         outs[1] = jnp.where(at, n1, outs[1])
         outs[5] = jnp.where(at, n5, outs[5])
         outs[8] = jnp.where(at, n8, outs[8])
-    if cfg.bc_east == "outlet" and not skip_x_bb:
+    if cfg.bc_east == "outlet" and not prehalo:
         from lbmdem_tpu.ops.lbm import zou_he_outlet
 
         at = (col == tw - 1) & (ix == ntx - 1)

@@ -25,7 +25,9 @@ import jax.numpy as jnp
 from lbmdem_tpu import lattice
 from lbmdem_tpu.config import SimConfig, WALL
 from lbmdem_tpu.ops import dem, imb, lbm
-from lbmdem_tpu.parallel.sharding import _ring_perm, _wall_corr
+from lbmdem_tpu.parallel.sharding import (
+    _apply_open_boundaries_sharded, _ring_perm, _wall_corr,
+)
 
 _HY = 8  # halo rows exchanged (kernel sublane DMA granule)
 _HX = 128  # halo cols exchanged for 2D meshes (lane DMA granule)
@@ -181,6 +183,19 @@ def make_sharded_step_pallas(cfg: SimConfig, grid, mesh, h: int, w: int,
             eps, usx, usy, _ = pallas_stamp.stamp_solid_fraction(
                 xloc, d.v, d.omega, d.r, d.active, ext_cfg, binned=binned
             )
+            if cfg.bc_west == "inlet":
+                # Zou/He boundary columns stay pure fluid (oracle:
+                # imb.mask_open_columns): zero the canvas column holding
+                # GLOBAL x = 0 / nx-1 on the edge shards only
+                ix_sh = jax.lax.axis_index("x")
+                at_w = ix_sh == 0
+                at_e = ix_sh == nx_sh - 1
+                cw, ce = padx, padx + w - 1
+                eps, usx, usy = (
+                    a.at[:, cw].set(jnp.where(at_w, 0.0, a[:, cw]))
+                    .at[:, ce].set(jnp.where(at_e, 0.0, a[:, ce]))
+                    for a in (eps, usx, usy)
+                )
             fnew, phix, phiy = pallas_lbm.fused_step_imb(
                 f_ext,
                 kernel_cols(eps[sl_y]),
@@ -214,6 +229,12 @@ def make_sharded_step_pallas(cfg: SimConfig, grid, mesh, h: int, w: int,
                     usy[iy_int, padx + w - 1 : padx + w], cfg,
                 )
                 fnew = fix_x_walls(fnew, fp_w, fp_e)
+            # Zou/He open boundaries: external edge-shard fixup (the
+            # kernel skips its in-kernel closure in every prehalo mode -
+            # it lacks the global row offset and the post-fixup wall
+            # corners); shared with the XLA sharded path so the
+            # reconstruction is identical there.
+            fnew = _apply_open_boundaries_sharded(fnew, cfg, h, nx_sh)
             # reduce on the extended canvas: zero-pad phi into it (halo
             # cells belong to the neighbor shard)
             phix_e = jnp.zeros(
@@ -234,6 +255,10 @@ def make_sharded_step_pallas(cfg: SimConfig, grid, mesh, h: int, w: int,
                 )
             else:
                 disks, ovf, nc = dem.dem_subcycle(d, fh, th, grid, cfg)
+            if cfg.bc_west == "inlet":
+                # mobile disks leaving through the open x ends (disk
+                # state is replicated: every shard culls identically)
+                disks = dem.cull_open_boundaries(disks, cfg)
             return SimState(
                 f=fnew,
                 disks=disks,
@@ -272,6 +297,9 @@ def make_sharded_step_pallas(cfg: SimConfig, grid, mesh, h: int, w: int,
         fnew = fix_y_walls(fnew, col(f[:, 0:1, :]), col(f[:, -1:, :]))
         if two_d:
             fnew = fix_x_walls(fnew, col(f[:, :, 0:1]), col(f[:, :, -1:]))
+        # Zou/He open boundaries (no-op unless bc_west == 'inlet'; inlet
+        # is f32-storage only per config validation, so fnew is raw f)
+        fnew = _apply_open_boundaries_sharded(fnew, cfg, h, nx_sh)
         return state._replace(f=fnew, step=state.step + 1)
 
     specs = state_specs()

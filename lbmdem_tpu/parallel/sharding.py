@@ -287,6 +287,18 @@ def make_sharded_step(
             eps, usx, usy = imb.stamp_solid_fraction(
                 xloc, va, oma, ra, acta, local_cfg
             )
+            if cfg.bc_west == "inlet":
+                # Zou/He boundary columns stay pure fluid (oracle:
+                # imb.mask_open_columns) - shard-local edition: zero the
+                # local first/last column only on the global-edge shards
+                ix_sh = jax.lax.axis_index("x")
+                at_w = ix_sh == 0
+                at_e = ix_sh == nx_sh - 1
+                eps, usx, usy = (
+                    a.at[:, 0].set(jnp.where(at_w, 0.0, a[:, 0]))
+                    .at[:, -1].set(jnp.where(at_e, 0.0, a[:, -1]))
+                    for a in (eps, usx, usy)
+                )
             fpost, phix, phiy = imb.collide_imb(f, eps, usx, usy, local_cfg)
         else:
             fpost = lbm.collide(f, cfg.tau, cfg.gx, cfg.gy, cfg.smagorinsky,
@@ -309,6 +321,10 @@ def make_sharded_step(
                 )
             # DEM runs redundantly on every chip on replicated state.
             disks, ovf, nc = dem.dem_subcycle(d, fh, th, grid, cfg)
+            if cfg.bc_west == "inlet":
+                # mobile disks leaving through the open x ends (disk
+                # state is replicated: every shard culls identically)
+                disks = dem.cull_open_boundaries(disks, cfg)
             return SimState(
                 f=fnew,
                 disks=disks,

@@ -149,9 +149,6 @@ def pallas_supported(cfg: SimConfig, mesh=None) -> Optional[str]:
                 f"f_storage='bfloat16' needs {where}%16==0 (16-row bf16 "
                 f"DMA granule; got {ny_chk})"
             )
-    if mesh is not None and cfg.bc_west == "inlet":
-        return ("open boundaries on a mesh run the sharded XLA step "
-                "(the sharded Pallas edge fixups lack Zou/He)")
     ny, nx = cfg.ny, cfg.nx
     two_d = False
     if mesh is not None:
@@ -231,6 +228,9 @@ def make_step_fn(
     """
     coupled = cfg.max_disks > 0
     periodic_dem = coupled and bool(cfg.wrap_lx or cfg.wrap_ly)
+    # Zou/He channels: mobile disks leaving through the open x ends are
+    # deactivated once fully outside (dem.cull_open_boundaries)
+    open_cull = coupled and cfg.bc_west == "inlet"
     if use_pallas:
         from lbmdem_tpu.ops import pallas_dem, pallas_lbm, pallas_stamp
 
@@ -312,6 +312,10 @@ def make_step_fn(
                     xa, va, oma, ra, acta, cfg,
                     binned=(tile_data, counts, None, None), as_stack=True,
                 )
+                if open_cull:
+                    # Zou/He boundary columns must stay pure fluid (see
+                    # imb.mask_open_columns); solid is (3, ny, nx)
+                    solid = solid.at[:, :, 0].set(0.0).at[:, :, -1].set(0.0)
                 # IMB collide-stream with the hydro reduction fused in:
                 # phi never round-trips HBM (one less kernel pass); the
                 # stamp's stacked fields pass straight through (no
@@ -329,6 +333,8 @@ def make_step_fn(
                     disks, ovf, nc = pallas_dem.dem_subcycle(
                         d, fh, th, grid, cfg, dem_axis
                     )
+                    if open_cull:
+                        disks = dem.cull_open_boundaries(disks, cfg)
                     return SimState(
                         f=fnew,
                         disks=disks,
@@ -345,6 +351,8 @@ def make_step_fn(
                 eps, usx, usy = imb.stamp_solid_fraction(
                     xa, va, oma, ra, acta, cfg
                 )
+                if open_cull:
+                    eps, usx, usy = imb.mask_open_columns(eps, usx, usy)
                 # oracle path emulates bf16 storage by round-tripping
                 # (physical compute between quantized states)
                 f_phys = lbm.from_storage(state.f, cfg)
@@ -362,6 +370,8 @@ def make_step_fn(
                 if periodic_dem:
                     fh, th = imb.fold_ghost_forces(fh, th, gparent, n_real)
             disks, ovf, nc = advance_disks(d, fh, th)
+            if open_cull:
+                disks = dem.cull_open_boundaries(disks, cfg)
             return SimState(
                 f=fnew,
                 disks=disks,
@@ -409,19 +419,6 @@ class Simulation:
         devices and replicates disks with force-psum - the run()/step()
         API is unchanged (SURVEY SS5.7/5.8)."""
         disks = list(disks)
-        if cfg.bc_west == "inlet":
-            if mesh is not None and use_pallas:
-                raise ValueError(
-                    "open boundaries on a mesh need use_pallas=False (the "
-                    "sharded Pallas edge fixups do not reconstruct Zou/He "
-                    "populations; the sharded XLA step does)"
-                )
-            if any(not d.fixed for d in disks):
-                raise ValueError(
-                    "mobile disks with open boundaries are not supported "
-                    "(a disk crossing the inlet/outlet would leave the "
-                    "coupled domain); mark obstacle disks fixed=1"
-                )
         if disks:
             r_max = max(d.r for d in disks)
             if cfg.window <= 0:
@@ -733,6 +730,8 @@ class Simulation:
                         imb.periodic_ghosts(x, v, om, r, act, cfg)
                     )
                 eps, usx, usy = imb.stamp_solid_fraction(x, v, om, r, act, cfg)
+                if cfg.bc_west == "inlet":
+                    eps, usx, usy = imb.mask_open_columns(eps, usx, usy)
                 f_phys = lbm.from_storage(f, cfg)
                 _, phix, phiy = imb.collide_imb(f_phys, eps, usx, usy, cfg)
                 fh, th = imb.reduce_hydro_forces(

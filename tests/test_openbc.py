@@ -36,12 +36,12 @@ def test_config_validation():
     with pytest.raises(ValueError, match="bfloat16"):
         SimConfig(nx=32, ny=16, bc_west="inlet", bc_east="outlet",
                   u_inlet=0.05, f_storage="bfloat16")
-    with pytest.raises(ValueError, match="mobile"):
-        Simulation(
-            SimConfig(nx=64, ny=32, bc_west="inlet", bc_east="outlet",
-                      u_inlet=0.05, max_disks=1),
-            [DiskSpec(32.0, 16.0, 3.0)],
-        )
+    # mobile disks with open boundaries are supported (outflow culling)
+    Simulation(
+        SimConfig(nx=64, ny=32, bc_west="inlet", bc_east="outlet",
+                  u_inlet=0.05, max_disks=1),
+        [DiskSpec(32.0, 16.0, 3.0)],
+    )
 
 
 def test_uniform_plug_flow_is_fixed_point():
@@ -146,6 +146,56 @@ def test_openbc_coupled_kernel_parity(_interpret):
     fgot, _, _ = pallas_lbm.fused_step_imb(f, eps, usx, usy, cfg)
     np.testing.assert_allclose(np.asarray(fgot), np.asarray(fref),
                                rtol=1e-6, atol=1e-7)
+
+
+def test_cull_open_boundaries_unit():
+    """dem.cull_open_boundaries: straddling disks stay active, fully-out
+    mobile disks deactivate and park, fixed disks are exempt."""
+    from lbmdem_tpu.ops import dem
+
+    cfg = SimConfig(nx=64, ny=32, bc_west="inlet", bc_east="outlet",
+                    u_inlet=0.05, max_disks=4, dtype="float64")
+    specs = [
+        DiskSpec(65.0, 16.0, 3.0),              # straddles outlet: stays
+        DiskSpec(67.0, 16.0, 3.0, vx=0.1),      # fully out east: culled
+        DiskSpec(-4.0, 16.0, 3.0),              # fully out west: culled
+        DiskSpec(68.0, 16.0, 3.0, fixed=True),  # fixed: exempt
+    ]
+    d = dem.make_disk_state(specs, cfg)
+    out = dem.cull_open_boundaries(d, cfg)
+    np.testing.assert_array_equal(
+        np.asarray(out.active), [True, False, False, True]
+    )
+    assert float(out.x[1, 0]) == -1.0e6 and float(out.v[1, 0]) == 0.0
+    # untouched disks keep their state
+    assert float(out.x[0, 0]) == 65.0
+    assert float(out.x[3, 0]) == 68.0
+
+
+def test_mobile_disk_advects_out_and_culls():
+    """End-to-end: a neutrally-buoyant mobile disk carried by the inflow
+    exits through the outlet and is deactivated; the simulation stays
+    finite and a fixed obstacle disk survives."""
+    cfg = SimConfig(nx=96, ny=24, tau=0.7, dtype="float64", max_disks=2,
+                    bc_west="inlet", bc_east="outlet", u_inlet=0.1,
+                    inlet_profile="uniform", rho_s=1.0, n_sub=2,
+                    u0x=0.1)
+    disks = [
+        DiskSpec(70.0, 12.0, 3.0, vx=0.1),
+        DiskSpec(20.0, 6.0, 2.5, fixed=True),
+    ]
+    sim = Simulation(cfg, disks)
+    assert bool(sim.state.disks.active[0])
+    sim.run(600)
+    d = sim.state.disks
+    assert not bool(d.active[0]), (
+        f"disk should have exited (x={float(d.x[0, 0])})"
+    )
+    assert bool(d.active[1])  # fixed obstacle untouched
+    assert float(d.x[0, 0]) == -1.0e6  # parked
+    assert np.isfinite(np.asarray(sim.state.f)).all()
+    rho, ux, _ = sim.macroscopic()
+    assert (rho > 0).all() and np.isfinite(ux).all()
 
 
 @pytest.mark.slow  # physics covered quicker by bookkeeping/parity tests

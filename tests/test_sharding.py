@@ -173,6 +173,45 @@ def test_pallas_sharded_cavity_matches(meshdims):
 
 
 @pytest.mark.parametrize("meshdims", [(4, 1), (2, 2)])
+def test_pallas_sharded_openbc_matches(meshdims):
+    """Zou/He inlet/outlet through the fused kernels on a mesh: the
+    kernel skips its in-kernel closure in prehalo mode and the edge
+    shards run the shared external fixup instead. Compared against the
+    single-chip fused path with a small tolerance: the in-kernel (ref)
+    inlet profile is evaluated in traced f32 while the sharded fixup
+    slices the host-f64 profile - ~1 f32 ulp per inlet row."""
+    mesh = _mesh(*meshdims)
+    cfg = SimConfig(nx=512, ny=64, tau=0.7, dtype="float32",
+                    bc_west="inlet", bc_east="outlet", u_inlet=0.06,
+                    inlet_profile="poiseuille")
+    sref, ssh = _run_both_pallas(cfg, [], mesh, 4)
+    np.testing.assert_allclose(np.asarray(sref.f), np.asarray(ssh.f),
+                               rtol=0, atol=1e-6)
+
+
+@pytest.mark.slow  # interpret-mode fused coupled build dominates (~90 s)
+def test_pallas_sharded_openbc_coupled_matches():
+    """Open boundaries + disks (one fixed obstacle, one mobile) through
+    the sharded fused kernels: canvas-column solid masking on the edge
+    shards, external Zou/He fixup, hydro psum, outflow culling wiring."""
+    mesh = _mesh(2, 2)
+    cfg = SimConfig(nx=256, ny=128, tau=0.7, dtype="float32", max_disks=2,
+                    window=9, bc_west="inlet", bc_east="outlet",
+                    u_inlet=0.06, inlet_profile="poiseuille")
+    disks = [
+        DiskSpec(128.0, 64.0, 3.0, fixed=True),  # straddles the mesh center
+        DiskSpec(64.0, 32.0, 2.5, vx=0.05),      # mobile, carried along
+    ]
+    sref, ssh = _run_both_pallas(cfg, disks, mesh, 2)
+    np.testing.assert_allclose(np.asarray(sref.f), np.asarray(ssh.f),
+                               rtol=0, atol=2e-6)
+    np.testing.assert_allclose(np.asarray(sref.disks.x),
+                               np.asarray(ssh.disks.x), rtol=0, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(sref.disks.v),
+                               np.asarray(ssh.disks.v), rtol=0, atol=1e-7)
+
+
+@pytest.mark.parametrize("meshdims", [(4, 1), (2, 2)])
 def test_pallas_sharded_fluid_bf16_matches(meshdims):
     """Shifted-bf16 f storage on a mesh: the prehalo ppermute exchange
     runs at the bf16 16-row granule and the kernels shift in-kernel.
