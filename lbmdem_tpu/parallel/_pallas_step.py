@@ -48,11 +48,12 @@ def make_sharded_step_pallas(cfg: SimConfig, grid, mesh, h: int, w: int,
     assert cfg.f_storage == "float32" or not coupled, (
         "sharded Pallas coupled path is float32-storage only"
     )
-    assert not (coupled and (cfg.wrap_lx or cfg.wrap_ly)), (
-        "periodic DEM is not supported on the sharded Pallas path "
-        "(no wrap/ghost handling in the local stamp canvas); use the "
-        "XLA sharded path or a single chip"
-    )
+    # Periodic DEM rides the same ghost machinery as the single-chip /
+    # XLA-sharded paths: ghosts are selected at GLOBAL coords (disk
+    # state is replicated), the global->local canvas shift places them
+    # inside the _PAD apron, and the binning drops out-of-canvas tiles.
+    # Fluid periodicity comes free from the ppermute halo ring.
+    periodic_dem = coupled and bool(cfg.wrap_lx or cfg.wrap_ly)
     hy = 16 if cfg.f_storage == "bfloat16" else _HY
     assert cfg.f_storage == "float32" or h % 16 == 0, (
         f"bf16 sharded shards need local ny%16==0 (h={h})"
@@ -172,16 +173,30 @@ def make_sharded_step_pallas(cfg: SimConfig, grid, mesh, h: int, w: int,
 
         if coupled:
             d = state.disks
+            govf = jnp.zeros((), jnp.int32)
+            if periodic_dem:
+                # wrap + ghost-select at GLOBAL coords (replicated disk
+                # state: every shard computes the same augmentation)
+                # BEFORE the local-frame shift, exactly as the XLA
+                # sharded path does
+                xw, aug, gparent, _, govf = imb.periodic_ghosts(
+                    d.x, d.v, d.omega, d.r, d.active, cfg
+                )
+                d = d._replace(x=xw)
+                xa, va, oma, ra, acta = aug
+            else:
+                xa, va, oma, ra, acta = d.x, d.v, d.omega, d.r, d.active
             oy = (jax.lax.axis_index("y") * h).astype(f.dtype)
             ox = (jax.lax.axis_index("x") * w).astype(f.dtype)
             shift = jnp.stack([ox - padx, oy - _PAD])
-            xloc = d.x - shift[None, :]
+            xloc = xa - shift[None, :]
             binned = pallas_stamp.bin_disks_to_tiles(
-                xloc, d.v, d.omega, d.r, d.active, ext_cfg
+                xloc, va, oma, ra, acta, ext_cfg
             )
             tile_data, counts, entry_slots, bovf = binned
+            bovf = jnp.maximum(bovf, govf)
             eps, usx, usy, _ = pallas_stamp.stamp_solid_fraction(
-                xloc, d.v, d.omega, d.r, d.active, ext_cfg, binned=binned
+                xloc, va, oma, ra, acta, ext_cfg, binned=binned
             )
             if cfg.bc_west == "inlet":
                 # Zou/He boundary columns stay pure fluid (oracle:
@@ -242,11 +257,14 @@ def make_sharded_step_pallas(cfg: SimConfig, grid, mesh, h: int, w: int,
             ).at[_PAD : _PAD + h, ix_int].set(phix)
             phiy_e = jnp.zeros_like(phix_e).at[_PAD : _PAD + h, ix_int].set(phiy)
             fh_p, th_p = pallas_stamp.reduce_hydro_forces(
-                xloc, d.r, d.active, eps, phix_e, phiy_e, ext_cfg,
+                xloc, ra, acta, eps, phix_e, phiy_e, ext_cfg,
                 tile_data, counts, entry_slots,
             )
             fh = jax.lax.psum(fh_p, ("y", "x"))
             th = jax.lax.psum(th_p, ("y", "x"))
+            if periodic_dem:
+                fh, th = imb.fold_ghost_forces(fh, th, gparent,
+                                               d.x.shape[0])
             if use_slab_dem:
                 from lbmdem_tpu.ops import pallas_dem
 

@@ -166,14 +166,6 @@ def pallas_supported(cfg: SimConfig, mesh=None) -> Optional[str]:
             f"fused lattice kernel needs ny%8==0 and nx%128==0 "
             f"({where} {ny}x{nx})"
         )
-    if (cfg.max_disks > 0 and mesh is not None
-            and (cfg.wrap_lx or cfg.wrap_ly)):
-        # the sharded Pallas stamp bins on a local padded canvas that
-        # has no wrap notion yet; the sharded XLA path handles periodic
-        # DEM (ghosts at global coords before the local-frame shift)
-        return ("periodic boundaries with DEM disks are not supported "
-                "on the sharded Pallas path yet (use the XLA sharded "
-                "path or a single chip)")
     if cfg.max_disks > 0:
         if mesh is not None:
             from lbmdem_tpu.parallel._pallas_step import _PAD

@@ -231,14 +231,43 @@ def test_slab_dem_gated_off_under_wrap():
     assert pallas_dem.slab_supported(DemGrid.build(wall_cfg, 2.5), "y")
 
 
-def test_sharded_pallas_periodic_rejected():
-    from lbmdem_tpu.parallel import make_mesh
+@pytest.mark.parametrize("meshdims", [
+    pytest.param((4, 1), marks=pytest.mark.slow),  # interpret-mode fused
+    pytest.param((2, 2), marks=pytest.mark.slow),  # coupled builds ~90 s
+])
+def test_sharded_pallas_periodic_coupled_matches(meshdims):
+    """Periodic DEM through the sharded fused kernels: ghosts selected
+    at global coords land in the local canvas apron; a disk straddling
+    the periodic x seam (also the x shard boundary on the 2x2 mesh)
+    must match the single-chip fused path."""
+    from lbmdem_tpu.parallel import make_mesh, make_sharded_step, shard_state
 
-    devs = jax.devices()[:4]
-    if len(devs) < 4:
-        pytest.skip("need 4 devices")
-    mesh = make_mesh(devs, (2, 2))
-    cfg = _pcfg(nx=512, ny=64, dtype="float32", tile_cap=32)
-    with pytest.raises(ValueError, match="periodic"):
-        Simulation(cfg, [DiskSpec(30.0, 30.0, 2.5)], use_pallas=True,
-                   mesh=mesh)
+    ysz, xsz = meshdims
+    devs = jax.devices()[: ysz * xsz]
+    if len(devs) < ysz * xsz:
+        pytest.skip(f"need {ysz * xsz} devices")
+    mesh = make_mesh(devs, (ysz, xsz))
+    nx = 128 * xsz
+    cfg = _pcfg(nx=nx, ny=128, dtype="float32", tile_cap=32, g_py=-5e-5)
+    disks = [
+        DiskSpec(nx - 1.0, 64.0, 2.5, vx=0.02),  # straddles the x seam
+        DiskSpec(3.0, 63.5, 2.5),                # reaches the seam from east
+        DiskSpec(40.0, 96.0, 2.0),               # interior
+    ]
+    sim = Simulation(cfg, disks, use_pallas=True)
+    step_ref = jax.jit(make_step_fn(sim.cfg, sim.grid, True))
+    step_sh = jax.jit(
+        make_sharded_step(sim.cfg, sim.grid, mesh, use_pallas=True)
+    )
+    s_ref = sim.state
+    s_sh = shard_state(sim.state, mesh)
+    for _ in range(2):
+        s_ref = step_ref(s_ref)
+        s_sh = step_sh(s_sh)
+    np.testing.assert_allclose(np.asarray(s_ref.f), np.asarray(s_sh.f),
+                               rtol=0, atol=2e-6)
+    np.testing.assert_allclose(np.asarray(s_ref.disks.x),
+                               np.asarray(s_sh.disks.x), rtol=0, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(s_ref.disks.v),
+                               np.asarray(s_sh.disks.v), rtol=0, atol=1e-7)
+    assert int(s_sh.overflow) == 0
