@@ -88,6 +88,13 @@ def main() -> None:
         "periodic, body-force driven): permeability K = <u> nu / g.\n"
         "Run:  python -m lbmdem_tpu.cli examples/porous_bed.par --out out/"
     ))
+    emit("suspension_channel", "suspension_channel", (
+        "Dilute suspension transport: mobile near-neutrally-buoyant\n"
+        "disks carried through a Zou/He inlet/outlet channel; disks\n"
+        "deactivate as they exit the outlet (outflow culling).\n"
+        "Run:  python -m lbmdem_tpu.cli examples/suspension_channel.par"
+        " --out out/"
+    ))
     emit("schafer_turek", "schafer_turek", (
         "Schafer-Turek 2D-1: steady flow past a cylinder in a channel at\n"
         "Re = 20 - parabolic Zou/He inlet, pressure outlet, fixed obstacle\n"

@@ -208,8 +208,40 @@ def schafer_turek(
     return cfg, [DiskSpec(x=cx, y=cy, r=r, fixed=True)]
 
 
+def suspension_channel(
+    nx: int = 512, ny: int = 128, n_disks: int = 24, r: float = 4.0,
+    u_max: float = 0.08, rho_s: float = 1.05, tau: float = 0.6,
+) -> Scene:
+    """Dilute suspension transport through an open channel: parabolic
+    Zou/He inlet, pressure outlet, near-neutrally-buoyant mobile disks
+    seeded in the upstream half are carried by the flow and deactivate
+    as they leave through the outlet (dem.cull_open_boundaries) -
+    the two boundary columns always stamp as pure fluid so the open
+    closure stays consistent (imb.mask_open_columns)."""
+    cfg = SimConfig(
+        nx=nx, ny=ny, tau=tau, steps=3 * int(nx / (0.5 * u_max)),
+        out_interval=500,
+        bc_west="inlet", bc_east="outlet", u_inlet=u_max,
+        inlet_profile="poiseuille",
+        rho_s=rho_s, kn=1.0, gamma_n=1.0, mu=0.2, n_sub=5,
+        buoyancy=True, max_disks=n_disks,
+    )
+    # dilute seeding in the upstream half, off the walls; slight row
+    # stagger so disks sample different streamlines
+    rng = np.random.default_rng(7)
+    disks: List[DiskSpec] = []
+    ncols = max(1, int(math.ceil(n_disks / 4)))
+    for i in range(n_disks):
+        cx = (0.06 + 0.38 * (i % ncols) / max(ncols - 1, 1)) * nx
+        cy = (0.2 + 0.6 * ((i // ncols) + 0.5) / 4.0) * ny
+        jx, jy = rng.uniform(-0.5 * r, 0.5 * r, 2)
+        disks.append(DiskSpec(x=cx + jx, y=cy + jy, r=r))
+    return cfg, disks
+
+
 SCENARIOS = {
     "poiseuille": poiseuille,
+    "suspension_channel": suspension_channel,
     "cavity": cavity,
     "cylinder": cylinder,
     "porous_bed": porous_bed,

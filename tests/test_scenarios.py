@@ -21,6 +21,7 @@ SMALL = {
     "porous_bed": dict(nx=64, ny=64, r=4.0, pitch=16),
     "schafer_turek": dict(nx=128, ny=42, r=5.0, cx=20.5, cy=20.5,
                           u_max=0.05),
+    "suspension_channel": dict(nx=128, ny=64, n_disks=6, r=3.0),
 }
 
 
