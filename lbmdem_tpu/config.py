@@ -224,11 +224,6 @@ class SimConfig:
                     f"u_inlet {self.u_inlet} out of the stable lattice "
                     f"range (|u| < 0.4)"
                 )
-            if self.f_storage != "float32":
-                raise ValueError(
-                    "open boundaries are not supported with "
-                    "f_storage='bfloat16' (Zou/He reads raw populations)"
-                )
             if self.rho_outlet and not 0.2 <= self.rho_outlet <= 5.0:
                 raise ValueError(
                     f"rho_outlet {self.rho_outlet} is not a plausible "

@@ -259,7 +259,7 @@ def inlet_profile_array(cfg: SimConfig) -> np.ndarray:
     return np.full(cfg.ny, cfg.u_inlet, cfg.dtype)
 
 
-def zou_he_inlet(fs, uw):
+def zou_he_inlet(fs, uw, shift=0.0):
     """Zou/He west-inlet closure: reconstruct the unknown populations
     (1, 5, 8) at an inlet cell with prescribed u = (uw, 0) from the
     post-stream knowns of the SAME cell:
@@ -269,9 +269,20 @@ def zou_he_inlet(fs, uw):
         f8 = f6 + (f2 - f4)/2 + (1/6) rho u
     `fs` is the 9-sequence of same-shaped arrays. THE single definition
     shared by the oracle, the sharded edge fixup and the Pallas kernels
-    (the closure algebra must never diverge between them)."""
+    (the closure algebra must never diverge between them).
+
+    shift != 0: `fs` holds SHIFTED populations g_i = f_i - w_i*shift
+    (bf16 f-storage, lbm.storage_shift) and the returned values are in
+    the same shifted representation. The closure is shift-covariant up
+    to its density sum: w0+w2+w4+2(w3+w6+w7) = 1 so the sum gains
+    exactly +shift, while every other term pairs populations of EQUAL
+    weight (w1=w3, w5=w7, w8=w6, w2=w4) so the shifts cancel
+    identically. No reconstruction of physical f is ever needed."""
     f0, f1, f2, f3, f4, f5, f6, f7, f8 = fs
-    rho_w = (f0 + f2 + f4 + 2.0 * (f3 + f6 + f7)) / (1.0 - uw)
+    knowns = f0 + f2 + f4 + 2.0 * (f3 + f6 + f7)
+    if shift:
+        knowns = knowns + shift
+    rho_w = knowns / (1.0 - uw)
     d24 = 0.5 * (f2 - f4)
     ru = rho_w * uw
     return (f3 + (2.0 / 3.0) * ru,
@@ -279,12 +290,17 @@ def zou_he_inlet(fs, uw):
             f6 + d24 + (1.0 / 6.0) * ru)
 
 
-def zou_he_outlet(fs, rho_o):
+def zou_he_outlet(fs, rho_o, shift=0.0):
     """Zou/He east-outlet closure (prescribed rho = rho_o, v = 0):
     reconstruct populations (3, 7, 6) with the normal velocity from
-        u = -1 + (f0 + f2 + f4 + 2 (f1 + f5 + f8)) / rho_o."""
+        u = -1 + (f0 + f2 + f4 + 2 (f1 + f5 + f8)) / rho_o.
+    shift: as in zou_he_inlet — shifted-storage inputs/outputs; only
+    the density sum changes (+shift), the rest cancels pairwise."""
     f0, f1, f2, f3, f4, f5, f6, f7, f8 = fs
-    ue = -1.0 + (f0 + f2 + f4 + 2.0 * (f1 + f5 + f8)) / rho_o
+    knowns = f0 + f2 + f4 + 2.0 * (f1 + f5 + f8)
+    if shift:
+        knowns = knowns + shift
+    ue = -1.0 + knowns / rho_o
     d24 = 0.5 * (f2 - f4)
     rue = rho_o * ue
     return (f1 - (2.0 / 3.0) * rue,

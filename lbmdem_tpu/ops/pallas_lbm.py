@@ -390,9 +390,15 @@ def _pipeline_window(copies_for, lin, slot, total):
         c.wait()
 
 
-def _stream_and_bb(fpost, cfg, th, tw, iy, ix, nty, ntx, prehalo=False):
+def _stream_and_bb(fpost, cfg, th, tw, iy, ix, nty, ntx, prehalo=False,
+                   shift=0.0):
     """Pull-stream 9 (th+2, tw+2*_HX) planes into the (9, th, tw) output
-    tile, with bounce-back at global walls. iy/ix are tile grid coords."""
+    tile, with bounce-back at global walls. iy/ix are tile grid coords.
+
+    shift != 0 (bf16 f-storage): the planes hold shifted populations
+    g_i = f_i - w_i*shift. Bounce-back is shift-invariant (w_opp = w_i)
+    and the Zou/He closures take `shift` directly (their density sum is
+    the only shift-dependent term — see lbm.zou_he_inlet)."""
     outs = []
     for i in range(9):
         ex, ey = int(lattice.E[i, 0]), int(lattice.E[i, 1])
@@ -471,7 +477,7 @@ def _stream_and_bb(fpost, cfg, th, tw, iy, ix, nty, ntx, prehalo=False):
             u = jnp.full((th, tw), np.float32(cfg.u_inlet))
         from lbmdem_tpu.ops.lbm import zou_he_inlet
 
-        n1, n5, n8 = zou_he_inlet(outs, u)
+        n1, n5, n8 = zou_he_inlet(outs, u, shift=np.float32(shift))
         outs[1] = jnp.where(at, n1, outs[1])
         outs[5] = jnp.where(at, n5, outs[5])
         outs[8] = jnp.where(at, n8, outs[8])
@@ -480,7 +486,7 @@ def _stream_and_bb(fpost, cfg, th, tw, iy, ix, nty, ntx, prehalo=False):
 
         at = (col == tw - 1) & (ix == ntx - 1)
         rho_o = np.float32(cfg.rho_outlet or cfg.rho0)
-        n3, n7, n6 = zou_he_outlet(outs, rho_o)
+        n3, n7, n6 = zou_he_outlet(outs, rho_o, shift=np.float32(shift))
         outs[3] = jnp.where(at, n3, outs[3])
         outs[7] = jnp.where(at, n7, outs[7])
         outs[6] = jnp.where(at, n6, outs[6])
@@ -510,7 +516,8 @@ def _fluid_kernel(f_hbm, out_ref, win, sems, *, cfg: SimConfig, th: int,
         wv = wv.astype(jnp.float32)
     fpost, _ = _collide_window(wv, cfg, shift=shift)
     out_ref[:] = _stream_and_bb(fpost, cfg, th, tw, iy, ix, nty, ntx,
-                                prehalo=prehalo).astype(out_ref.dtype)
+                                prehalo=prehalo,
+                                shift=shift).astype(out_ref.dtype)
 
 
 def fused_step_fluid(f: jax.Array, cfg: SimConfig, prehalo: bool = False,
@@ -797,8 +804,8 @@ def _imb_reduce_kernel(
     sv = swin[slot, :, _HY - 1 : _HY + th + 1, :]
     fpost, phi = _collide_window(wv, cfg, eps=sv[0], usx=sv[1], usy=sv[2],
                                  shift=shift)
-    out_ref[:] = _stream_and_bb(fpost, cfg, th, tw, iy, ix, nty,
-                                ntx).astype(out_ref.dtype)
+    out_ref[:] = _stream_and_bb(fpost, cfg, th, tw, iy, ix, nty, ntx,
+                                shift=shift).astype(out_ref.dtype)
 
     # hydro reduction on the tile interior (rows 1..th+1 of the window);
     # wx/wy land in VMEM scratch so the per-disk loops can read dynamic

@@ -315,8 +315,9 @@ def make_sharded_step_pallas(cfg: SimConfig, grid, mesh, h: int, w: int,
         fnew = fix_y_walls(fnew, col(f[:, 0:1, :]), col(f[:, -1:, :]))
         if two_d:
             fnew = fix_x_walls(fnew, col(f[:, :, 0:1]), col(f[:, :, -1:]))
-        # Zou/He open boundaries (no-op unless bc_west == 'inlet'; inlet
-        # is f32-storage only per config validation, so fnew is raw f)
+        # Zou/He open boundaries (no-op unless bc_west == 'inlet'; the
+        # fixup is storage-aware: bf16 fnew holds shifted g and the
+        # closures run in f32 with the +rho0 density-sum shift)
         fnew = _apply_open_boundaries_sharded(fnew, cfg, h, nx_sh)
         return state._replace(f=fnew, step=state.step + 1)
 

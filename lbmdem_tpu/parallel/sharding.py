@@ -193,28 +193,35 @@ def _apply_open_boundaries_sharded(
     if cfg.bc_west != "inlet":
         return fnew
     dt = fnew.dtype
+    # bf16 f-storage: fnew holds shifted populations g = f - w*rho0.
+    # The closure algebra runs in f32 (the stored bf16 values embed
+    # exactly) with the +rho0 density-sum shift (lbm.zou_he_inlet), and
+    # the results round back to bf16 on the .set — one rounding, same
+    # as the kernel's single rounding per stored step.
+    cdt = jnp.float32 if dt == jnp.bfloat16 else dt
+    shift = cfg.rho0 if cfg.f_storage == "bfloat16" else 0.0
     iy = jax.lax.axis_index("y")
     ix = jax.lax.axis_index("x")
     # the shard's rows of the GLOBAL host-precomputed profile (the same
     # numpy values the oracle bakes in - a traced re-evaluation would
     # differ by an FMA ulp and break the sharded-parity tests)
-    u_glob = jnp.asarray(lbm.inlet_profile_array(cfg), dt)
+    u_glob = jnp.asarray(lbm.inlet_profile_array(cfg), cdt)
     uw = jax.lax.dynamic_slice(u_glob, (iy * h,), (h,))
 
     at_w = ix == 0
-    w_cols = tuple(fnew[i, :, 0] for i in range(9))
-    n1, n5, n8 = lbm.zou_he_inlet(w_cols, uw)
+    w_cols = tuple(fnew[i, :, 0].astype(cdt) for i in range(9))
+    n1, n5, n8 = lbm.zou_he_inlet(w_cols, uw, shift=shift)
     at_e = ix == nx_sh - 1
-    rho_o = jnp.asarray(cfg.rho_outlet or cfg.rho0, dt)
-    e_cols = tuple(fnew[i, :, -1] for i in range(9))
-    n3, n7, n6 = lbm.zou_he_outlet(e_cols, rho_o)
+    rho_o = jnp.asarray(cfg.rho_outlet or cfg.rho0, cdt)
+    e_cols = tuple(fnew[i, :, -1].astype(cdt) for i in range(9))
+    n3, n7, n6 = lbm.zou_he_outlet(e_cols, rho_o, shift=shift)
 
-    fnew = fnew.at[1, :, 0].set(jnp.where(at_w, n1, w_cols[1]))
-    fnew = fnew.at[5, :, 0].set(jnp.where(at_w, n5, w_cols[5]))
-    fnew = fnew.at[8, :, 0].set(jnp.where(at_w, n8, w_cols[8]))
-    fnew = fnew.at[3, :, -1].set(jnp.where(at_e, n3, e_cols[3]))
-    fnew = fnew.at[7, :, -1].set(jnp.where(at_e, n7, e_cols[7]))
-    fnew = fnew.at[6, :, -1].set(jnp.where(at_e, n6, e_cols[6]))
+    fnew = fnew.at[1, :, 0].set(jnp.where(at_w, n1, w_cols[1]).astype(dt))
+    fnew = fnew.at[5, :, 0].set(jnp.where(at_w, n5, w_cols[5]).astype(dt))
+    fnew = fnew.at[8, :, 0].set(jnp.where(at_w, n8, w_cols[8]).astype(dt))
+    fnew = fnew.at[3, :, -1].set(jnp.where(at_e, n3, e_cols[3]).astype(dt))
+    fnew = fnew.at[7, :, -1].set(jnp.where(at_e, n7, e_cols[7]).astype(dt))
+    fnew = fnew.at[6, :, -1].set(jnp.where(at_e, n6, e_cols[6]).astype(dt))
     return fnew
 
 

@@ -231,6 +231,27 @@ def test_pallas_sharded_fluid_bf16_matches(meshdims):
                                rtol=1e-2, atol=1e-6)
 
 
+@pytest.mark.parametrize("meshdims", [(4, 1), (2, 2)])
+def test_pallas_sharded_fluid_bf16_openbc(meshdims):
+    """Zou/He open boundaries + shifted-bf16 storage on a mesh: the
+    storage-aware external edge fixup runs the closures in f32 with the
+    +rho0 density-sum shift and rounds back to bf16. vs single-chip:
+    the in-kernel (ref) closure reads pre-rounding f32 streamed values
+    and its inlet profile is traced f32 (the fixup slices the host-f64
+    profile), so inlet/outlet columns can differ by ~1 bf16 ulp of the
+    residual scale."""
+    mesh = _mesh(*meshdims)
+    cfg = SimConfig(nx=512, ny=64, tau=0.7, dtype="float32",
+                    f_storage="bfloat16", bc_west="inlet",
+                    bc_east="outlet", u_inlet=0.06,
+                    inlet_profile="poiseuille")
+    sref, ssh = _run_both_pallas(cfg, [], mesh, 4)
+    assert ssh.f.dtype == jnp.bfloat16
+    np.testing.assert_allclose(np.asarray(sref.f, np.float32),
+                               np.asarray(ssh.f, np.float32),
+                               rtol=1e-2, atol=5e-4)
+
+
 def test_pallas_sharded_fluid_bf16_temporal():
     """bf16 + temporal blocking on a mesh: one 16-row halo exchange
     feeds k=4 inner f32 steps; quantization points match single-chip."""
