@@ -30,6 +30,11 @@ def main(argv=None) -> int:
     ap.add_argument("--restore", default=None, metavar="CKPT",
                     help="resume from checkpoint file")
     ap.add_argument("--ascii-vtk", action="store_true")
+    ap.add_argument("--log-forces", action="store_true",
+                    help="append per-disk hydrodynamic force/torque to "
+                         "forces.csv at every output interval (drag/lift "
+                         "time series; one extra IMB observation per "
+                         "dump - Simulation.hydro_forces)")
     ap.add_argument("--sync-io", action="store_true",
                     help="write snapshots inline instead of overlapping "
                          "file I/O with the next chunk's device execution "
@@ -56,7 +61,8 @@ def main(argv=None) -> int:
     from lbmdem_tpu.simulation import Simulation
     from lbmdem_tpu.utils import checkpoint as ckpt
     from lbmdem_tpu.utils.io_vtk import (
-        append_particle_csv, write_fluid_vtk, write_particles_vtk,
+        append_force_csv, append_particle_csv, write_fluid_vtk,
+        write_particles_vtk,
     )
     from lbmdem_tpu.utils.metrics import MetricsLogger
 
@@ -169,6 +175,15 @@ def main(argv=None) -> int:
                 append_particle_csv,
                 os.path.join(args.out, "trajectories.csv"), step, d,
             )
+            if args.log_forces:
+                # hydro_forces() syncs device->host here; only the file
+                # append rides the async pipeline
+                F, T = s.hydro_forces()
+                emit(
+                    append_force_csv,
+                    os.path.join(args.out, "forces.csv"), step,
+                    d["active"], F, T,
+                )
         if args.checkpoint_every and step % args.checkpoint_every == 0:
             import jax
 

@@ -100,6 +100,22 @@ def write_particles_vtk(path: str, disks: dict, binary: bool = False) -> None:
             fh.write(f"{v[i, 0]} {v[i, 1]} 0\n")
 
 
+def append_force_csv(path: str, step: int, active, F, T) -> None:
+    """Per-frame hydrodynamic force/torque log: step, id, fx, fy, torque
+    (lattice units). Companion to trajectories.csv for drag/lift time
+    series on obstacle disks (Simulation.hydro_forces is the source)."""
+    act = np.asarray(active)
+    F = np.asarray(F)
+    T = np.asarray(T)
+    os.makedirs(os.path.dirname(os.path.abspath(path)) or ".", exist_ok=True)
+    new = not os.path.exists(path)
+    with open(path, "a") as fh:
+        if new:
+            fh.write("step,id,fx,fy,torque\n")
+        for i in np.nonzero(act)[0]:
+            fh.write(f"{step},{i},{F[i, 0]},{F[i, 1]},{T[i]}\n")
+
+
 def append_particle_csv(path: str, step: int, disks: dict) -> None:
     """Per-frame particle trajectory log: step, id, x, y, vx, vy, theta,
     omega (the reference's trajectory-log analogue)."""

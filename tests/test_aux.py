@@ -147,7 +147,7 @@ def test_cli_end_to_end(tmp_path):
     out = subprocess.run(
         [sys.executable, "-m", "lbmdem_tpu.cli", str(tmp_path / "run.par"),
          "--out", str(tmp_path / "out"), "--no-pallas",
-         "--checkpoint-every", "10"],
+         "--checkpoint-every", "10", "--log-forces"],
         capture_output=True, text=True, timeout=300,
         cwd="/root/repo",
         env=dict(env, PYTHONPATH="/root/repo:" + env.get("PYTHONPATH", "")),
@@ -157,6 +157,10 @@ def test_cli_end_to_end(tmp_path):
     od = tmp_path / "out"
     assert (od / "metrics.csv").exists()
     assert (od / "trajectories.csv").exists()
+    flog = (od / "forces.csv").read_text().splitlines()
+    assert flog[0] == "step,id,fx,fy,torque"
+    # settling disk: hydro drag opposes the fall (fy > 0), one row per dump
+    assert len(flog) == 3 and float(flog[-1].split(",")[3]) > 0.0
     assert (od / "restart.npz").exists()
     assert (od / "fluid_00000010.vtk").exists()
     assert (od / "particles_00000020.vtk").exists()
