@@ -231,7 +231,10 @@ def test_pallas_sharded_fluid_bf16_matches(meshdims):
                                rtol=1e-2, atol=1e-6)
 
 
-@pytest.mark.parametrize("meshdims", [(4, 1), (2, 2)])
+@pytest.mark.parametrize("meshdims", [
+    (4, 1),
+    pytest.param((2, 2), marks=pytest.mark.slow),
+])
 def test_pallas_sharded_fluid_bf16_openbc(meshdims):
     """Zou/He open boundaries + shifted-bf16 storage on a mesh: the
     storage-aware external edge fixup runs the closures in f32 with the
