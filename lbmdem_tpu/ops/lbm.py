@@ -277,7 +277,12 @@ def zou_he_inlet(fs, uw, shift=0.0):
     to its density sum: w0+w2+w4+2(w3+w6+w7) = 1 so the sum gains
     exactly +shift, while every other term pairs populations of EQUAL
     weight (w1=w3, w5=w7, w8=w6, w2=w4) so the shifts cancel
-    identically. No reconstruction of physical f is ever needed."""
+    identically. No reconstruction of physical f is ever needed.
+
+    `shift` must be a STATIC Python/numpy scalar (the zero-shift guard
+    is Python truthiness; a traced scalar would raise
+    TracerBoolConversionError) — every storage tier's shift is a config
+    constant, so nothing ever needs a traced shift here."""
     f0, f1, f2, f3, f4, f5, f6, f7, f8 = fs
     knowns = f0 + f2 + f4 + 2.0 * (f3 + f6 + f7)
     if shift:

@@ -199,7 +199,13 @@ def _apply_open_boundaries_sharded(
     # the results round back to bf16 on the .set — one rounding, same
     # as the kernel's single rounding per stored step.
     cdt = jnp.float32 if dt == jnp.bfloat16 else dt
-    shift = cfg.rho0 if cfg.f_storage == "bfloat16" else 0.0
+    # keyed on the ARRAY dtype (not cfg.f_storage) so the two predicates
+    # cannot drift apart: a caller passing dequantized f32 populations
+    # must get shift=0 whatever the config's storage tier says
+    shift = cfg.rho0 if dt == jnp.bfloat16 else 0.0
+    assert (dt == jnp.bfloat16) == (cfg.f_storage == "bfloat16"), (
+        "open-bc fixup: f dtype disagrees with cfg.f_storage"
+    )
     iy = jax.lax.axis_index("y")
     ix = jax.lax.axis_index("x")
     # the shard's rows of the GLOBAL host-precomputed profile (the same

@@ -109,11 +109,18 @@ def append_force_csv(path: str, step: int, active, F, T) -> None:
     T = np.asarray(T)
     os.makedirs(os.path.dirname(os.path.abspath(path)) or ".", exist_ok=True)
     new = not os.path.exists(path)
+    # bulk-format the active rows (np.savetxt, one write): a per-disk
+    # Python f-string loop is O(N) host work per frame on the async
+    # writer thread, noticeable at 10k-disk suspension scales
+    ids = np.nonzero(act)[0]
+    rows = np.column_stack(
+        [ids.astype(np.float64), F[ids, 0], F[ids, 1], T[ids]]
+    )
     with open(path, "a") as fh:
         if new:
             fh.write("step,id,fx,fy,torque\n")
-        for i in np.nonzero(act)[0]:
-            fh.write(f"{step},{i},{F[i, 0]},{F[i, 1]},{T[i]}\n")
+        if rows.size:
+            np.savetxt(fh, rows, fmt=f"{step},%d,%.17g,%.17g,%.17g")
 
 
 def append_particle_csv(path: str, step: int, disks: dict) -> None:
