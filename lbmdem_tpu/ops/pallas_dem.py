@@ -90,18 +90,28 @@ def choose_axis(disks, cfg: SimConfig) -> str:
     return "x" if span_x < span_y else "y"
 
 
+def _wrap_sl(grid: DemGrid, axis: str) -> Tuple[float, float]:
+    """(sublane, lane) wrap lengths of the slab orientation (0 = walls)."""
+    return ((grid.wrap_ly, grid.wrap_lx) if axis == "y"
+            else (grid.wrap_lx, grid.wrap_ly))
+
+
 def slab_supported(grid: DemGrid, axis: str = "y") -> bool:
     """Feasibility gate: VMEM for the state planes + force scratch, and
     a plane-size cap tracking the largest *verified* Mosaic compile
     (qualified on TPU v5e up to 504x512 planes = 8192^2 domains at
     cell_size 17: 33 s kernel compile, 1333 MLUPS/chip coupled,
-    tools/qualify_8192.py)."""
-    if grid.wrap_lx or grid.wrap_ly:
-        # periodic DEM needs wrapped cell adjacency + minimum-image
-        # pair distances; the slab kernel's +-1-row/col windows do not
-        # wrap - the XLA subcycle (ops/dem.py) handles periodic runs
-        return False
+    tools/qualify_8192.py).
+
+    Periodic axes are supported in-kernel (minimum-image pair law +
+    wrapped adjacency: ghost guard rows on a wrapped sublane axis,
+    roll-wrapped partner lanes on a wrapped lane axis); a wrapped
+    sublane axis needs >= 8 cell rows so the 8-row ghost copies are
+    whole real rows."""
     ncs, ncl, R, C, nb = slab_dims(grid, axis)
+    wrap_s, _ = _wrap_sl(grid, axis)
+    if wrap_s and ncs < 8:
+        return False
     if R * C > 270000:
         return False
     bytes_ = (_NCH * SLAB_K + 3 * SLAB_K + 1) * R * C * 4
@@ -198,17 +208,38 @@ def build_slabs(
 
 
 def _dem_kernel(kmax_ref, nocc_ref, bands_ref, s_ref, out_ref, nc_ref, fscr,
-                *, cfg: SimConfig, ncl: int, R: int, C: int):
+                *, cfg: SimConfig, ncs: int, ncl: int, R: int, C: int,
+                wrap_s: float = 0.0, wrap_l: float = 0.0):
+    """wrap_s/wrap_l: periodic wrap lengths of the sublane/lane axes
+    (0 = walls on that axis). Wrapped-axis mechanics, mirroring the
+    XLA oracle (ops/dem.py wrapped 3x3 adjacency + _min_image):
+    - the pair law takes minimum-image displacements, so partner
+      coordinates can stay RAW (no +-L shifting of ghost copies);
+    - lane adjacency wraps via a roll+select fix on the dc = +-1
+      partner slices (lane j reads p[(j+dc) mod ncl] within the
+      128-padded plane width);
+    - sublane adjacency wraps via ghost copies of the 8 edge rows into
+      the guard bands, refreshed after every kick+drift
+      (_refresh_wrap_rows)."""
     K = SLAB_K
     h = np.float32(1.0 / cfg.n_sub)
     kn, gn, gt, mu = (np.float32(cfg.kn), np.float32(cfg.gamma_n),
                       np.float32(cfg.gamma_t), np.float32(cfg.mu))
     kmax = kmax_ref[0]
     nocc = nocc_ref[0]
+    # lattice-frame wrap lengths for the minimum image (pair() works in
+    # lattice x/y whatever the slab orientation)
+    wlx = np.float32(cfg.wrap_lx)
+    wly = np.float32(cfg.wrap_ly)
 
     col = jax.lax.broadcasted_iota(jnp.int32, (8, C), 1)
     oks = {}
     for dc in (-1, 0, 1):
+        if wrap_l:
+            # every real lane has a (wrapped) partner; padding lanes
+            # carry r == 0 on the i side, which pair() masks
+            oks[dc] = col < ncl
+            continue
         ok = col + dc < ncl  # also masks the ncl..C lane padding
         if dc < 0:
             ok = ok & (col >= -dc)
@@ -222,9 +253,16 @@ def _dem_kernel(kmax_ref, nocc_ref, bands_ref, s_ref, out_ref, nc_ref, fscr,
     ]
 
     def pair(xi, yi, vxi, vyi, omi, ri, xj, yj, vxj, vyj, omj, rj, extra_ok,
-             j_act=None):
+             j_act=None, min_image=True):
         dx = xi - xj
         dyv = yi - yj
+        # minimum image on wrapped axes (oracle: dem._min_image); wall
+        # mirror contacts pass min_image=False (the mirror point is
+        # always the true nearest boundary)
+        if min_image and wlx:
+            dx = dx - wlx * jnp.round(dx / wlx)
+        if min_image and wly:
+            dyv = dyv - wly * jnp.round(dyv / wly)
         dist = jnp.sqrt(dx * dx + dyv * dyv)
         dist = jnp.maximum(dist, np.float32(1e-12))
         delta = ri + rj - dist
@@ -258,6 +296,38 @@ def _dem_kernel(kmax_ref, nocc_ref, bands_ref, s_ref, out_ref, nc_ref, fscr,
     # copy folds to a no-op read-write of the same VMEM.
     out_ref[...] = s_ref[...]
 
+    def refresh_wrap_rows():
+        """Wrapped sublane axis: copy the 8 real edge rows into the
+        guard bands so the +-1-row windows see the far side (raw
+        coordinates; the pair law applies the minimum image). The
+        bottom target [0, 8) is 8-aligned; the top target starts at
+        plane row 8+ncs, which for ncs % 8 != 0 goes through an aligned
+        16-row read-modify-write (static offsets throughout)."""
+        lo_src = ncs  # plane row 8 + ncs - 8 of the last 8 real rows
+        a0 = (lo_src // 8) * 8
+        d_lo = lo_src - a0
+        hi_dst = 8 + ncs
+        t0 = (hi_dst // 8) * 8
+        d_hi = hi_dst - t0
+        for ch in (_X, _Y, _VX, _VY, _OM, _R):
+            for k in range(K):
+                v = out_ref[ch, k, pl.ds(a0, 16)]
+                out_ref[ch, k, pl.ds(0, 8)] = jax.lax.slice(
+                    v, (d_lo, 0), (d_lo + 8, C)
+                )
+                first8 = out_ref[ch, k, pl.ds(8, 8)]
+                if d_hi == 0:
+                    out_ref[ch, k, pl.ds(t0, 8)] = first8
+                else:
+                    w = out_ref[ch, k, pl.ds(t0, 16)]
+                    out_ref[ch, k, pl.ds(t0, 16)] = jnp.concatenate(
+                        [jax.lax.slice(w, (0, 0), (d_hi, C)), first8,
+                         jax.lax.slice(w, (d_hi + 8, 0), (16, C))], axis=0
+                    )
+
+    if wrap_s:
+        refresh_wrap_rows()
+
     # --- per-band phases (state lives IN out_ref; rows of untouched
     # bands pass through as the just-copied input) ---
 
@@ -287,7 +357,16 @@ def _dem_kernel(kmax_ref, nocc_ref, bands_ref, s_ref, out_ref, nc_ref, fscr,
                         def sl(a, dy=dy, dc=dc):
                             p = jax.lax.slice(a, (8 + dy, 0), (16 + dy, C))
                             if dc:
-                                p = pltpu.roll(p, (-dc) % C, 1)
+                                q = pltpu.roll(p, (-dc) % C, 1)
+                                if wrap_l:
+                                    # lane wrap: the edge lane's partner
+                                    # sits (ncl-1) lanes the other way
+                                    # inside the 128-padded plane width
+                                    # (cyclic shift of period ncl != C)
+                                    edge = ncl - 1 if dc > 0 else 0
+                                    r_ = pltpu.roll(p, (dc * (ncl - 1)) % C, 1)
+                                    q = jnp.where(col == edge, r_, q)
+                                p = q
                             return p
                         okk = oks[dc]
                         if dy == 0 and dc == 0:
@@ -325,6 +404,7 @@ def _dem_kernel(kmax_ref, nocc_ref, bands_ref, s_ref, out_ref, nc_ref, fscr,
                         X[k], Y[k], VX[k], VY[k], OM[k], Rr[k],
                         xj, yj, zp, zp, zp, zp,
                         jnp.ones((8, C), dtype=bool), j_act=True,
+                        min_image=False,
                     )
                     afx = afx + dfx
                     afy = afy + dfy
@@ -391,6 +471,10 @@ def _dem_kernel(kmax_ref, nocc_ref, bands_ref, s_ref, out_ref, nc_ref, fscr,
 
     def substep(_, c):
         jax.lax.fori_loop(0, nocc, band_kickdrift, 0)
+        if wrap_s:
+            # ghost rows must reflect the drifted x and published v_half
+            # before the next force eval
+            refresh_wrap_rows()
         tot = jax.lax.fori_loop(0, nocc, band_force, jnp.float32(0.0))
         nc_ref[0] = jnp.maximum(nc_ref[0], tot)
         jax.lax.fori_loop(0, nocc, band_kick2, 0)
@@ -406,11 +490,13 @@ def dem_subcycle(
     """Drop-in Pallas replacement for ops.dem.dem_subcycle (kt == 0)."""
     assert cfg.kt == 0.0, "history springs use the XLA subcycle"
     ncs, ncl, R, C, nb = slab_dims(grid, axis)
+    wrap_s, wrap_l = _wrap_sl(grid, axis)
     body_f = dem_ops.body_forces(disks, cfg)
     slabs, slot, overflow, kmax, n_occ, band_offs = build_slabs(
         disks, f_hydro, t_hydro, body_f, grid, axis
     )
-    kernel = functools.partial(_dem_kernel, cfg=cfg, ncl=ncl, R=R, C=C)
+    kernel = functools.partial(_dem_kernel, cfg=cfg, ncs=ncs, ncl=ncl, R=R,
+                               C=C, wrap_s=wrap_s, wrap_l=wrap_l)
     out, nc_s = pl.pallas_call(
         kernel,
         in_specs=[

@@ -574,7 +574,8 @@ def fused_step_fluid(f: jax.Array, cfg: SimConfig, prehalo: bool = False,
     )(*operands)
 
 
-def _stream_and_bb_window(fpost, cfg, th, tw, iy, ix, nty, ntx, edges=None):
+def _stream_and_bb_window(fpost, cfg, th, tw, iy, ix, nty, ntx, edges=None,
+                          shift=0.0):
     """Pull-stream 9 full (H, W) window planes IN PLACE (periodic rolls;
     the wrap garbage lands in the halo margin, which the temporal-block
     validity argument consumes 1 cell/side/step), with half-way
@@ -637,6 +638,40 @@ def _stream_and_bb_window(fpost, cfg, th, tw, iy, ix, nty, ntx, edges=None):
     if cfg.bc_east == WALL:
         fix((col == _HX + tw - 1) & (ix == ntx - 1) & on(e_on),
             lattice.IN_W, 0.0, cfg.uw_east)
+    if cfg.bc_west == "inlet" and edges is None:
+        # Zou/He open boundaries per inner step (single-chip; the
+        # sharded temporal path stays gated - it lacks the global row
+        # offset). The closure reconstructs the incoming populations
+        # from SAME-CELL post-stream knowns, all of which pull from
+        # in-domain cells, so it anchors the validity cone at the
+        # boundary column exactly like wall BB: the garbage the roll
+        # wraps into the halo beyond can only re-enter through the
+        # populations the closure overwrites. Applied on ALL window
+        # rows: on a periodic y axis the halo rows are wrapped true
+        # data (global y wraps mod ny for the profile); on wall axes
+        # they are garbage in, garbage out.
+        from lbmdem_tpu.ops.lbm import zou_he_inlet, zou_he_outlet
+
+        yg_i = iy * th + (row - hy)
+        if cfg.bc_south != WALL:
+            yg_i = jax.lax.rem(yg_i + jnp.int32(cfg.ny), jnp.int32(cfg.ny))
+        yg = yg_i.astype(jnp.float32) + 0.5
+        Hd = np.float32(cfg.ny)
+        if cfg.inlet_profile == "poiseuille":
+            u = (np.float32(4.0 * cfg.u_inlet) / (Hd * Hd)) * yg * (Hd - yg)
+        else:
+            u = jnp.full((H, W), np.float32(cfg.u_inlet))
+        at_w = (col == _HX) & (ix == 0)
+        n1, n5, n8 = zou_he_inlet(outs, u, shift=np.float32(shift))
+        outs[1] = jnp.where(at_w, n1, outs[1])
+        outs[5] = jnp.where(at_w, n5, outs[5])
+        outs[8] = jnp.where(at_w, n8, outs[8])
+        at_e = (col == _HX + tw - 1) & (ix == ntx - 1)
+        rho_o = np.float32(cfg.rho_outlet or cfg.rho0)
+        n3, n7, n6 = zou_he_outlet(outs, rho_o, shift=np.float32(shift))
+        outs[3] = jnp.where(at_e, n3, outs[3])
+        outs[7] = jnp.where(at_e, n7, outs[7])
+        outs[6] = jnp.where(at_e, n6, outs[6])
     return outs
 
 
@@ -677,7 +712,7 @@ def _fluid_multi_kernel(f_hbm, out_ref, win, sems, *, cfg: SimConfig,
     for _ in range(k):
         fpost, _ = _collide_window(planes, cfg, shift=shift)
         planes = _stream_and_bb_window(fpost, cfg, th, tw, iy, ix, nty, ntx,
-                                       edges=edges)
+                                       edges=edges, shift=shift)
     out_ref[:] = jnp.stack(
         [jax.lax.slice(p, (hy, _HX), (hy + th, _HX + tw)) for p in planes]
     ).astype(out_ref.dtype)
@@ -706,13 +741,16 @@ def fused_step_fluid_multi(f: jax.Array, cfg: SimConfig, k: int,
     fdt, hy, shift = _storage(cfg)
     assert f.dtype == fdt
     assert 1 <= k <= hy, f"temporal block k={k} exceeds the {hy}-row halo"
-    if cfg.bc_west == "inlet" and k > 1:
+    if cfg.bc_west == "inlet" and k > 1 and prehalo:
         # a hard error, not an assert: silently skipping the Zou/He
-        # reconstruction inside the window would be wrong physics
+        # reconstruction inside the window would be wrong physics.
+        # Single-chip reconstructs the boundary columns per inner step
+        # (_stream_and_bb_window); the prehalo kernel lacks the shard's
+        # global row offset for the inlet profile.
         raise ValueError(
-            "temporal blocking does not reconstruct Zou/He open "
-            "boundaries in-window (Simulation gates this path off for "
-            "open-bc configs)"
+            "sharded temporal blocking does not reconstruct Zou/He open "
+            "boundaries in-window (Simulation gates the mesh path off "
+            "for open-bc configs)"
         )
     if k == 1 and not prehalo:
         return fused_step_fluid(f, cfg, out_buf=out_buf)
@@ -770,6 +808,7 @@ def _imb_reduce_kernel(
     f_hbm, s_hbm, data_ref, cnt_ref, out_ref, part_ref, win, swin, sems,
     ssems, wscr, *, cfg: SimConfig, th: int, tw: int, cap: int,
     eps_min: float, sub: int, hy: int = _HY, shift: float = 0.0,
+    prehalo=False, oy: int = 0, ox: int = 0,
 ):
     """IMB collide-stream tile + in-kernel hydro force reduction.
 
@@ -778,6 +817,17 @@ def _imb_reduce_kernel(
     reduces its binned disks' share-weighted phi into per-slot partials
     (pallas_stamp.reduce_partials_banded). Replaces the separate reduce
     pass (one less launch, no phi/eps HBM round-trip).
+
+    prehalo: multi-chip shards — f (at its storage granule hy) and the
+    solid stack (at the f32 granule _HY) carry ppermute-exchanged halo
+    rows (and cols in "yx" mode); global-edge bounce-back is the
+    caller's job (parallel/_pallas_step.py edge fixups).
+
+    oy/ox: static reduce-coordinate origin offsets — the sharded caller
+    bins/gathers disk data in stamp-CANVAS coordinates (interior cell
+    (y, x) = canvas cell (y+oy, x+ox)), so the per-disk rel coordinates
+    evaluate against canvas-offset tile origins. Relative quantities
+    only; the w_ref phi slices stay in tile-interior coords.
     """
     from lbmdem_tpu.ops.pallas_stamp import band_height, reduce_partials_banded
 
@@ -792,9 +842,10 @@ def _imb_reduce_kernel(
         y0, x0 = _tile_xy(step_lin, ntx, th, tw)
         return _window_copies(
             f_hbm, win.at[s], sems.at[s], y0, x0, th, tw, cfg.ny, cfg.nx,
-            hy=hy,
+            prehalo, hy=hy,
         ) + _window_copies(
             s_hbm, swin.at[s], ssems.at[s], y0, x0, th, tw, cfg.ny, cfg.nx,
+            prehalo,
         )
 
     _pipeline_window(copies_for, lin, slot, nty * ntx)
@@ -805,6 +856,7 @@ def _imb_reduce_kernel(
     fpost, phi = _collide_window(wv, cfg, eps=sv[0], usx=sv[1], usy=sv[2],
                                  shift=shift)
     out_ref[:] = _stream_and_bb(fpost, cfg, th, tw, iy, ix, nty, ntx,
+                                prehalo=prehalo,
                                 shift=shift).astype(out_ref.dtype)
 
     # hydro reduction on the tile interior (rows 1..th+1 of the window);
@@ -817,7 +869,7 @@ def _imb_reduce_kernel(
     wscr[1] = jax.lax.slice(phi[1], (1, _HX), (1 + th, _HX + tw)) * share_den
     bh = band_height(cfg.window, th)
     for s in range(sub):
-        x0f = (ix * tw + s * 128).astype(jnp.float32)
+        x0f = (ix * tw + (s * 128 + ox)).astype(jnp.float32)
         # _FUSED_REDUCE_ILP: the reduce body is inlined `sub` times
         # here, and Mosaic compile time scales with the inlined
         # instruction count (full-tile ilp 8 pushed this kernel to ~8
@@ -826,7 +878,7 @@ def _imb_reduce_kernel(
         part_ref[0, s] = reduce_partials_banded(
             lambda i, s=s: data_ref[0, s, i],
             cnt_ref[0, s, 0],
-            iy * th,
+            iy * th + oy,
             x0f,
             wscr,
             s * 128,
@@ -847,17 +899,31 @@ def fused_step_imb_reduce(
     tile_data: jax.Array,
     counts: jax.Array,
     out_buf: jax.Array = None,
+    prehalo=False,
+    origin: Tuple[int, int] = (0, 0),
 ) -> Tuple[jax.Array, jax.Array]:
     """One coupled LBM step with the hydro force reduction fused in.
 
     tile_data/counts are the stamp binning (pallas_stamp, (n_tiles, 1,
     cap*8) / (n_tiles, 1, 1) at 128-column stamp-tile granularity).
     Returns (f_new, partials (n_tiles*cap, 4)); feed the partials to
-    pallas_stamp.gather_partials. Single-chip path only (the pre-haloed
-    multi-chip kernels keep the separate reduce pass).
+    pallas_stamp.gather_partials.
 
-    out_buf: dead f-shaped buffer donated for the output (see
-    fused_step_fluid - avoids XLA's 1.2 GB while-carry copy per step).
+    prehalo (True = 'y' / "yx"): multi-chip shards — cfg is the LOCAL
+    config, f carries 2*hy exchanged halo rows (+ 2*_HX cols in "yx"),
+    the solid stack carries 2*_HY rows (+ 2*_HX cols), tile_data/counts
+    are the INTERIOR-tile rows of the canvas binning (the caller slices
+    them out; disk coords stay in canvas frame via `origin`), and
+    global-edge bounce-back is the caller's job
+    (parallel/_pallas_step.py).
+
+    origin = (oy, ox): static cell offsets of the interior frame inside
+    the coordinate frame the binned disk data was gathered in (the
+    sharded caller's stamp canvas). (0, 0) single-chip.
+
+    out_buf: dead buffer of the OUTPUT shape (9, cfg.ny, cfg.nx) donated
+    for the result (see fused_step_fluid - avoids XLA's 1.2 GB
+    while-carry copy per step).
     """
     from lbmdem_tpu.ops.imb import _EPS_MIN
 
@@ -869,14 +935,19 @@ def fused_step_imb_reduce(
     n_tiles, one_, cap8 = tile_data.shape
     cap = cap8 // 8
     assert one_ == 1 and n_tiles == nty * ntx * sub
-    if usx is None:  # eps IS the stacked (3, ny, nx) solid fields
+    assert f.shape[1] == cfg.ny + (2 * hy if prehalo else 0)
+    assert f.shape[2] == cfg.nx + (2 * _HX if prehalo == "yx" else 0)
+    s_shape = (3, cfg.ny + (2 * _HY if prehalo else 0),
+               cfg.nx + (2 * _HX if prehalo == "yx" else 0))
+    if usx is None:  # eps IS the stacked (3, ...) solid fields
         solid = eps
-        assert solid.shape == (3, cfg.ny, cfg.nx)
+        assert solid.shape == s_shape, (solid.shape, s_shape)
     else:
         solid = jnp.stack(
             [eps.astype(jnp.float32), usx.astype(jnp.float32),
              usy.astype(jnp.float32)]
         )
+        assert solid.shape == s_shape
     # stamp tile t_s = iy*ntx_s + ix*sub + s  <->  grid block (iy, ix)
     # sub-row s: reshaping to (nty*ntx, sub, ...) keeps slot numbering
     # (t_s*cap + rank) identical to the standalone reduce kernel's.
@@ -884,7 +955,8 @@ def fused_step_imb_reduce(
     cnt3 = counts.reshape(nty * ntx, sub, 1)
     kernel = functools.partial(
         _imb_reduce_kernel, cfg=cfg, th=th, tw=tw, cap=cap,
-        eps_min=_EPS_MIN, sub=sub, hy=hy, shift=shift,
+        eps_min=_EPS_MIN, sub=sub, hy=hy, shift=shift, prehalo=prehalo,
+        oy=origin[0], ox=origin[1],
     )
     in_specs = [
         pl.BlockSpec(memory_space=pl.ANY),
@@ -901,7 +973,7 @@ def fused_step_imb_reduce(
     operands = [f, solid, data3, cnt3]
     aliases = {}
     if out_buf is not None:
-        assert out_buf.shape == f.shape
+        assert out_buf.shape == (9, cfg.ny, cfg.nx)
         operands.append(out_buf)
         in_specs.append(pl.BlockSpec(memory_space=pl.ANY))
         aliases = {4: 0}

@@ -416,6 +416,29 @@ def reduce_partials_banded(get, cnt, y0i, x0f, w_ref, col0: int, th: int,
     )
 
 
+def remap_entry_slots(entry_slots, cap: int, ntx_src: int, oy_t: int,
+                      ox_t: int, nty_dst: int, ntx_dst: int) -> jax.Array:
+    """Renumber binning entry slots from a source tile grid into a
+    (nty_dst, ntx_dst) sub-grid at tile offset (oy_t, ox_t).
+
+    The sharded fused-reduce path bins disks once on the padded stamp
+    CANVAS (tiles aligned to the interior's stamp sub-tiles) and feeds
+    only the interior tile rows to pallas_lbm.fused_step_imb_reduce;
+    its per-slot partials are numbered over the interior grid, so the
+    inverse map must be renumbered the same way. Entries landing in the
+    canvas apron become -1 (their cells belong to a neighbor shard,
+    which reduces and psums them)."""
+    t = entry_slots // cap
+    rank = entry_slots - t * cap
+    iy = t // ntx_src - oy_t
+    ix = t % ntx_src - ox_t
+    ok = (
+        (entry_slots >= 0)
+        & (iy >= 0) & (iy < nty_dst) & (ix >= 0) & (ix < ntx_dst)
+    )
+    return jnp.where(ok, (iy * ntx_dst + ix) * cap + rank, -1)
+
+
 def gather_partials(flat, entry_slots, dtype) -> Tuple[jax.Array, jax.Array]:
     """Sum each disk's <=4 per-tile partials via the binning's inverse
     map (one small row-gather, no scatter): (F (N,2), T (N,))."""

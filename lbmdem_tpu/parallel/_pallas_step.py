@@ -2,11 +2,12 @@
 
 Split out of sharding.py for readability; see make_sharded_step. The
 design (SURVEY.md SS5.7): pre-collision halos are ppermute-exchanged at
-kernel DMA granularity (8 rows / 128 columns - collision is pointwise,
-so the kernel simply collides the halo cells too), the fused kernels run
-in pre-halo mode on the extended local frame, and global-edge bounce-
-back is fixed up outside the kernel on the shards that hold a domain
-edge (the kernel cannot know the shard's mesh position statically).
+kernel DMA granularity (8 rows f32 / 16 rows bf16 / 128 columns -
+collision is pointwise, so the kernel simply collides the halo cells
+too), the fused kernels run in pre-halo mode on the extended local
+frame, and global-edge bounce-back is fixed up outside the kernel on
+the shards that hold a domain edge (the kernel cannot know the shard's
+mesh position statically).
 
 Corner (diagonal) halo blocks are correct because the x exchange sends
 columns of the ALREADY y-extended frame: the west neighbor's y-halo rows
@@ -15,6 +16,17 @@ two-hop trick as the XLA path's exchange_halo.
 
 Wall fixup order matches the oracle (south/north rows first, then
 west/east columns overwrite the shared corner populations).
+
+Coupled runs use the same fused IMB+reduce kernel as the single-chip
+path (pallas_lbm.fused_step_imb_reduce: phi never leaves VMEM, one
+kernel launch per step). The enabling trick is the stamp-canvas
+geometry: the local frame is padded by exactly one lattice-tile row of
+rows (pady = th) and one 128-col DMA granule of cols on 2D meshes
+(padx = 128), so the canvas's stamp tiles align 1:1 with the interior's
+(th x 128) stamp sub-tiles - ONE binning serves both the canvas stamp
+and the in-kernel interior reduce (interior tile rows are sliced out;
+pallas_stamp.remap_entry_slots renumbers the inverse map; disk coords
+stay in canvas frame via the kernel's `origin` offsets).
 """
 
 from __future__ import annotations
@@ -29,31 +41,41 @@ from lbmdem_tpu.parallel.sharding import (
     _apply_open_boundaries_sharded, _ring_perm, _wall_corr,
 )
 
-_HY = 8  # halo rows exchanged (kernel sublane DMA granule)
+_HY = 8  # halo rows exchanged (f32 kernel sublane DMA granule)
 _HX = 128  # halo cols exchanged for 2D meshes (lane DMA granule)
-_PAD = 32  # stamp-canvas padding rows/cols per side (tile divisor)
 
 
-def make_sharded_step_pallas(cfg: SimConfig, grid, mesh, h: int, w: int,
-                             dem_axis: str = "y", temporal_k: int = 1):
+def canvas_pads(h: int, w: int, two_d: bool):
+    """(pady, padx) of the sharded stamp canvas.
+
+    pady = the local lattice-tile height (largest of 64/32/16/8 dividing
+    h, mirroring pallas_lbm.tile_dims) so the canvas's stamp tiles align
+    1:1 with the interior's stamp sub-tiles; padx = one 128-col DMA
+    granule on 2D meshes - exactly the fused kernel's x-halo width, so
+    the kernel's solid window is a plain row slice of the canvas."""
+    pady = next(t for t in (64, 32, 16, 8) if h % t == 0)
+    return pady, (_HX if two_d else 0)
+
+
+def _build(cfg: SimConfig, grid, mesh, h: int, w: int, dem_axis: str,
+           temporal_k: int):
+    """Shared closure factory: returns (local_step, coupled_step).
+
+    local_step(state, f_scratch) is the per-step shard body (fresh
+    binning each step); coupled_step(state, f_scratch, ctx) is the
+    coupled body taking an explicit binning context so the Verlet-
+    cadence chunk (make_sharded_coupled_chunk) can amortize rebuilds.
+    """
     from lbmdem_tpu.ops import pallas_lbm, pallas_stamp
-    from lbmdem_tpu.simulation import SimState
-    from lbmdem_tpu.parallel.sharding import state_specs
+    from lbmdem_tpu.simulation import BIN_MARGIN, SimState
 
     coupled = cfg.max_disks > 0
-    # bf16 f storage: exchange halos at the bf16 (16, 128) VMEM tile
-    # granule; the kernels dequantize + shift in place. Pure fluid
-    # only - the coupled path's stamp canvas and edge-fixup collide
-    # assume raw-f32 f (pallas_supported gates this with a clear error).
-    assert cfg.f_storage == "float32" or not coupled, (
-        "sharded Pallas coupled path is float32-storage only"
-    )
-    # Periodic DEM rides the same ghost machinery as the single-chip /
-    # XLA-sharded paths: ghosts are selected at GLOBAL coords (disk
-    # state is replicated), the global->local canvas shift places them
-    # inside the _PAD apron, and the binning drops out-of-canvas tiles.
-    # Fluid periodicity comes free from the ppermute halo ring.
     periodic_dem = coupled and bool(cfg.wrap_lx or cfg.wrap_ly)
+    # bf16 f storage: exchange halos at the bf16 (16, 128) VMEM tile
+    # granule; the kernels dequantize + shift in place, and the edge
+    # fixups round-trip their 1-row/col slices through lbm.from_storage
+    # / to_storage (one bf16 rounding per stored step, same as the
+    # kernel - parity vs single-chip is tolerance-level, not bitwise).
     hy = 16 if cfg.f_storage == "bfloat16" else _HY
     assert cfg.f_storage == "float32" or h % 16 == 0, (
         f"bf16 sharded shards need local ny%16==0 (h={h})"
@@ -68,17 +90,32 @@ def make_sharded_step_pallas(cfg: SimConfig, grid, mesh, h: int, w: int,
     ny_sh, nx_sh = mesh.shape["y"], mesh.shape["x"]
     two_d = nx_sh > 1
     prehalo = "yx" if two_d else True
-    padx = _PAD if two_d else 0
     local_cfg = cfg.replace(ny=h, nx=w)
-    # Stamp canvas: local frame padded by _PAD cells per side (rows
-    # always; cols only on 2D meshes) so disks straddling the shard
-    # boundary stamp their full window; the kernel consumes the
-    # [PAD-8, PAD+h+8) x [PAD-128, PAD+w+128) slice matching its
-    # pre-halo window. _PAD < _HX is fine for columns: the kernel's
-    # x halo beyond the canvas pad is zero-filled, and only +-1 column
-    # of it is ever consumed by streaming.
-    ext_cfg = cfg.replace(ny=h + 2 * _PAD, nx=w + 2 * padx)
     opp = lattice.OPP
+
+    if coupled:
+        # Stamp canvas: local frame padded so disks straddling the shard
+        # boundary stamp their full window AND canvas stamp tiles align
+        # with interior stamp sub-tiles (see canvas_pads). Periodic DEM
+        # rides the same ghost machinery as the single-chip / XLA paths:
+        # ghosts are selected at GLOBAL coords (disk state is
+        # replicated), the global->local canvas shift places them inside
+        # the apron, and the binning drops out-of-canvas tiles. Fluid
+        # periodicity comes free from the ppermute halo ring.
+        pady, padx = canvas_pads(h, w, two_d)
+        canvas_cfg = cfg.replace(ny=h + 2 * pady, nx=w + 2 * padx)
+        th_s, tw_s = pallas_stamp.tile_dims(canvas_cfg)
+        assert th_s == pady and tw_s == 128, (
+            f"canvas stamp tiles ({th_s}x{tw_s}) must align with the "
+            f"interior's ({pady}x128) sub-tiles"
+        )
+        nty_c, ntx_c = canvas_cfg.ny // th_s, canvas_cfg.nx // 128
+        nty_i, ntx_i = h // th_s, w // 128
+        oy_t, ox_t = pady // th_s, padx // 128
+        cap = cfg.tile_cap
+        ix_int = slice(padx, padx + w)  # interior cols of the canvas
+    else:
+        pady = padx = 0
 
     def _y_row_cols(i):
         # 1D mode: x-wall rules ran in-kernel and win at corners; the
@@ -150,35 +187,43 @@ def make_sharded_step_pallas(cfg: SimConfig, grid, mesh, h: int, w: int,
             ext = jnp.concatenate([le, ext, ri], axis=2)
         return ext
 
-    # slices of the stamp canvas matching the kernel's pre-halo window
-    sl_y = slice(_PAD - _HY, _PAD + h + _HY)
-    if two_d:
-        # canvas cols cover [PAD-128, PAD+w+128) relative to the local
-        # frame; the canvas itself is only padded by _PAD(=32) cols, so
-        # prepend/append zero blocks up to the 128-col DMA granule.
-        def kernel_cols(a):
-            zw = jnp.zeros((a.shape[0], _HX - padx), a.dtype)
-            return jnp.concatenate([zw, a, zw], axis=1)
-    else:
-        def kernel_cols(a):
-            return a
+    def col_imb(frows, eps_s, usx_s, usy_s):
+        """Storage-aware 1-row/col oracle IMB collide for the edge
+        fixups (physical compute between quantized states, exactly the
+        oracle path's bf16 emulation; identity round-trip for f32)."""
+        fp, _, _ = imb.collide_imb(
+            lbm.from_storage(frows, cfg), eps_s, usx_s, usy_s, cfg
+        )
+        return lbm.to_storage(fp, cfg)
 
-    ix_int = slice(padx, padx + w)  # interior cols of the stamp canvas
+    def coupled_step(state: SimState, f_scratch, ctx) -> SimState:
+        """One coupled step on the local shard.
 
-    def local_step(state: SimState, f_scratch) -> SimState:
-        # f_scratch: dead (9, h, w) shard donated for the kernel output
-        # (avoids XLA's while-carry copy; see pallas_lbm.fused_step_fluid)
-        f = state.f  # (9, h, w) local
+        ctx = None: fresh canvas binning in-step (margin 0), the plain
+        per-step entry point. ctx = (lists, counts_c, entries_i, x_bin,
+        gparent, gaxes): a Verlet-cadence rebuild from
+        make_sharded_coupled_chunk - positions were wrapped and ghosts
+        selected at the rebuild; per-step travel beyond BIN_MARGIN is
+        counted into state.overflow (same contract as
+        simulation.make_step_fn's tile_lists)."""
+        d = state.disks
+        n_real = d.x.shape[0]
+        f = state.f
         f_ext = exchange(f)
 
-        if coupled:
-            d = state.disks
+        oy_g = (jax.lax.axis_index("y") * h).astype(jnp.float32)
+        ox_g = (jax.lax.axis_index("x") * w).astype(jnp.float32)
+        # global -> canvas frame (canvas cell (0,0) is global
+        # (oy_g - pady, ox_g - padx))
+        shift_c = jnp.stack([ox_g - padx, oy_g - pady]).astype(d.x.dtype)
+
+        if ctx is None:
+            gparent = gaxes = None
             govf = jnp.zeros((), jnp.int32)
             if periodic_dem:
                 # wrap + ghost-select at GLOBAL coords (replicated disk
                 # state: every shard computes the same augmentation)
-                # BEFORE the local-frame shift, exactly as the XLA
-                # sharded path does
+                # BEFORE the local-frame shift, as the XLA path does
                 xw, aug, gparent, _, govf = imb.periodic_ghosts(
                     d.x, d.v, d.omega, d.r, d.active, cfg
                 )
@@ -186,111 +231,134 @@ def make_sharded_step_pallas(cfg: SimConfig, grid, mesh, h: int, w: int,
                 xa, va, oma, ra, acta = aug
             else:
                 xa, va, oma, ra, acta = d.x, d.v, d.omega, d.r, d.active
-            oy = (jax.lax.axis_index("y") * h).astype(f.dtype)
-            ox = (jax.lax.axis_index("x") * w).astype(f.dtype)
-            shift = jnp.stack([ox - padx, oy - _PAD])
-            xloc = xa - shift[None, :]
-            binned = pallas_stamp.bin_disks_to_tiles(
-                xloc, va, oma, ra, acta, ext_cfg
+            xloc = xa - shift_c[None, :]
+            lists, counts_c, entries_c, bovf = (
+                pallas_stamp.build_tile_lists(xloc, acta, canvas_cfg)
             )
-            tile_data, counts, entry_slots, bovf = binned
+            entries_i = pallas_stamp.remap_entry_slots(
+                entries_c, cap, ntx_c, oy_t, ox_t, nty_i, ntx_i
+            )
             bovf = jnp.maximum(bovf, govf)
-            eps, usx, usy, _ = pallas_stamp.stamp_solid_fraction(
-                xloc, va, oma, ra, acta, ext_cfg, binned=binned
+        else:
+            lists, counts_c, entries_i, x_bin, gparent, gaxes = ctx
+            travel2 = jnp.where(
+                d.active, jnp.sum((d.x - x_bin) ** 2, axis=-1), 0.0
             )
-            if cfg.bc_west == "inlet":
-                # Zou/He boundary columns stay pure fluid (oracle:
-                # imb.mask_open_columns): zero the canvas column holding
-                # GLOBAL x = 0 / nx-1 on the edge shards only
-                ix_sh = jax.lax.axis_index("x")
-                at_w = ix_sh == 0
-                at_e = ix_sh == nx_sh - 1
-                cw, ce = padx, padx + w - 1
-                eps, usx, usy = (
-                    a.at[:, cw].set(jnp.where(at_w, 0.0, a[:, cw]))
-                    .at[:, ce].set(jnp.where(at_e, 0.0, a[:, ce]))
-                    for a in (eps, usx, usy)
-                )
-            fnew, phix, phiy = pallas_lbm.fused_step_imb(
-                f_ext,
-                kernel_cols(eps[sl_y]),
-                kernel_cols(usx[sl_y]),
-                kernel_cols(usy[sl_y]),
-                local_cfg, prehalo=prehalo, out_buf=f_scratch,
+            bovf = jnp.sum(
+                travel2 > float(BIN_MARGIN) ** 2, dtype=jnp.int32
             )
-            # global-edge bounce-back: recompute fpost on the edge
-            # rows/cols with the oracle (identical formulas; 1-row/col)
-            fp_bot, _, _ = imb.collide_imb(
-                f[:, 0:1, :], eps[_PAD : _PAD + 1, ix_int],
-                usx[_PAD : _PAD + 1, ix_int], usy[_PAD : _PAD + 1, ix_int],
-                cfg,
-            )
-            fp_top, _, _ = imb.collide_imb(
-                f[:, -1:, :], eps[_PAD + h - 1 : _PAD + h, ix_int],
-                usx[_PAD + h - 1 : _PAD + h, ix_int],
-                usy[_PAD + h - 1 : _PAD + h, ix_int], cfg,
-            )
-            fnew = fix_y_walls(fnew, fp_bot, fp_top)
-            if two_d:
-                iy_int = slice(_PAD, _PAD + h)
-                fp_w, _, _ = imb.collide_imb(
-                    f[:, :, 0:1], eps[iy_int, padx : padx + 1],
-                    usx[iy_int, padx : padx + 1],
-                    usy[iy_int, padx : padx + 1], cfg,
-                )
-                fp_e, _, _ = imb.collide_imb(
-                    f[:, :, -1:], eps[iy_int, padx + w - 1 : padx + w],
-                    usx[iy_int, padx + w - 1 : padx + w],
-                    usy[iy_int, padx + w - 1 : padx + w], cfg,
-                )
-                fnew = fix_x_walls(fnew, fp_w, fp_e)
-            # Zou/He open boundaries: external edge-shard fixup (the
-            # kernel skips its in-kernel closure in every prehalo mode -
-            # it lacks the global row offset and the post-fixup wall
-            # corners); shared with the XLA sharded path so the
-            # reconstruction is identical there.
-            fnew = _apply_open_boundaries_sharded(fnew, cfg, h, nx_sh)
-            # reduce on the extended canvas: zero-pad phi into it (halo
-            # cells belong to the neighbor shard)
-            phix_e = jnp.zeros(
-                (h + 2 * _PAD, w + 2 * padx), phix.dtype
-            ).at[_PAD : _PAD + h, ix_int].set(phix)
-            phiy_e = jnp.zeros_like(phix_e).at[_PAD : _PAD + h, ix_int].set(phiy)
-            fh_p, th_p = pallas_stamp.reduce_hydro_forces(
-                xloc, ra, acta, eps, phix_e, phiy_e, ext_cfg,
-                tile_data, counts, entry_slots,
-            )
-            fh = jax.lax.psum(fh_p, ("y", "x"))
-            th = jax.lax.psum(th_p, ("y", "x"))
             if periodic_dem:
-                fh, th = imb.fold_ghost_forces(fh, th, gparent,
-                                               d.x.shape[0])
-            if use_slab_dem:
-                from lbmdem_tpu.ops import pallas_dem
-
-                disks, ovf, nc = pallas_dem.dem_subcycle(
-                    d, fh, th, grid, cfg, dem_axis
+                xa, va, oma, ra, acta = imb.apply_ghosts(
+                    gparent, gaxes, d.x, d.v, d.omega, d.r, d.active, cfg
                 )
             else:
-                disks, ovf, nc = dem.dem_subcycle(d, fh, th, grid, cfg)
-            if cfg.bc_west == "inlet":
-                # mobile disks leaving through the open x ends (disk
-                # state is replicated: every shard culls identically)
-                disks = dem.cull_open_boundaries(disks, cfg)
-            return SimState(
-                f=fnew,
-                disks=disks,
-                step=state.step + 1,
-                overflow=jnp.maximum(state.overflow, jnp.maximum(ovf, bovf)),
-                n_contacts=nc,
-                fail_step=state.fail_step,
+                xa, va, oma, ra, acta = d.x, d.v, d.omega, d.r, d.active
+            xloc = xa - shift_c[None, :]
+
+        tile_data = pallas_stamp.gather_tile_data(
+            lists, xloc, va, oma, ra, acta
+        )
+        solid, _ = pallas_stamp.stamp_solid_fraction(
+            xloc, va, oma, ra, acta, canvas_cfg,
+            binned=(tile_data, counts_c, None, None), as_stack=True,
+        )
+        if cfg.bc_west == "inlet":
+            # Zou/He boundary columns stay pure fluid (oracle:
+            # imb.mask_open_columns): zero the canvas column holding
+            # GLOBAL x = 0 / nx-1 on the edge shards only
+            ix_sh = jax.lax.axis_index("x")
+            at_w = ix_sh == 0
+            at_e = ix_sh == nx_sh - 1
+            cw, ce = padx, padx + w - 1
+            solid = solid.at[:, :, cw].set(
+                jnp.where(at_w, 0.0, solid[:, :, cw])
+            ).at[:, :, ce].set(jnp.where(at_e, 0.0, solid[:, :, ce]))
+        # interior tile rows of the canvas binning feed the fused reduce
+        td_i = tile_data.reshape(nty_c, ntx_c, cap * 8)[
+            oy_t : oy_t + nty_i, ox_t : ox_t + ntx_i
+        ].reshape(nty_i * ntx_i, 1, cap * 8)
+        cnt_i = counts_c.reshape(nty_c, ntx_c)[
+            oy_t : oy_t + nty_i, ox_t : ox_t + ntx_i
+        ].reshape(nty_i * ntx_i, 1, 1)
+        # kernel solid window: canvas rows [pady-8, pady+h+8); cols are
+        # the full canvas (2D: padx == _HX is exactly the x-halo width)
+        s_k = solid[:, pady - _HY : pady + h + _HY, :]
+        fnew, partials = pallas_lbm.fused_step_imb_reduce(
+            f_ext, s_k, None, None, local_cfg, td_i, cnt_i,
+            out_buf=f_scratch, prehalo=prehalo, origin=(pady, padx),
+        )
+        # global-edge bounce-back: recompute fpost on the edge rows/cols
+        # with the oracle (identical formulas; 1-row/col)
+        fp_bot = col_imb(
+            f[:, 0:1, :], solid[0, pady : pady + 1, ix_int],
+            solid[1, pady : pady + 1, ix_int],
+            solid[2, pady : pady + 1, ix_int],
+        )
+        fp_top = col_imb(
+            f[:, -1:, :], solid[0, pady + h - 1 : pady + h, ix_int],
+            solid[1, pady + h - 1 : pady + h, ix_int],
+            solid[2, pady + h - 1 : pady + h, ix_int],
+        )
+        fnew = fix_y_walls(fnew, fp_bot, fp_top)
+        if two_d:
+            iy_i = slice(pady, pady + h)
+            fp_w = col_imb(
+                f[:, :, 0:1], solid[0, iy_i, padx : padx + 1],
+                solid[1, iy_i, padx : padx + 1],
+                solid[2, iy_i, padx : padx + 1],
             )
+            fp_e = col_imb(
+                f[:, :, -1:], solid[0, iy_i, padx + w - 1 : padx + w],
+                solid[1, iy_i, padx + w - 1 : padx + w],
+                solid[2, iy_i, padx + w - 1 : padx + w],
+            )
+            fnew = fix_x_walls(fnew, fp_w, fp_e)
+        # Zou/He open boundaries: external edge-shard fixup (the kernel
+        # skips its in-kernel closure in every prehalo mode - it lacks
+        # the global row offset and the post-fixup wall corners); shared
+        # with the XLA sharded path so the reconstruction is identical.
+        fnew = _apply_open_boundaries_sharded(fnew, cfg, h, nx_sh)
+        fh_p, th_p = pallas_stamp.gather_partials(
+            partials, entries_i, d.x.dtype
+        )
+        fh = jax.lax.psum(fh_p, ("y", "x"))
+        th = jax.lax.psum(th_p, ("y", "x"))
+        if periodic_dem:
+            fh, th = imb.fold_ghost_forces(fh, th, gparent, n_real)
+        if use_slab_dem:
+            from lbmdem_tpu.ops import pallas_dem
+
+            disks, ovf, nc = pallas_dem.dem_subcycle(
+                d, fh, th, grid, cfg, dem_axis
+            )
+        else:
+            disks, ovf, nc = dem.dem_subcycle(d, fh, th, grid, cfg)
+        if cfg.bc_west == "inlet":
+            # mobile disks leaving through the open x ends (disk state
+            # is replicated: every shard culls identically)
+            disks = dem.cull_open_boundaries(disks, cfg)
+        return SimState(
+            f=fnew,
+            disks=disks,
+            step=state.step + 1,
+            overflow=jnp.maximum(state.overflow, jnp.maximum(ovf, bovf)),
+            n_contacts=nc,
+            fail_step=state.fail_step,
+        )
+
+    def local_step(state: SimState, f_scratch) -> SimState:
+        # f_scratch: dead (9, h, w) shard donated for the kernel output
+        # (avoids XLA's while-carry copy; see pallas_lbm.fused_step_fluid)
+        if coupled:
+            return coupled_step(state, f_scratch, None)
+        f_ext = exchange(state.f)
         if temporal_k > 1:
-            # temporal blocking: the exchanged 8-row (/128-col) halo IS
-            # the k<=8 dependency-cone margin, so ONE ppermute exchange
-            # feeds k steps - per-step ICI traffic drops k-fold. Edge
-            # bounce-back runs in-kernel (flagged by mesh position);
-            # no external fixup (inner steps are invisible out here).
+            # temporal blocking: the exchanged halo (8 rows f32 / 16
+            # bf16, 128 cols) IS the k<=hy dependency-cone margin, so
+            # ONE ppermute exchange feeds k steps - per-step ICI traffic
+            # drops k-fold. Edge bounce-back runs in-kernel (flagged by
+            # mesh position); no external fixup (inner steps are
+            # invisible out here).
             iy_m = jax.lax.axis_index("y")
             ix_m = jax.lax.axis_index("x")
             edges = jnp.stack(
@@ -312,15 +380,26 @@ def make_sharded_step_pallas(cfg: SimConfig, grid, mesh, h: int, w: int,
                              cfg.gy, cfg.smagorinsky, cfg.trt_lambda)
             return lbm.to_storage(fp, cfg)
 
-        fnew = fix_y_walls(fnew, col(f[:, 0:1, :]), col(f[:, -1:, :]))
+        fnew = fix_y_walls(fnew, col(state.f[:, 0:1, :]),
+                           col(state.f[:, -1:, :]))
         if two_d:
-            fnew = fix_x_walls(fnew, col(f[:, :, 0:1]), col(f[:, :, -1:]))
+            fnew = fix_x_walls(fnew, col(state.f[:, :, 0:1]),
+                               col(state.f[:, :, -1:]))
         # Zou/He open boundaries (no-op unless bc_west == 'inlet'; the
         # fixup is storage-aware: bf16 fnew holds shifted g and the
         # closures run in f32 with the +rho0 density-sum shift)
         fnew = _apply_open_boundaries_sharded(fnew, cfg, h, nx_sh)
         return state._replace(f=fnew, step=state.step + 1)
 
+    return local_step, (coupled_step if coupled else None)
+
+
+def make_sharded_step_pallas(cfg: SimConfig, grid, mesh, h: int, w: int,
+                             dem_axis: str = "y", temporal_k: int = 1):
+    from lbmdem_tpu.simulation import SimState
+    from lbmdem_tpu.parallel.sharding import state_specs
+
+    local_step, _ = _build(cfg, grid, mesh, h, w, dem_axis, temporal_k)
     specs = state_specs()
     # check_vma=False: pallas_call outputs carry no varying-axis metadata
     sharded = jax.shard_map(
@@ -338,3 +417,103 @@ def make_sharded_step_pallas(cfg: SimConfig, grid, mesh, h: int, w: int,
 
         stepfn = paranoid_wrap(stepfn, cfg)
     return stepfn
+
+
+def make_sharded_coupled_chunk(cfg: SimConfig, grid, mesh, h: int, w: int,
+                               n: int, dem_axis: str = "y"):
+    """`n` coupled steps per call with Verlet-cadence canvas binning.
+
+    The whole cadence loop lives INSIDE shard_map (the binning is
+    shard-local: it depends on lax.axis_index), mirroring the
+    single-chip Verlet-cadence chunk (Simulation._chunk_fn): every
+    BIN_CADENCE steps, wrap + ghost-select (periodic decks) and rebuild
+    the canvas tile lists with BIN_MARGIN cells of slack; the steps in
+    between only re-gather disk data at current positions. Per-step
+    travel beyond the margin is counted into state.overflow. The two
+    f buffers ping-pong through the donated kernel output exactly as
+    the single-chip chunk does. Paranoid mode keeps the per-step path
+    (its per-step validation wraps the shard_map boundary)."""
+    from lbmdem_tpu.ops import pallas_stamp
+    from lbmdem_tpu.simulation import BIN_CADENCE, BIN_MARGIN
+    from lbmdem_tpu.parallel.sharding import state_specs
+
+    assert cfg.max_disks > 0 and not cfg.paranoia
+    _, coupled_step = _build(cfg, grid, mesh, h, w, dem_axis, 1)
+    periodic_dem = bool(cfg.wrap_lx or cfg.wrap_ly)
+    two_d = mesh.shape["x"] > 1
+    pady, padx = canvas_pads(h, w, two_d)
+    canvas_cfg = cfg.replace(ny=h + 2 * pady, nx=w + 2 * padx)
+    th_s, _ = pallas_stamp.tile_dims(canvas_cfg)
+    nty_c, ntx_c = canvas_cfg.ny // th_s, canvas_cfg.nx // 128
+    nty_i, ntx_i = h // th_s, w // 128
+    oy_t, ox_t = pady // th_s, padx // 128
+    cap = cfg.tile_cap
+
+    def double(s, sc, stepfn):
+        s1 = stepfn(s, sc)
+        s2 = stepfn(s1, s.f)
+        return s2, s1.f
+
+    def k_steps(carry, k):
+        st, scr = carry
+        d = st.disks
+        gparent = gaxes = None
+        if periodic_dem:
+            # wrap + ghost-select ONLY at rebuild points: the ghost
+            # threshold carries the same BIN_MARGIN slack as the tile
+            # lists, and the travel check flags violations
+            xw, (xb, _, _, _, actb), gparent, gaxes, govf = (
+                imb.periodic_ghosts(
+                    d.x, d.v, d.omega, d.r, d.active, cfg,
+                    margin=BIN_MARGIN,
+                )
+            )
+            d = d._replace(x=xw)
+            st = st._replace(
+                disks=d, overflow=jnp.maximum(st.overflow, govf)
+            )
+        else:
+            xb, actb = d.x, d.active
+        oy_g = (jax.lax.axis_index("y") * h).astype(jnp.float32)
+        ox_g = (jax.lax.axis_index("x") * w).astype(jnp.float32)
+        shift_c = jnp.stack([ox_g - padx, oy_g - pady]).astype(xb.dtype)
+        lists, counts_c, entries_c, bovf = pallas_stamp.build_tile_lists(
+            xb - shift_c[None, :], actb, canvas_cfg, margin=BIN_MARGIN
+        )
+        entries_i = pallas_stamp.remap_entry_slots(
+            entries_c, cap, ntx_c, oy_t, ox_t, nty_i, ntx_i
+        )
+        st = st._replace(overflow=jnp.maximum(st.overflow, bovf))
+        ctx = (lists, counts_c, entries_i, d.x, gparent, gaxes)
+        kstep = lambda s, sc: coupled_step(s, sc, ctx)
+        k2, krem = divmod(k, 2)
+        if k2:
+            st, scr = jax.lax.fori_loop(
+                0, k2, lambda _, c: double(c[0], c[1], kstep), (st, scr)
+            )
+        if krem:
+            st1 = kstep(st, scr)
+            st, scr = st1, st.f
+        return (st, scr)
+
+    def local_chunk(state, f_scratch):
+        n_outer, n_rem = divmod(n, BIN_CADENCE)
+        carry = (state, f_scratch)
+        if n_outer:
+            carry = jax.lax.fori_loop(
+                0, n_outer, lambda _, c: k_steps(c, BIN_CADENCE), carry
+            )
+        if n_rem:
+            carry = k_steps(carry, n_rem)
+        return carry[0]
+
+    specs = state_specs()
+    sharded = jax.shard_map(
+        local_chunk, mesh=mesh, in_specs=(specs, specs.f), out_specs=specs,
+        check_vma=False,
+    )
+
+    def chunkfn(state):
+        return sharded(state, jnp.zeros_like(state.f))
+
+    return chunkfn

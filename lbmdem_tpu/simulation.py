@@ -121,22 +121,17 @@ def pallas_supported(cfg: SimConfig, mesh=None) -> Optional[str]:
 
     With `mesh`, validates the per-shard geometry the sharded Pallas
     path actually runs on: the local (h, w) frame feeds the lattice
-    kernel, and the stamp tiles are chosen on the _PAD-padded local
-    canvas (parallel/_pallas_step.py), whose tile divisors can be much
+    kernel, and the stamp tiles are chosen on the padded local canvas
+    (parallel/_pallas_step.canvas_pads), whose tile divisors can be much
     smaller than the global lattice's."""
     if cfg.dtype != "float32":
         return f"Pallas path is float32-only (dtype={cfg.dtype})"
     if cfg.f_storage == "bfloat16":
         # bf16 VMEM tiles are (16, 128): the halo DMA row granule (and,
         # sharded, the prehalo ppermute exchange) doubles to 16 rows,
-        # so the (per-shard) height must be 16-divisible. The sharded
-        # COUPLED path additionally round-trips raw f through the stamp
-        # canvas / edge fixups and stays f32-only.
+        # so the (per-shard) height must be 16-divisible.
         ny_chk = cfg.ny
         if mesh is not None:
-            if cfg.max_disks > 0:
-                return ("f_storage='bfloat16' with disks is single-chip "
-                        "only (the sharded stamp canvas consumes raw f32 f)")
             if cfg.ny % mesh.shape["y"]:
                 return (
                     f"lattice ny={cfg.ny} does not tile the mesh "
@@ -167,16 +162,17 @@ def pallas_supported(cfg: SimConfig, mesh=None) -> Optional[str]:
             f"({where} {ny}x{nx})"
         )
     if cfg.max_disks > 0:
+        margin = 2 * BIN_MARGIN
         if mesh is not None:
-            from lbmdem_tpu.parallel._pallas_step import _PAD
+            from lbmdem_tpu.parallel._pallas_step import canvas_pads
 
-            # stamp tiles are chosen on the padded local canvas; the
-            # sharded path rebins every step, so no Verlet margin
-            ny += 2 * _PAD
-            nx += 2 * _PAD if two_d else 0
-            margin = 0
-        else:
-            margin = 2 * BIN_MARGIN
+            # stamp tiles are chosen on the padded local canvas, whose
+            # pads align canvas tiles to the interior's stamp sub-tiles
+            # (canvas_pads); both the per-step and the Verlet-cadence
+            # sharded paths bin on it (the cadence adds the margin)
+            pady, padx = canvas_pads(ny, nx, two_d)
+            ny += 2 * pady
+            nx += 2 * padx
         th = next(t for t in (64, 32, 16, 8, 4, 2, 1) if ny % t == 0)
         tw = next(t for t in (128, 64, 32, 16, 8, 4, 2, 1) if nx % t == 0)
         if cfg.window + margin > min(th, tw):
@@ -444,15 +440,13 @@ class Simulation:
             reason = pallas_supported(cfg, mesh)
             if reason is not None:
                 raise ValueError(f"use_pallas=True unsupported: {reason}")
-        if (mesh is not None and cfg.f_storage != "float32"
-                and not (use_pallas and cfg.max_disks == 0)):
-            # Only the sharded PURE-FLUID Pallas path handles shifted
-            # bf16 storage (16-row prehalo exchange + in-kernel shift);
-            # the XLA sharded step and the sharded coupled paths consume
-            # state.f raw.
+        if mesh is not None and cfg.f_storage != "float32" and not use_pallas:
+            # Only the sharded Pallas paths handle shifted bf16 storage
+            # (16-row prehalo exchange + in-kernel shift + storage-aware
+            # edge fixups); the XLA sharded step consumes state.f raw.
             raise ValueError(
                 "f_storage='bfloat16' on a mesh needs use_pallas=True "
-                "and no disks (other sharded steps consume raw f32 f)"
+                "(the sharded XLA step consumes raw f32 f)"
             )
         self.cfg = cfg
         self.use_pallas = use_pallas
@@ -467,6 +461,19 @@ class Simulation:
         self.dem_mode = (
             "drift" if disks and all(d.fixed for d in disks) else "subcycle"
         )
+        # every disk fixed AND at rest -> the whole coupling input
+        # (binning, stamp, solid fields) is a step-invariant CONSTANT:
+        # the chunk driver hoists it out of the loop and the step
+        # reduces to the fused IMB kernel alone (docs/performance.md
+        # Roadmap #1). Computed once, passed as jit ARGUMENTS (captured
+        # constants land in the remote-compile request body - HTTP 413
+        # at 8192^2-class solid stacks).
+        self.static_solid = (
+            self.dem_mode == "drift"
+            and all(d.vx == 0.0 and d.vy == 0.0 and d.omega == 0.0
+                    for d in disks)
+        )
+        self._static_ops = None
         self.state = SimState(
             f=lbm.to_storage(lbm.init_equilibrium(cfg), cfg),
             disks=dem.make_disk_state(disks, cfg),
@@ -508,7 +515,67 @@ class Simulation:
                 s2 = stepfn(s1, s.f)
                 return s2, s1.f
 
-            if self.use_pallas and self.cfg.max_disks > 0 and self.mesh is None:
+            if (self.use_pallas and self.cfg.max_disks > 0
+                    and self.mesh is None and self.static_solid
+                    and not self.cfg.paranoia):
+                # static-solid hoist: all disks fixed at rest, so the
+                # binning + stamp are loop constants (built once in
+                # _static_solid_operands) and the reduce is skipped via
+                # zero-trip counts (drag on obstacles stays observable
+                # through Simulation.hydro_forces at dump time). The
+                # step is the fused IMB kernel alone.
+                from lbmdem_tpu.ops import pallas_lbm
+
+                cfg = self.cfg
+
+                def sstep(st, scr, solid, td, cnt):
+                    fnew, _ = pallas_lbm.fused_step_imb_reduce(
+                        st.f, solid, None, None, cfg, td, cnt, out_buf=scr
+                    )
+                    return st._replace(f=fnew, step=st.step + 1)
+
+                def chunk(state, solid, td, cnt):
+                    def dbl(c):
+                        st, scr = c
+                        s1 = sstep(st, scr, solid, td, cnt)
+                        s2 = sstep(s1, st.f, solid, td, cnt)
+                        return (s2, s1.f)
+
+                    n2, rem = divmod(n, 2)
+                    carry = (state, jnp.zeros_like(state.f))
+                    if n2:
+                        carry = jax.lax.fori_loop(
+                            0, n2, lambda _, c: dbl(c), carry
+                        )
+                    st, scr = carry
+                    if rem:
+                        st = sstep(st, scr, solid, td, cnt)
+                    return st
+
+                jitted = jax.jit(chunk, donate_argnums=0)
+                ops = self._static_solid_operands()
+                self._chunk_cache[n] = lambda state: jitted(state, *ops)
+                return self._chunk_cache[n]
+            if (self.use_pallas and self.cfg.max_disks > 0
+                    and self.mesh is not None and not self.cfg.paranoia):
+                # sharded Verlet-cadence chunk: the whole cadence loop
+                # (rebuild every BIN_CADENCE steps, margin-validated)
+                # lives inside shard_map - same structure as the
+                # single-chip branch below (parallel/_pallas_step.py).
+                # Paranoid mode needs per-step validation at the
+                # shard_map boundary, so it keeps the per-step path.
+                from lbmdem_tpu.parallel._pallas_step import (
+                    make_sharded_coupled_chunk,
+                )
+
+                ny_sh = self.mesh.shape["y"]
+                nx_sh = self.mesh.shape["x"]
+                chunk = make_sharded_coupled_chunk(
+                    self.cfg, self.grid, self.mesh,
+                    self.cfg.ny // ny_sh, self.cfg.nx // nx_sh, n,
+                    dem_axis=self.dem_axis,
+                )
+            elif self.use_pallas and self.cfg.max_disks > 0 and self.mesh is None:
                 # Verlet-cadence chunk: rebuild the stamp tile lists every
                 # BIN_CADENCE steps (margin-validated), amortizing the
                 # sort/scatter binning cost.
@@ -575,7 +642,7 @@ class Simulation:
                         carry = k_steps(carry, n_rem)
                     return carry[0]
             elif (self.use_pallas and self.cfg.max_disks == 0
-                  and self.cfg.bc_west != "inlet"
+                  and (self.cfg.bc_west != "inlet" or self.mesh is None)
                   and n >= TEMPORAL_K > 1):
                 # pure fluid: temporal blocking - k steps per kernel
                 # pass / HBM round-trip (the halo window's 8-row margin
@@ -630,6 +697,49 @@ class Simulation:
 
             self._chunk_cache[n] = jax.jit(chunk, donate_argnums=0)
         return self._chunk_cache[n]
+
+    def _static_solid_operands(self):
+        """(solid stack, tile_data, zeroed counts) for the static-solid
+        hoist: computed once on device from the (immutable) disk state.
+        Counts are zeroed so the fused kernel's reduce loops are
+        zero-trip - the per-disk force partials of a fixed-at-rest scene
+        are never consumed by motion (hydro_forces() observes drag from
+        a separate oracle evaluation). Binning overflow is checked once
+        here instead of per step."""
+        if self._static_ops is None:
+            from lbmdem_tpu.ops import pallas_stamp
+
+            cfg = self.cfg
+            periodic = bool(cfg.wrap_lx or cfg.wrap_ly)
+
+            @jax.jit
+            def build(d):
+                x, v, om, r, act = d.x, d.v, d.omega, d.r, d.active
+                govf = jnp.zeros((), jnp.int32)
+                if periodic:
+                    _, (x, v, om, r, act), _, _, govf = imb.periodic_ghosts(
+                        x, v, om, r, act, cfg
+                    )
+                binned = pallas_stamp.bin_disks_to_tiles(x, v, om, r, act,
+                                                         cfg)
+                tile_data, counts, _, bovf = binned
+                solid, _ = pallas_stamp.stamp_solid_fraction(
+                    x, v, om, r, act, cfg, binned=binned, as_stack=True
+                )
+                if cfg.bc_west == "inlet":
+                    # Zou/He boundary columns stay pure fluid (oracle:
+                    # imb.mask_open_columns)
+                    solid = solid.at[:, :, 0].set(0.0).at[:, :, -1].set(0.0)
+                return solid, tile_data, counts, jnp.maximum(bovf, govf)
+
+            solid, tile_data, counts, ovf = build(self.state.disks)
+            if int(ovf) != 0:
+                raise ValueError(
+                    "static-solid binning overflow: raise cfg.tile_cap "
+                    "(or cfg.ghost_cap for periodic obstacle arrays)"
+                )
+            self._static_ops = (solid, tile_data, jnp.zeros_like(counts))
+        return self._static_ops
 
     def run(
         self,

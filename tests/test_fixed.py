@@ -154,6 +154,37 @@ def test_simulation_all_fixed_uses_drift():
     assert F[0, 0] > 0.0
 
 
+@pytest.mark.slow  # two interpret-mode fused coupled builds (~2 min)
+def test_static_solid_hoist_matches_per_step():
+    """All-fixed-at-rest scenes run the hoisted chunk (binning + stamp
+    computed once, reduce skipped via zero-trip counts): Simulation.run
+    through that chunk must match the per-step fused path, and drag
+    must stay observable via hydro_forces()."""
+    cfg = _cfg(nx=128, ny=128, max_disks=2, gx=1e-5, g_py=0.0,
+               bc_west="periodic", bc_east="periodic", out_interval=5)
+    specs = [DiskSpec(40.0, 64.0, 4.0, fixed=True),
+             DiskSpec(80.0, 64.0, 4.0, fixed=True)]
+    sim = Simulation(cfg, specs, use_pallas=True)
+    assert sim.static_solid
+    sim.run(5)
+
+    ref = Simulation(cfg, specs, use_pallas=True)
+    ref.static_solid = False  # force the generic Verlet-cadence chunk
+    ref.run(5)
+    assert int(sim.state.step) == 5
+    np.testing.assert_allclose(np.asarray(sim.state.f),
+                               np.asarray(ref.state.f), rtol=0, atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(sim.state.disks.x),
+                                  np.asarray(ref.state.disks.x))
+    F, _ = sim.hydro_forces()
+    assert F[0, 0] > 0.0  # body-force channel drags the obstacle
+
+    # prescribed MOTION (v != 0) must not take the static path
+    moving = [DiskSpec(40.0, 64.0, 4.0, vx=0.01, fixed=True)]
+    sim2 = Simulation(cfg.replace(max_disks=1), moving, use_pallas=True)
+    assert sim2.dem_mode == "drift" and not sim2.static_solid
+
+
 def test_particle_file_rho_s_roundtrip(tmp_path):
     disks = [DiskSpec(10.0, 20.0, 3.0, rho_s=3.5),
              DiskSpec(40.0, 20.0, 2.0, fixed=True)]

@@ -93,6 +93,47 @@ def test_fluid_temporal_block_odd_k_multi_tile(k):
                                rtol=1e-5, atol=5e-7)
 
 
+@pytest.mark.parametrize("ybc", ["wall", "periodic"])
+def test_fluid_temporal_block_openbc(ybc):
+    """Zou/He inlet/outlet under temporal blocking: the closure is
+    reconstructed on the boundary columns per inner step inside the
+    window (same-cell knowns anchor the validity cone like wall BB).
+    periodic-y additionally exercises the wrapped global-row profile on
+    the window's halo rows (they hold true wrapped data there)."""
+    kw = dict(bc_south="wall", bc_north="wall") if ybc == "wall" else dict(
+        bc_south="periodic", bc_north="periodic")
+    cfg = SimConfig(nx=256, ny=64, tau=0.7, dtype="float32",
+                    bc_west="inlet", bc_east="outlet", u_inlet=0.06,
+                    inlet_profile="poiseuille", **kw)
+    f = _rand_f(cfg.ny, cfg.nx, seed=11)
+    ref = f
+    for _ in range(8):
+        ref = lbm.step_pure_fluid(ref, cfg)
+    got = pallas_lbm.fused_step_fluid_multi(f, cfg, 8)
+    # in-kernel traced-f32 profile vs the oracle's host-f64 array:
+    # ~1 f32 ulp per inlet row per step (same as the k=1 kernel)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-5, atol=2e-6)
+
+
+def test_simulation_temporal_chunks_openbc():
+    """The chunk driver takes the temporal-block path for single-chip
+    open-bc decks now (the gate was mesh-only-ified); mixed macros +
+    remainder must match the oracle driver."""
+    from lbmdem_tpu.simulation import Simulation, TEMPORAL_K
+
+    cfg = SimConfig(nx=256, ny=64, tau=0.7, dtype="float32",
+                    bc_west="inlet", bc_east="outlet", u_inlet=0.05,
+                    out_interval=11)
+    s1 = Simulation(cfg)
+    s2 = Simulation(cfg, use_pallas=True)
+    s1.run(11)
+    s2.run(11)
+    assert int(s2.state.step) == 11
+    np.testing.assert_allclose(np.asarray(s1.state.f),
+                               np.asarray(s2.state.f), rtol=1e-5, atol=2e-6)
+
+
 def test_simulation_temporal_chunks_match_oracle():
     """Simulation chunk driver mixing TEMPORAL_K-step macros + a
     single-step remainder (19 = 4x4 + 3 at the production k=4) vs the

@@ -51,6 +51,77 @@ def test_slab_subcycle_matches_oracle():
     assert int(nc) == int(nc_ref)
 
 
+@pytest.mark.parametrize("axis", ["y", "x"])
+def test_slab_periodic_wrap_parity(axis):
+    """Periodic-x wrap through the slab kernel vs the XLA oracle, under
+    BOTH plane orientations: axis='y' wraps the LANE axis (roll+select
+    partner fix), axis='x' wraps the SUBLANE axis (ghost guard rows
+    refreshed per substep). The scene has a contact pair touching
+    THROUGH the seam and a disk drifting across it mid-subcycle."""
+    cfg = _cfg(nx=128, ny=96, max_disks=6, n_sub=6,
+               bc_west="periodic", bc_east="periodic")
+    specs = [
+        DiskSpec(126.0, 40.0, 3.5, vx=0.05),
+        DiskSpec(2.5, 41.0, 3.5, vx=-0.02),   # touches #0 through the seam
+        DiskSpec(60.0, 40.0, 3.0),
+        DiskSpec(63.5, 44.0, 3.0),            # bulk contact pair
+        DiskSpec(127.2, 70.0, 2.5, vx=0.08),  # crosses mid-subcycle
+        DiskSpec(30.0, 20.0, 2.5, vy=0.03),
+    ]
+    disks = dem.make_disk_state(specs, cfg, "float32")
+    grid = DemGrid.build(cfg, 3.5)
+    assert grid.wrap_lx == cfg.nx
+    assert pallas_dem.slab_supported(grid, axis)
+    rng = np.random.default_rng(2)
+    fh = jnp.asarray(rng.uniform(-1e-3, 1e-3, (6, 2)), jnp.float32)
+    th = jnp.asarray(rng.uniform(-1e-4, 1e-4, (6,)), jnp.float32)
+    d_ref, _, nc_ref = jax.jit(dem.dem_subcycle, static_argnums=(3, 4))(
+        disks, fh, th, grid, cfg)
+    d_pal, ovf, nc = jax.jit(
+        pallas_dem.dem_subcycle, static_argnums=(3, 4, 5))(
+        disks, fh, th, grid, cfg, axis)
+    assert int(ovf) == 0
+    assert int(nc) == int(nc_ref) and int(nc) >= 2
+    np.testing.assert_allclose(np.asarray(d_pal.x), np.asarray(d_ref.x),
+                               rtol=0, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(d_pal.v), np.asarray(d_ref.v),
+                               rtol=0, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(d_pal.omega),
+                               np.asarray(d_ref.omega), rtol=0, atol=2e-5)
+
+
+@pytest.mark.parametrize("axis", ["y", "x"])
+def test_slab_fully_periodic_parity(axis):
+    """Both axes wrapped (suspension box): lane roll-wrap + sublane
+    ghost rows compose; a corner-straddling contact pair must match."""
+    cfg = _cfg(nx=128, ny=96, max_disks=4, n_sub=5,
+               bc_west="periodic", bc_east="periodic",
+               bc_south="periodic", bc_north="periodic", g_py=0.0)
+    specs = [
+        DiskSpec(126.8, 94.5, 3.5, vx=0.03, vy=0.02),   # domain corner
+        DiskSpec(2.0, 1.5, 3.5, vx=-0.01),  # touches #0 through BOTH seams
+        DiskSpec(50.0, 50.0, 3.0),
+        DiskSpec(55.5, 52.0, 3.0),
+    ]
+    disks = dem.make_disk_state(specs, cfg, "float32")
+    grid = DemGrid.build(cfg, 3.5)
+    assert grid.wrap_lx and grid.wrap_ly
+    assert pallas_dem.slab_supported(grid, axis)
+    z2 = jnp.zeros((4, 2), jnp.float32)
+    z1 = jnp.zeros((4,), jnp.float32)
+    d_ref, _, nc_ref = jax.jit(dem.dem_subcycle, static_argnums=(3, 4))(
+        disks, z2, z1, grid, cfg)
+    d_pal, ovf, nc = jax.jit(
+        pallas_dem.dem_subcycle, static_argnums=(3, 4, 5))(
+        disks, z2, z1, grid, cfg, axis)
+    assert int(ovf) == 0
+    assert int(nc) == int(nc_ref) and int(nc) >= 2
+    np.testing.assert_allclose(np.asarray(d_pal.x), np.asarray(d_ref.x),
+                               rtol=0, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(d_pal.v), np.asarray(d_ref.v),
+                               rtol=0, atol=2e-5)
+
+
 @pytest.mark.slow
 def test_slab_subcycle_with_hydro_and_gravity():
     cfg = _cfg(buoyancy=True, g_py=-2e-4, max_disks=12)

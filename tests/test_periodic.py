@@ -220,13 +220,22 @@ def test_small_periodic_domain_rejected():
         Simulation(cfg, [DiskSpec(16.0, 24.0, 4.0)])
 
 
-def test_slab_dem_gated_off_under_wrap():
+def test_slab_dem_wrap_gating():
+    """Periodic axes run the slab kernel now (minimum-image pair law +
+    wrapped adjacency); the one remaining gate is a wrapped SUBLANE
+    axis with < 8 cell rows (the 8-row ghost copies need whole real
+    rows). Lane-axis wrap has no cell-count gate beyond DemGrid's
+    >= 3."""
     from lbmdem_tpu.ops import pallas_dem
 
     cfg = _pcfg()
     grid = DemGrid.build(cfg, 2.5)
     assert grid.wrap_lx == cfg.nx and grid.wrap_ly == 0.0
-    assert not pallas_dem.slab_supported(grid, "y")
+    assert pallas_dem.slab_supported(grid, "y")  # wrap on the lane axis
+    assert pallas_dem.slab_supported(grid, "x")  # sublanes: ncx = 10 >= 8
+    small = DemGrid.build(_pcfg(nx=40), 2.5)  # 6 wrapped x cells
+    assert not pallas_dem.slab_supported(small, "x")  # sublane wrap < 8
+    assert pallas_dem.slab_supported(small, "y")  # lane wrap is fine
     wall_cfg = _pcfg(bc_west="wall", bc_east="wall")
     assert pallas_dem.slab_supported(DemGrid.build(wall_cfg, 2.5), "y")
 

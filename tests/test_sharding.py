@@ -276,22 +276,49 @@ def test_pallas_sharded_fluid_bf16_temporal():
 
 
 def test_bf16_mesh_rejections():
-    """bf16 on a mesh: only the pure-fluid Pallas path qualifies."""
+    """bf16 on a mesh: Pallas paths only, at the 16-row shard granule."""
     mesh = _mesh(2, 2)
     cfg = SimConfig(nx=512, ny=64, dtype="float32", f_storage="bfloat16",
                     bc_west="wall", bc_east="wall")
     with pytest.raises(ValueError, match="raw f32"):
         Simulation(cfg, mesh=mesh)  # XLA sharded path
-    cfg_d = cfg.replace(max_disks=2, window=9, tile_cap=16)
-    with pytest.raises(ValueError, match="single-chip"):
-        Simulation(cfg_d, [DiskSpec(30.0, 30.0, 2.5)], use_pallas=True,
-                   mesh=mesh)
     # per-shard ny must hit the 16-row bf16 granule
     mesh8 = _mesh(8, 1)
     cfg8 = SimConfig(nx=512, ny=64, dtype="float32", f_storage="bfloat16",
                      bc_west="wall", bc_east="wall")
     with pytest.raises(ValueError, match="16"):
         Simulation(cfg8, use_pallas=True, mesh=mesh8)
+
+
+@pytest.mark.slow  # interpret-mode fused coupled build dominates (~90 s)
+def test_pallas_sharded_coupled_bf16_matches():
+    """Shifted-bf16 f storage through the sharded fused coupled path:
+    the 16-row prehalo exchange feeds the fused IMB+reduce kernel, and
+    the edge fixups round-trip their 1-row slices through the
+    storage-aware oracle collide (from_storage -> collide_imb ->
+    to_storage). vs single-chip bf16: the fixup's +-w*rho0 f32
+    round-trip can differ from the kernel's fused shift algebra by an
+    f32 ulp before the shared bf16 rounding, so parity is
+    tolerance-level on the edge rows and ulp-tight elsewhere."""
+    mesh = _mesh(4, 1)
+    cfg = SimConfig(nx=128, ny=128, tau=0.8, dtype="float32",
+                    f_storage="bfloat16", g_py=-1e-4, buoyancy=True,
+                    rho_s=2.0, kn=0.5, gamma_n=0.5, n_sub=5,
+                    bc_west="wall", bc_east="wall")
+    disks = [
+        DiskSpec(64.0, 64.0, 3.0),           # straddles the y boundary
+        DiskSpec(32.2, 96.1, 2.5),           # interior
+        DiskSpec(90.0, 31.9, 2.0, vx=0.01),  # near a boundary
+    ]
+    sref, ssh = _run_both_pallas(cfg, disks, mesh, 2)
+    assert ssh.f.dtype == jnp.bfloat16
+    np.testing.assert_allclose(np.asarray(sref.f, np.float32),
+                               np.asarray(ssh.f, np.float32),
+                               rtol=1e-2, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(sref.disks.x),
+                               np.asarray(ssh.disks.x), rtol=0, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(sref.disks.v),
+                               np.asarray(ssh.disks.v), rtol=0, atol=1e-6)
 
 
 @pytest.mark.parametrize("meshdims", [
@@ -389,6 +416,35 @@ def test_simulation_mesh_temporal_chunks_match():
                                rtol=0, atol=1e-6)
 
 
+@pytest.mark.slow  # two interpret-mode fused coupled builds (~3 min)
+def test_simulation_mesh_coupled_chunks_match():
+    """Simulation(mesh=...).run on a coupled deck goes through the
+    sharded Verlet-cadence chunk (make_sharded_coupled_chunk: binning
+    rebuilt every BIN_CADENCE steps INSIDE shard_map) and must match the
+    single-chip Verlet-cadence chunk. 11 = 8 + 3 exercises both the
+    outer fori_loop and the remainder path."""
+    mesh = _mesh(4, 1)
+    cfg = SimConfig(nx=128, ny=128, tau=0.8, dtype="float32", g_py=-1e-4,
+                    buoyancy=True, rho_s=2.0, kn=0.5, gamma_n=0.5, n_sub=5,
+                    bc_west="wall", bc_east="wall", out_interval=11)
+    disks = [DiskSpec(64.0, 64.0, 3.0), DiskSpec(32.2, 96.1, 2.5),
+             DiskSpec(90.0, 31.9, 2.0, vx=0.01)]
+    s1 = Simulation(cfg, disks, use_pallas=True)
+    s2 = Simulation(cfg, disks, use_pallas=True, mesh=mesh)
+    s1.run(11)
+    s2.run(11)
+    assert int(s2.state.step) == 11
+    assert int(s2.state.overflow) == 0
+    np.testing.assert_allclose(np.asarray(s1.state.f), np.asarray(s2.state.f),
+                               rtol=0, atol=5e-6)
+    np.testing.assert_allclose(np.asarray(s1.state.disks.x),
+                               np.asarray(s2.state.disks.x),
+                               rtol=0, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(s1.state.disks.v),
+                               np.asarray(s2.state.disks.v),
+                               rtol=0, atol=1e-6)
+
+
 def test_mesh_bf16_storage_rejected():
     """mesh + bf16 outside the pure-fluid Pallas path must be rejected
     at construction: those sharded steps consume state.f raw, and
@@ -445,6 +501,100 @@ def test_pallas_supported_mesh_canvas():
     # non-dividing mesh gets a clear reason, not an assert
     bad = SimConfig(nx=1024, ny=50, tau=0.8, dtype="float32")
     assert "mesh" in pallas_supported(bad, mesh)
+
+
+_DIST2_WORKER = """
+import os
+import numpy as np
+# LAST flag wins: the pytest parent leaks an 8-device flag via env
+os.environ["XLA_FLAGS"] = (
+    os.environ.get("XLA_FLAGS", "")
+    + " --xla_force_host_platform_device_count=4"
+)
+import jax
+jax.config.update("jax_platforms", "cpu")
+from lbmdem_tpu.parallel import init_distributed
+init_distributed()  # topology from JAX_* env vars
+from jax.sharding import NamedSharding, PartitionSpec as P
+from lbmdem_tpu.config import SimConfig
+from lbmdem_tpu.parallel import make_mesh, make_sharded_step
+from lbmdem_tpu.parallel.sharding import state_specs
+from lbmdem_tpu.simulation import Simulation, make_step_fn
+
+assert jax.process_count() == 2 and jax.device_count() == 8
+cfg = SimConfig(nx=32, ny=16, tau=0.8, gx=1e-5, dtype="float64",
+                bc_west="wall", bc_east="wall", uw_north=0.05)
+sim = Simulation(cfg)
+# single-device reference, computed redundantly on each process
+step_ref = jax.jit(make_step_fn(cfg, None))
+s_ref = sim.state
+for _ in range(5):
+    s_ref = step_ref(s_ref)
+ref_f = np.asarray(s_ref.f)
+
+mesh = make_mesh()  # all 8 global devices -> (2, 4)
+specs = state_specs()
+
+def globalize(x, spec):
+    x = np.asarray(x)
+    sh = NamedSharding(mesh, spec)
+    return jax.make_array_from_callback(x.shape, sh, lambda idx: x[idx])
+
+leaves, treedef = jax.tree.flatten(sim.state)
+spec_leaves = jax.tree.flatten(
+    specs, is_leaf=lambda s: isinstance(s, P))[0]
+state = jax.tree.unflatten(
+    treedef, [globalize(l, s) for l, s in zip(leaves, spec_leaves)])
+step = jax.jit(make_sharded_step(cfg, None, mesh))
+for _ in range(5):
+    state = step(state)
+# each process checks ITS addressable shards against the reference
+for shard in state.f.addressable_shards:
+    np.testing.assert_array_equal(np.asarray(shard.data),
+                                  ref_f[shard.index])
+assert int(state.step) == 5
+print("DIST2_OK", jax.process_index(), flush=True)
+"""
+
+
+def test_init_distributed_two_processes():
+    """SURVEY 5.8, actually multi-process: two CPU processes x 4 virtual
+    devices each form one 8-device (2, 4) mesh; the sharded step's
+    ppermute halo exchange and edge-selective bounce-back cross the
+    process boundary, and every process's addressable shards must equal
+    the single-device reference exactly."""
+    import os
+    import socket
+    import subprocess
+    import sys
+
+    with socket.socket() as s:  # pick a free coordinator port
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
+    env = dict(os.environ,
+               JAX_COORDINATOR_ADDRESS=f"localhost:{port}",
+               JAX_NUM_PROCESSES="2")
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-c", _DIST2_WORKER],
+            env=dict(env, JAX_PROCESS_ID=str(i)),
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+        )
+        for i in range(2)
+    ]
+    outs = []
+    try:
+        for p in procs:
+            out, err = p.communicate(timeout=420)
+            outs.append((p.returncode, out, err))
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+    for i, (rc, out, err) in enumerate(outs):
+        assert rc == 0 and f"DIST2_OK {i}" in out, (
+            f"process {i}: rc={rc}\n{err[-3000:]}"
+        )
 
 
 def test_init_distributed_single_process():
