@@ -575,7 +575,7 @@ def fused_step_fluid(f: jax.Array, cfg: SimConfig, prehalo: bool = False,
 
 
 def _stream_and_bb_window(fpost, cfg, th, tw, iy, ix, nty, ntx, edges=None,
-                          shift=0.0):
+                          shift=0.0, oy=None, ny_glob=None):
     """Pull-stream 9 full (H, W) window planes IN PLACE (periodic rolls;
     the wrap garbage lands in the halo margin, which the temporal-block
     validity argument consumes 1 cell/side/step), with half-way
@@ -638,35 +638,45 @@ def _stream_and_bb_window(fpost, cfg, th, tw, iy, ix, nty, ntx, edges=None,
     if cfg.bc_east == WALL:
         fix((col == _HX + tw - 1) & (ix == ntx - 1) & on(e_on),
             lattice.IN_W, 0.0, cfg.uw_east)
-    if cfg.bc_west == "inlet" and edges is None:
-        # Zou/He open boundaries per inner step (single-chip; the
-        # sharded temporal path stays gated - it lacks the global row
-        # offset). The closure reconstructs the incoming populations
-        # from SAME-CELL post-stream knowns, all of which pull from
-        # in-domain cells, so it anchors the validity cone at the
-        # boundary column exactly like wall BB: the garbage the roll
-        # wraps into the halo beyond can only re-enter through the
-        # populations the closure overwrites. Applied on ALL window
-        # rows: on a periodic y axis the halo rows are wrapped true
-        # data (global y wraps mod ny for the profile); on wall axes
-        # they are garbage in, garbage out.
+    if cfg.bc_west == "inlet":
+        # Zou/He open boundaries per inner step. The closure
+        # reconstructs the incoming populations from SAME-CELL
+        # post-stream knowns, all of which pull from in-domain cells,
+        # so it anchors the validity cone at the boundary column
+        # exactly like wall BB: the garbage the roll wraps into the
+        # halo beyond can only re-enter through the populations the
+        # closure overwrites. Applied on ALL window rows: on a
+        # periodic y axis the halo rows are wrapped true data (global
+        # y wraps mod the GLOBAL ny for the profile); on wall axes
+        # they are garbage in, garbage out. Sharded (edges set): the
+        # shard's global row offset `oy` and the global lattice height
+        # `ny_glob` arrive with the mesh-position flags, and the
+        # closure fires only on global-edge shards.
         from lbmdem_tpu.ops.lbm import zou_he_inlet, zou_he_outlet
 
-        yg_i = iy * th + (row - hy)
+        if edges is None:
+            at_w = (col == _HX) & (ix == 0)
+            at_e = (col == _HX + tw - 1) & (ix == ntx - 1)
+            oy_i = 0
+            nyg = cfg.ny
+        else:
+            at_w = (col == _HX) & (ix == 0) & w_on
+            at_e = (col == _HX + tw - 1) & (ix == ntx - 1) & e_on
+            oy_i = oy
+            nyg = ny_glob
+        yg_i = oy_i + iy * th + (row - hy)
         if cfg.bc_south != WALL:
-            yg_i = jax.lax.rem(yg_i + jnp.int32(cfg.ny), jnp.int32(cfg.ny))
+            yg_i = jax.lax.rem(yg_i + jnp.int32(nyg), jnp.int32(nyg))
         yg = yg_i.astype(jnp.float32) + 0.5
-        Hd = np.float32(cfg.ny)
+        Hd = np.float32(nyg)
         if cfg.inlet_profile == "poiseuille":
             u = (np.float32(4.0 * cfg.u_inlet) / (Hd * Hd)) * yg * (Hd - yg)
         else:
             u = jnp.full((H, W), np.float32(cfg.u_inlet))
-        at_w = (col == _HX) & (ix == 0)
         n1, n5, n8 = zou_he_inlet(outs, u, shift=np.float32(shift))
         outs[1] = jnp.where(at_w, n1, outs[1])
         outs[5] = jnp.where(at_w, n5, outs[5])
         outs[8] = jnp.where(at_w, n8, outs[8])
-        at_e = (col == _HX + tw - 1) & (ix == ntx - 1)
         rho_o = np.float32(cfg.rho_outlet or cfg.rho0)
         n3, n7, n6 = zou_he_outlet(outs, rho_o, shift=np.float32(shift))
         outs[3] = jnp.where(at_e, n3, outs[3])
@@ -677,7 +687,8 @@ def _stream_and_bb_window(fpost, cfg, th, tw, iy, ix, nty, ntx, edges=None,
 
 def _fluid_multi_kernel(f_hbm, out_ref, win, sems, *, cfg: SimConfig,
                         th: int, tw: int, k: int, prehalo=False,
-                        edge_ref=None, hy: int = _HY, shift: float = 0.0):
+                        edge_ref=None, hy: int = _HY, shift: float = 0.0,
+                        ny_glob: int = 0):
     """k pure-fluid LBM steps per HBM round-trip (temporal blocking).
 
     The halo-extended window (th+16, tw+256) already carries an 8-row /
@@ -703,16 +714,19 @@ def _fluid_multi_kernel(f_hbm, out_ref, win, sems, *, cfg: SimConfig,
         )
 
     _pipeline_window(copies_for, lin, slot, nty * ntx)
-    edges = None
+    edges = oy = None
     if edge_ref is not None:
+        # [s, n, w, e global-edge flags, global row offset, 0, 0, 0]
         edges = tuple(edge_ref[0, 0, j] != 0 for j in range(4))
+        oy = edge_ref[0, 0, 4]
     planes = [win[slot, i] for i in range(9)]
     if planes[0].dtype != jnp.float32:
         planes = [p.astype(jnp.float32) for p in planes]
     for _ in range(k):
         fpost, _ = _collide_window(planes, cfg, shift=shift)
         planes = _stream_and_bb_window(fpost, cfg, th, tw, iy, ix, nty, ntx,
-                                       edges=edges, shift=shift)
+                                       edges=edges, shift=shift, oy=oy,
+                                       ny_glob=ny_glob or cfg.ny)
     out_ref[:] = jnp.stack(
         [jax.lax.slice(p, (hy, _HX), (hy + th, _HX + tw)) for p in planes]
     ).astype(out_ref.dtype)
@@ -720,7 +734,8 @@ def _fluid_multi_kernel(f_hbm, out_ref, win, sems, *, cfg: SimConfig,
 
 def fused_step_fluid_multi(f: jax.Array, cfg: SimConfig, k: int,
                            prehalo=False, edges: jax.Array = None,
-                           out_buf: jax.Array = None) -> jax.Array:
+                           out_buf: jax.Array = None,
+                           ny_glob: int = 0) -> jax.Array:
     """k fused pure-fluid LBM steps in ONE kernel pass (k <= 8).
 
     Temporal blocking over the existing halo window: f is read once
@@ -733,25 +748,17 @@ def fused_step_fluid_multi(f: jax.Array, cfg: SimConfig, k: int,
     side ("yx": also 128 halo cols), which is exactly the k<=8
     dependency-cone margin, so ONE ppermute exchange feeds k steps
     (k-fold ICI amortization). Unlike the 1-step prehalo kernels,
-    global-edge bounce-back runs IN-KERNEL (inner steps are invisible
-    to the caller): `edges` must be 4 traced {0,1} ints (south, north,
-    west, east shard-at-global-edge flags from the mesh position).
+    global-edge bounce-back AND the Zou/He open-boundary closures run
+    IN-KERNEL (inner steps are invisible to the caller): `edges` must
+    be 4 or 5 traced int32s (south, north, west, east
+    shard-at-global-edge flags from the mesh position; slot 4 = the
+    shard's global row offset, needed by the inlet profile), and
+    `ny_glob` the GLOBAL lattice height (cfg is the local config).
 
     out_buf: dead donated buffer, see fused_step_fluid."""
     fdt, hy, shift = _storage(cfg)
     assert f.dtype == fdt
     assert 1 <= k <= hy, f"temporal block k={k} exceeds the {hy}-row halo"
-    if cfg.bc_west == "inlet" and k > 1 and prehalo:
-        # a hard error, not an assert: silently skipping the Zou/He
-        # reconstruction inside the window would be wrong physics.
-        # Single-chip reconstructs the boundary columns per inner step
-        # (_stream_and_bb_window); the prehalo kernel lacks the shard's
-        # global row offset for the inlet profile.
-        raise ValueError(
-            "sharded temporal blocking does not reconstruct Zou/He open "
-            "boundaries in-window (Simulation gates the mesh path off "
-            "for open-bc configs)"
-        )
     if k == 1 and not prehalo:
         return fused_step_fluid(f, cfg, out_buf=out_buf)
     th, tw = tile_dims(cfg, wide=True)
@@ -759,13 +766,18 @@ def fused_step_fluid_multi(f: jax.Array, cfg: SimConfig, k: int,
     assert f.shape[2] == cfg.nx + (2 * _HX if prehalo == "yx" else 0)
     assert (edges is not None) == bool(prehalo)
     kernel = functools.partial(_fluid_multi_kernel, cfg=cfg, th=th, tw=tw,
-                               k=k, prehalo=prehalo, hy=hy, shift=shift)
+                               k=k, prehalo=prehalo, hy=hy, shift=shift,
+                               ny_glob=ny_glob)
     operands = [f]
     in_specs = [pl.BlockSpec(memory_space=pl.ANY)]
     if prehalo:
-        operands.append(edges.astype(jnp.int32).reshape(1, 1, 4))
+        e = edges.astype(jnp.int32).reshape(-1)
+        # pad [s, n, w, e] with [oy, 0, 0, 0] when the caller sends only
+        # the 4 flags (no open boundaries)
+        e = jnp.concatenate([e, jnp.zeros((8 - e.shape[0],), jnp.int32)])
+        operands.append(e.reshape(1, 1, 8))
         in_specs.append(
-            pl.BlockSpec((1, 1, 4), lambda i, j: (0, 0, 0),
+            pl.BlockSpec((1, 1, 8), lambda i, j: (0, 0, 0),
                          memory_space=pltpu.SMEM)
         )
         inner_e = kernel

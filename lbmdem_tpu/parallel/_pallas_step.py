@@ -346,6 +346,89 @@ def _build(cfg: SimConfig, grid, mesh, h: int, w: int, dem_axis: str,
             fail_step=state.fail_step,
         )
 
+    def static_step(state: SimState, f_scratch, solid, td_i,
+                    cnt_i) -> SimState:
+        """One all-fixed-at-rest coupled step: the canvas stamp and the
+        interior binning arrive as loop constants (sharded jit
+        arguments from make_sharded_static_chunk's prep pass; cnt_i is
+        zeroed so the in-kernel reduce is zero-trip), so the step is
+        the fused IMB kernel + edge fixups - no binning, no stamp, no
+        psum."""
+        f = state.f
+        f_ext = exchange(f)
+        s_k = solid[:, pady - _HY : pady + h + _HY, :]
+        fnew, _ = pallas_lbm.fused_step_imb_reduce(
+            f_ext, s_k, None, None, local_cfg, td_i, cnt_i,
+            out_buf=f_scratch, prehalo=prehalo, origin=(pady, padx),
+        )
+        fp_bot = col_imb(
+            f[:, 0:1, :], solid[0, pady : pady + 1, ix_int],
+            solid[1, pady : pady + 1, ix_int],
+            solid[2, pady : pady + 1, ix_int],
+        )
+        fp_top = col_imb(
+            f[:, -1:, :], solid[0, pady + h - 1 : pady + h, ix_int],
+            solid[1, pady + h - 1 : pady + h, ix_int],
+            solid[2, pady + h - 1 : pady + h, ix_int],
+        )
+        fnew = fix_y_walls(fnew, fp_bot, fp_top)
+        if two_d:
+            iy_i = slice(pady, pady + h)
+            fp_w = col_imb(
+                f[:, :, 0:1], solid[0, iy_i, padx : padx + 1],
+                solid[1, iy_i, padx : padx + 1],
+                solid[2, iy_i, padx : padx + 1],
+            )
+            fp_e = col_imb(
+                f[:, :, -1:], solid[0, iy_i, padx + w - 1 : padx + w],
+                solid[1, iy_i, padx + w - 1 : padx + w],
+                solid[2, iy_i, padx + w - 1 : padx + w],
+            )
+            fnew = fix_x_walls(fnew, fp_w, fp_e)
+        fnew = _apply_open_boundaries_sharded(fnew, cfg, h, nx_sh)
+        return state._replace(f=fnew, step=state.step + 1)
+
+    def static_prep(d):
+        """Per-shard canvas stamp + interior binning of the immutable
+        disk state (replicated input -> sharded constants). Counts are
+        returned zeroed for the kernel (zero-trip reduce); the binning
+        overflow is summed over shards for the one-time host check."""
+        govf = jnp.zeros((), jnp.int32)
+        if periodic_dem:
+            _, (xa, va, oma, ra, acta), _, _, govf = imb.periodic_ghosts(
+                d.x, d.v, d.omega, d.r, d.active, cfg
+            )
+        else:
+            xa, va, oma, ra, acta = d.x, d.v, d.omega, d.r, d.active
+        oy_g = (jax.lax.axis_index("y") * h).astype(jnp.float32)
+        ox_g = (jax.lax.axis_index("x") * w).astype(jnp.float32)
+        shift_c = jnp.stack([ox_g - padx, oy_g - pady]).astype(d.x.dtype)
+        xloc = xa - shift_c[None, :]
+        lists, counts_c, _, bovf = pallas_stamp.build_tile_lists(
+            xloc, acta, canvas_cfg
+        )
+        tile_data = pallas_stamp.gather_tile_data(
+            lists, xloc, va, oma, ra, acta
+        )
+        solid, _ = pallas_stamp.stamp_solid_fraction(
+            xloc, va, oma, ra, acta, canvas_cfg,
+            binned=(tile_data, counts_c, None, None), as_stack=True,
+        )
+        if cfg.bc_west == "inlet":
+            ix_sh = jax.lax.axis_index("x")
+            at_w = ix_sh == 0
+            at_e = ix_sh == nx_sh - 1
+            cw, ce = padx, padx + w - 1
+            solid = solid.at[:, :, cw].set(
+                jnp.where(at_w, 0.0, solid[:, :, cw])
+            ).at[:, :, ce].set(jnp.where(at_e, 0.0, solid[:, :, ce]))
+        td_i = tile_data.reshape(nty_c, ntx_c, cap * 8)[
+            oy_t : oy_t + nty_i, ox_t : ox_t + ntx_i
+        ].reshape(nty_i * ntx_i, 1, cap * 8)
+        cnt_i = jnp.zeros((nty_i * ntx_i, 1, 1), jnp.int32)
+        ovf = jax.lax.psum(jnp.maximum(bovf, govf), ("y", "x"))
+        return solid, td_i, cnt_i, ovf
+
     def local_step(state: SimState, f_scratch) -> SimState:
         # f_scratch: dead (9, h, w) shard donated for the kernel output
         # (avoids XLA's while-carry copy; see pallas_lbm.fused_step_fluid)
@@ -356,17 +439,23 @@ def _build(cfg: SimConfig, grid, mesh, h: int, w: int, dem_axis: str,
             # temporal blocking: the exchanged halo (8 rows f32 / 16
             # bf16, 128 cols) IS the k<=hy dependency-cone margin, so
             # ONE ppermute exchange feeds k steps - per-step ICI traffic
-            # drops k-fold. Edge bounce-back runs in-kernel (flagged by
-            # mesh position); no external fixup (inner steps are
-            # invisible out here).
+            # drops k-fold. Edge bounce-back AND the Zou/He open-bc
+            # closures run in-kernel (flagged by mesh position; the
+            # inlet profile needs the shard's global row offset, slot 4
+            # of the SMEM edge array); no external fixup (inner steps
+            # are invisible out here).
             iy_m = jax.lax.axis_index("y")
             ix_m = jax.lax.axis_index("x")
             edges = jnp.stack(
-                [iy_m == 0, iy_m == ny_sh - 1, ix_m == 0, ix_m == nx_sh - 1]
-            ).astype(jnp.int32)
+                [(iy_m == 0).astype(jnp.int32),
+                 (iy_m == ny_sh - 1).astype(jnp.int32),
+                 (ix_m == 0).astype(jnp.int32),
+                 (ix_m == nx_sh - 1).astype(jnp.int32),
+                 (iy_m * h).astype(jnp.int32)]
+            )
             fnew = pallas_lbm.fused_step_fluid_multi(
                 f_ext, local_cfg, temporal_k, prehalo=prehalo, edges=edges,
-                out_buf=f_scratch,
+                out_buf=f_scratch, ny_glob=cfg.ny,
             )
             return state._replace(f=fnew, step=state.step + temporal_k)
         fnew = pallas_lbm.fused_step_fluid(f_ext, local_cfg, prehalo=prehalo,
@@ -391,7 +480,9 @@ def _build(cfg: SimConfig, grid, mesh, h: int, w: int, dem_axis: str,
         fnew = _apply_open_boundaries_sharded(fnew, cfg, h, nx_sh)
         return state._replace(f=fnew, step=state.step + 1)
 
-    return local_step, (coupled_step if coupled else None)
+    if not coupled:
+        return local_step, None, None, None
+    return local_step, coupled_step, static_step, static_prep
 
 
 def make_sharded_step_pallas(cfg: SimConfig, grid, mesh, h: int, w: int,
@@ -399,7 +490,8 @@ def make_sharded_step_pallas(cfg: SimConfig, grid, mesh, h: int, w: int,
     from lbmdem_tpu.simulation import SimState
     from lbmdem_tpu.parallel.sharding import state_specs
 
-    local_step, _ = _build(cfg, grid, mesh, h, w, dem_axis, temporal_k)
+    local_step, _, _, _ = _build(cfg, grid, mesh, h, w, dem_axis,
+                                 temporal_k)
     specs = state_specs()
     # check_vma=False: pallas_call outputs carry no varying-axis metadata
     sharded = jax.shard_map(
@@ -438,7 +530,7 @@ def make_sharded_coupled_chunk(cfg: SimConfig, grid, mesh, h: int, w: int,
     from lbmdem_tpu.parallel.sharding import state_specs
 
     assert cfg.max_disks > 0 and not cfg.paranoia
-    _, coupled_step = _build(cfg, grid, mesh, h, w, dem_axis, 1)
+    _, coupled_step, _, _ = _build(cfg, grid, mesh, h, w, dem_axis, 1)
     periodic_dem = bool(cfg.wrap_lx or cfg.wrap_ly)
     two_d = mesh.shape["x"] > 1
     pady, padx = canvas_pads(h, w, two_d)
@@ -517,3 +609,67 @@ def make_sharded_coupled_chunk(cfg: SimConfig, grid, mesh, h: int, w: int,
         return sharded(state, jnp.zeros_like(state.f))
 
     return chunkfn
+
+
+def make_sharded_static_chunk(cfg: SimConfig, grid, mesh, h: int, w: int,
+                              dem_axis: str = "y"):
+    """(prep, chunk_factory) for the static-solid hoist on a mesh.
+
+    `prep(state)` runs one shard_map pass turning the (replicated,
+    immutable) disk state into SHARDED loop constants: the per-shard
+    canvas solid stack and the interior-tile binning (counts zeroed -
+    zero-trip reduce; drag on the obstacles stays observable through
+    Simulation.hydro_forces). It returns (ops, overflow) - the caller
+    checks overflow == 0 once on the host. `chunk_factory(n)` returns
+    chunk(state, *ops) running n fused-IMB-only steps (ping-ponged
+    donated buffers), the mesh analogue of Simulation._chunk_fn's
+    single-chip static branch."""
+    from jax.sharding import PartitionSpec as P
+
+    from lbmdem_tpu.parallel.sharding import state_specs
+
+    assert cfg.max_disks > 0 and not cfg.paranoia
+    _, _, static_step, static_prep = _build(cfg, grid, mesh, h, w,
+                                            dem_axis, 1)
+    specs = state_specs()
+    solid_spec = P(None, "y", "x")
+    bin_spec = P(("y", "x"), None, None)
+    prep_sharded = jax.shard_map(
+        static_prep, mesh=mesh, in_specs=(specs.disks,),
+        out_specs=(solid_spec, bin_spec, bin_spec, P()),
+        check_vma=False,
+    )
+
+    def prep(state):
+        solid, td, cnt, ovf = prep_sharded(state.disks)
+        return (solid, td, cnt), ovf
+
+    def chunk_factory(n: int):
+        def local_chunk(state, f_scratch, solid, td, cnt):
+            def dbl(c):
+                st, scr = c
+                s1 = static_step(st, scr, solid, td, cnt)
+                s2 = static_step(s1, st.f, solid, td, cnt)
+                return (s2, s1.f)
+
+            n2, rem = divmod(n, 2)
+            carry = (state, f_scratch)
+            if n2:
+                carry = jax.lax.fori_loop(0, n2, lambda _, c: dbl(c), carry)
+            st, scr = carry
+            if rem:
+                st = static_step(st, scr, solid, td, cnt)
+            return st
+
+        sharded = jax.shard_map(
+            local_chunk, mesh=mesh,
+            in_specs=(specs, specs.f, solid_spec, bin_spec, bin_spec),
+            out_specs=specs, check_vma=False,
+        )
+
+        def chunkfn(state, solid, td, cnt):
+            return sharded(state, jnp.zeros_like(state.f), solid, td, cnt)
+
+        return chunkfn
+
+    return prep, chunk_factory

@@ -557,6 +557,37 @@ class Simulation:
                 self._chunk_cache[n] = lambda state: jitted(state, *ops)
                 return self._chunk_cache[n]
             if (self.use_pallas and self.cfg.max_disks > 0
+                    and self.mesh is not None and self.static_solid
+                    and not self.cfg.paranoia):
+                # static-solid hoist, mesh edition: a one-time prep
+                # shard_map turns the replicated disk state into
+                # SHARDED loop constants (per-shard canvas stamp +
+                # interior binning), and each step is the fused IMB
+                # kernel + edge fixups - no binning/stamp/psum.
+                from lbmdem_tpu.parallel._pallas_step import (
+                    make_sharded_static_chunk,
+                )
+
+                if self._static_ops is None:
+                    ny_sh = self.mesh.shape["y"]
+                    nx_sh = self.mesh.shape["x"]
+                    prep, factory = make_sharded_static_chunk(
+                        self.cfg, self.grid, self.mesh,
+                        self.cfg.ny // ny_sh, self.cfg.nx // nx_sh,
+                        dem_axis=self.dem_axis,
+                    )
+                    ops, ovf = jax.jit(prep)(self.state)
+                    if int(ovf) != 0:
+                        raise ValueError(
+                            "static-solid binning overflow: raise "
+                            "cfg.tile_cap (or cfg.ghost_cap)"
+                        )
+                    self._static_ops = (ops, factory)
+                ops, factory = self._static_ops
+                jitted = jax.jit(factory(n), donate_argnums=0)
+                self._chunk_cache[n] = lambda state: jitted(state, *ops)
+                return self._chunk_cache[n]
+            if (self.use_pallas and self.cfg.max_disks > 0
                     and self.mesh is not None and not self.cfg.paranoia):
                 # sharded Verlet-cadence chunk: the whole cadence loop
                 # (rebuild every BIN_CADENCE steps, margin-validated)
@@ -642,7 +673,6 @@ class Simulation:
                         carry = k_steps(carry, n_rem)
                     return carry[0]
             elif (self.use_pallas and self.cfg.max_disks == 0
-                  and (self.cfg.bc_west != "inlet" or self.mesh is None)
                   and n >= TEMPORAL_K > 1):
                 # pure fluid: temporal blocking - k steps per kernel
                 # pass / HBM round-trip (the halo window's 8-row margin

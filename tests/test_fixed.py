@@ -185,6 +185,33 @@ def test_static_solid_hoist_matches_per_step():
     assert sim2.dem_mode == "drift" and not sim2.static_solid
 
 
+@pytest.mark.slow  # interpret-mode fused coupled builds (~2 min)
+def test_static_solid_hoist_mesh_matches():
+    """Mesh edition of the static hoist: the prep shard_map bakes
+    per-shard canvas stamps + interior binnings once; the chunk runs
+    fused-IMB-only steps. Must match the single-chip static chunk."""
+    from lbmdem_tpu.parallel import make_mesh
+
+    devs = jax.devices()[:4]
+    if len(devs) < 4:
+        pytest.skip("need 4 devices")
+    mesh = make_mesh(devs, (4, 1))
+    cfg = _cfg(nx=128, ny=128, max_disks=2, gx=1e-5, g_py=0.0,
+               bc_west="periodic", bc_east="periodic", out_interval=5)
+    specs = [DiskSpec(40.0, 64.0, 4.0, fixed=True),  # shard-straddling
+             DiskSpec(80.0, 96.0, 4.0, fixed=True)]
+    ref = Simulation(cfg, specs, use_pallas=True)
+    sh = Simulation(cfg, specs, use_pallas=True, mesh=mesh)
+    assert ref.static_solid and sh.static_solid
+    ref.run(5)
+    sh.run(5)
+    assert int(sh.state.step) == 5
+    np.testing.assert_allclose(np.asarray(ref.state.f),
+                               np.asarray(sh.state.f), rtol=0, atol=2e-6)
+    np.testing.assert_array_equal(np.asarray(ref.state.disks.x),
+                                  np.asarray(sh.state.disks.x))
+
+
 def test_particle_file_rho_s_roundtrip(tmp_path):
     disks = [DiskSpec(10.0, 20.0, 3.0, rho_s=3.5),
              DiskSpec(40.0, 20.0, 2.0, fixed=True)]

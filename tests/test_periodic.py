@@ -139,6 +139,9 @@ def test_oracle_trajectory_translation_invariant():
     assert x_final < 10.0  # crossed the seam and wrapped to the west
 
 
+@pytest.mark.slow  # ~86 s: interpret fused coupled build dominates;
+# the quick lane keeps periodic coverage via the XLA-path invariance
+# tests + the fused slab periodic parity (test_pallas_dem)
 def test_pallas_periodic_parity_short():
     """Fused-kernel coupled path (per-step ghost selection) vs the
     oracle across the seam, interpret mode."""

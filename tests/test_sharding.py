@@ -255,6 +255,8 @@ def test_pallas_sharded_fluid_bf16_openbc(meshdims):
                                rtol=1e-2, atol=5e-4)
 
 
+@pytest.mark.slow  # ~34 s; bf16 fluid parity stays quick via
+# test_pallas_sharded_fluid_bf16_matches
 def test_pallas_sharded_fluid_bf16_temporal():
     """bf16 + temporal blocking on a mesh: one 16-row halo exchange
     feeds k=4 inner f32 steps; quantization points match single-chip."""
@@ -400,6 +402,38 @@ def test_pallas_sharded_temporal_block_matches(meshdims):
                                rtol=0, atol=1e-6)
 
 
+@pytest.mark.parametrize("meshdims,ybc", [
+    ((4, 1), "wall"), ((2, 2), "periodic"),
+])
+def test_pallas_sharded_temporal_openbc_matches(meshdims, ybc):
+    """Zou/He open boundaries under SHARDED temporal blocking: the
+    closures run in-kernel per inner step on the global-edge shards,
+    with the shard's global row offset (edge-array slot 4) feeding the
+    inlet profile. periodic-y exercises cross-shard wrapped global rows
+    on the halo."""
+    kw = dict(bc_south="wall", bc_north="wall") if ybc == "wall" else dict(
+        bc_south="periodic", bc_north="periodic")
+    mesh = _mesh(*meshdims)
+    cfg = SimConfig(nx=128 * mesh.shape["x"], ny=64, tau=0.7,
+                    dtype="float32", bc_west="inlet", bc_east="outlet",
+                    u_inlet=0.06, inlet_profile="poiseuille", **kw)
+    sim = Simulation(cfg)
+    step_ref = jax.jit(make_step_fn(cfg, None))
+    kstep = jax.jit(make_sharded_step(cfg, None, mesh, use_pallas=True,
+                                      temporal_k=4))
+    s_ref = sim.state
+    s_sh = shard_state(sim.state, mesh)
+    for _ in range(8):
+        s_ref = step_ref(s_ref)
+    for _ in range(2):
+        s_sh = kstep(s_sh)
+    assert int(s_sh.step) == 8
+    np.testing.assert_allclose(np.asarray(s_ref.f), np.asarray(s_sh.f),
+                               rtol=1e-5, atol=2e-6)
+
+
+@pytest.mark.slow  # ~28 s; sharded temporal parity stays quick via
+# test_pallas_sharded_temporal_block_matches
 def test_simulation_mesh_temporal_chunks_match():
     """Simulation(mesh=...).run through the chunk driver mixing k-step
     macros + single-step remainder (11 = 2x4 + 3) on the sharded

@@ -46,9 +46,36 @@ def parity_probe():
     assert d < 2e-6, "COMPILED PARITY FAILURE"
 
 
-def bench(n, k, chunk_steps=400, repeats=3):
-    cfg = SimConfig(nx=n, ny=n, tau=0.8, gx=1e-6, dtype="float32")
-    f = lbm.init_equilibrium(cfg)
+def openbc_parity_probe():
+    """Compiled probe of the Zou/He-in-window temporal path (the
+    closure's rolls/selects are Mosaic-sensitive; interpret mode
+    cannot catch a miscompile)."""
+    cfg = SimConfig(nx=1024, ny=1024, tau=0.7, dtype="float32",
+                    bc_west="inlet", bc_east="outlet", u_inlet=0.06,
+                    inlet_profile="poiseuille")
+    rng = np.random.default_rng(2)
+    import lbmdem_tpu.lattice as lattice
+
+    base = lattice.W[:, None, None].astype(np.float32)
+    f = jnp.asarray(
+        base * (1.0 + 0.02 * rng.standard_normal((9, 1024, 1024))).astype(np.float32)
+    )
+    t0 = time.perf_counter()
+    ref = f
+    orc = jax.jit(lambda x: lbm.step_pure_fluid(x, cfg))
+    for _ in range(8):
+        ref = orc(ref)
+    got = jax.jit(lambda x: pallas_lbm.fused_step_fluid_multi(x, cfg, 8))(f)
+    d = float(jnp.max(jnp.abs(got - ref)))
+    print(f"openbc temporal parity probe 1024^2 k=8: max|diff|={d:.3e} "
+          f"({time.perf_counter() - t0:.0f}s incl compile)", flush=True)
+    assert d < 5e-6, "COMPILED OPENBC TEMPORAL PARITY FAILURE"
+
+
+def bench(n, k, chunk_steps=400, repeats=3, storage="float32"):
+    cfg = SimConfig(nx=n, ny=n, tau=0.8, gx=1e-6, dtype="float32",
+                    f_storage=storage)
+    f = lbm.to_storage(lbm.init_equilibrium(cfg), cfg)
     scr = jnp.zeros_like(f)
 
     def chunk(f, scr):
@@ -119,9 +146,17 @@ def prehalo_parity_probe():
 
 
 if __name__ == "__main__":
+    import sys
+
     print("devices:", jax.devices(), flush=True)
     parity_probe()
     prehalo_parity_probe()
+    openbc_parity_probe()
     print("bench 4096^2 pure fluid:", flush=True)
     for k in (1, 4, 8):
         bench(4096, k)
+    if "--bf16" in sys.argv:
+        # the 16-row bf16 halo granule admits k <= 16
+        print("bench 4096^2 pure fluid, bf16 f-storage:", flush=True)
+        for k in (4, 8, 16):
+            bench(4096, k, storage="bfloat16")

@@ -226,7 +226,20 @@ def main():
     _periodic()
     _cavity()
     _trt()
+    _cylinder()
     print("TPU PHYSICS VALIDATION OK")
+
+
+def _cylinder():
+    """Schafer-Turek 2D-1 at scale 2 (880x164, D=40): the recorded
+    grid-convergence point (tools/benchmark_cylinder.py) - cD within 2%
+    of the published converged 5.5795 (measured +0.93% on TPU f32)."""
+    from tools.benchmark_cylinder import main as cyl
+
+    cd, cl = cyl(["--scale", "2"])
+    dev = abs(cd - 5.5795) / 5.5795
+    assert dev < 0.02, f"scale-2 cylinder drag off by {dev:.2%} (budget 2%)"
+    assert 0.008 < cl < 0.013, f"scale-2 lift {cl:.4f} implausible"
 
 
 if __name__ == "__main__":
