@@ -816,6 +816,143 @@ def fused_step_fluid_multi(f: jax.Array, cfg: SimConfig, k: int,
     )(*operands)
 
 
+def _imb_static_multi_kernel(f_hbm, s_hbm, out_ref, win, swin, sems, ssems,
+                             *, cfg: SimConfig, th: int, tw: int, k: int,
+                             hy: int = _HY, shift: float = 0.0,
+                             prehalo=False, edge_ref=None, ny_glob: int = 0):
+    """k coupled (NT-blended) LBM steps per HBM round-trip for STATIC
+    solid fields (the static-solid hoist's chunk: every disk fixed at
+    rest, so eps/us are loop constants).
+
+    Temporal blocking's validity argument extends unchanged: the IMB
+    collide is pointwise in (eps, usx, usy), and the solid window holds
+    the TRUE constant values everywhere (it never decays like f's halo
+    margin), so only f's streaming consumes the k <= hy dependency
+    cone. Walls and Zou/He closures re-anchor per inner step exactly as
+    in the pure-fluid multi kernel (_stream_and_bb_window). The hydro
+    reduce is absent by design - the hoist zero-trips it anyway (drag
+    is observed out-of-band via Simulation.hydro_forces)."""
+    iy = pl.program_id(0)
+    ix = pl.program_id(1)
+    nty = pl.num_programs(0)
+    ntx = pl.num_programs(1)
+    lin = iy * ntx + ix
+    slot = jax.lax.rem(lin, jnp.int32(2))
+
+    def copies_for(step_lin, s):
+        y0, x0 = _tile_xy(step_lin, ntx, th, tw)
+        return _window_copies(
+            f_hbm, win.at[s], sems.at[s], y0, x0, th, tw, cfg.ny, cfg.nx,
+            prehalo, hy=hy,
+        ) + _window_copies(
+            s_hbm, swin.at[s], ssems.at[s], y0, x0, th, tw, cfg.ny, cfg.nx,
+            prehalo,
+        )
+
+    _pipeline_window(copies_for, lin, slot, nty * ntx)
+    edges = oy = None
+    if edge_ref is not None:
+        edges = tuple(edge_ref[0, 0, j] != 0 for j in range(4))
+        oy = edge_ref[0, 0, 4]
+    planes = [win[slot, i] for i in range(9)]
+    if planes[0].dtype != jnp.float32:
+        planes = [p.astype(jnp.float32) for p in planes]
+    # bf16 f at hy=16 pads the window 8 rows beyond the f32 solid's:
+    # align the solid planes to the f window rows (value-level slices)
+    pad = hy - _HY
+    sv = swin[slot]
+    if pad:
+        z = jnp.zeros((3, pad, tw + 2 * _HX), jnp.float32)
+        sv = jnp.concatenate([z, sv, z], axis=1)
+    eps_w, usx_w, usy_w = sv[0], sv[1], sv[2]
+    for _ in range(k):
+        fpost, _ = _collide_window(planes, cfg, eps=eps_w, usx=usx_w,
+                                   usy=usy_w, shift=shift)
+        planes = _stream_and_bb_window(fpost, cfg, th, tw, iy, ix, nty,
+                                       ntx, edges=edges, shift=shift,
+                                       oy=oy, ny_glob=ny_glob or cfg.ny)
+    out_ref[:] = jnp.stack(
+        [jax.lax.slice(p, (hy, _HX), (hy + th, _HX + tw)) for p in planes]
+    ).astype(out_ref.dtype)
+
+
+def fused_step_imb_static_multi(f: jax.Array, solid: jax.Array,
+                                cfg: SimConfig, k: int,
+                                out_buf: jax.Array = None,
+                                prehalo=False, edges: jax.Array = None,
+                                ny_glob: int = 0) -> jax.Array:
+    """k fused coupled LBM steps per HBM round-trip over a STATIC
+    (3, ny, nx) solid stack (the static-solid hoist's chunk kernel for
+    all-fixed-at-rest scenes). Parity: k oracle coupled steps.
+
+    prehalo: multi-chip shards - as in fused_step_fluid_multi, ONE
+    ppermute exchange feeds k steps (f carries 2*hy halo rows, +2*_HX
+    cols in "yx"; the solid carries 2*_HY rows at the f32 granule -
+    constant true values from the canvas, so only f consumes the
+    dependency cone), and global-edge BB + Zou/He run in-kernel via
+    the `edges` flags/row-offset array (slot 4) and `ny_glob`."""
+    fdt, hy, shift = _storage(cfg)
+    assert f.dtype == fdt
+    assert 1 <= k <= _HY, (
+        f"static-coupled temporal block k={k} exceeds the {_HY}-row "
+        f"solid halo"
+    )
+    th, tw = tile_dims(cfg, wide=True)
+    assert f.shape[1] == cfg.ny + (2 * hy if prehalo else 0)
+    assert f.shape[2] == cfg.nx + (2 * _HX if prehalo == "yx" else 0)
+    s_shape = (3, cfg.ny + (2 * _HY if prehalo else 0),
+               cfg.nx + (2 * _HX if prehalo == "yx" else 0))
+    assert solid.shape == s_shape, (solid.shape, s_shape)
+    assert (edges is not None) == bool(prehalo)
+    kernel = functools.partial(_imb_static_multi_kernel, cfg=cfg, th=th,
+                               tw=tw, k=k, hy=hy, shift=shift,
+                               prehalo=prehalo, ny_glob=ny_glob)
+    operands = [f, solid.astype(jnp.float32)]
+    in_specs = [pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(memory_space=pl.ANY)]
+    if prehalo:
+        e = edges.astype(jnp.int32).reshape(-1)
+        e = jnp.concatenate([e, jnp.zeros((8 - e.shape[0],), jnp.int32)])
+        operands.append(e.reshape(1, 1, 8))
+        in_specs.append(
+            pl.BlockSpec((1, 1, 8), lambda i, j: (0, 0, 0),
+                         memory_space=pltpu.SMEM)
+        )
+        inner_e = kernel
+        kernel = (lambda f_hbm, s_hbm, eref, *rest:
+                  inner_e(f_hbm, s_hbm, *rest, edge_ref=eref))
+    aliases = {}
+    if out_buf is not None:
+        assert out_buf.shape == (9, cfg.ny, cfg.nx)
+        di = len(operands)  # position of the dead buffer in kernel args
+        aliases = {di: 0}
+        operands.append(out_buf)
+        in_specs.append(pl.BlockSpec(memory_space=pl.ANY))
+        inner = kernel
+        kernel = lambda *args, _i=inner, _d=di: _i(*args[:_d], *args[_d + 1:])
+    return pl.pallas_call(
+        kernel,
+        grid=(cfg.ny // th, cfg.nx // tw),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec(
+            (9, th, tw), lambda i, j: (0, i, j), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((9, cfg.ny, cfg.nx), fdt),
+        scratch_shapes=[
+            pltpu.VMEM((2, 9, th + 2 * hy, tw + 2 * _HX), fdt),
+            pltpu.VMEM((2, 3, th + 2 * _HY, tw + 2 * _HX), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, 9)),
+            pltpu.SemaphoreType.DMA((2, 9)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+            vmem_limit_bytes=48 * 2**20,
+        ),
+        input_output_aliases=aliases,
+        interpret=_interpret(),
+    )(*operands)
+
+
 def _imb_reduce_kernel(
     f_hbm, s_hbm, data_ref, cnt_ref, out_ref, part_ref, win, swin, sems,
     ssems, wscr, *, cfg: SimConfig, th: int, tw: int, cap: int,
@@ -1073,7 +1210,7 @@ def fused_step_imb(
     """
     assert f.dtype == jnp.float32, (
         "fused_step_imb is float32-only (bf16 storage runs through "
-        "fused_step_imb_reduce; sharded bf16 is not supported yet)"
+        "fused_step_imb_reduce on every path, incl. sharded)"
     )
     th, tw = tile_dims(cfg)
     assert f.shape[1] == cfg.ny + (2 * _HY if prehalo else 0)

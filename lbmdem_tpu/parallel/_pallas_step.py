@@ -346,53 +346,34 @@ def _build(cfg: SimConfig, grid, mesh, h: int, w: int, dem_axis: str,
             fail_step=state.fail_step,
         )
 
-    def static_step(state: SimState, f_scratch, solid, td_i,
-                    cnt_i) -> SimState:
-        """One all-fixed-at-rest coupled step: the canvas stamp and the
-        interior binning arrive as loop constants (sharded jit
-        arguments from make_sharded_static_chunk's prep pass; cnt_i is
-        zeroed so the in-kernel reduce is zero-trip), so the step is
-        the fused IMB kernel + edge fixups - no binning, no stamp, no
-        psum."""
-        f = state.f
-        f_ext = exchange(f)
-        s_k = solid[:, pady - _HY : pady + h + _HY, :]
-        fnew, _ = pallas_lbm.fused_step_imb_reduce(
-            f_ext, s_k, None, None, local_cfg, td_i, cnt_i,
-            out_buf=f_scratch, prehalo=prehalo, origin=(pady, padx),
+    def static_step(state: SimState, f_scratch, s_k, k) -> SimState:
+        """k all-fixed-at-rest coupled steps per exchange: the kernel
+        solid window arrives as a sharded loop constant
+        (make_sharded_static_chunk's prep), and the temporal-blocked
+        static IMB kernel runs global-edge BB + Zou/He in-kernel via
+        the mesh-position flags - ONE ppermute exchange feeds k steps,
+        no binning, no stamp, no psum, no external fixups."""
+        f_ext = exchange(state.f)
+        iy_m = jax.lax.axis_index("y")
+        ix_m = jax.lax.axis_index("x")
+        edges = jnp.stack(
+            [(iy_m == 0).astype(jnp.int32),
+             (iy_m == ny_sh - 1).astype(jnp.int32),
+             (ix_m == 0).astype(jnp.int32),
+             (ix_m == nx_sh - 1).astype(jnp.int32),
+             (iy_m * h).astype(jnp.int32)]
         )
-        fp_bot = col_imb(
-            f[:, 0:1, :], solid[0, pady : pady + 1, ix_int],
-            solid[1, pady : pady + 1, ix_int],
-            solid[2, pady : pady + 1, ix_int],
+        fnew = pallas_lbm.fused_step_imb_static_multi(
+            f_ext, s_k, local_cfg, k, out_buf=f_scratch,
+            prehalo=prehalo, edges=edges, ny_glob=cfg.ny,
         )
-        fp_top = col_imb(
-            f[:, -1:, :], solid[0, pady + h - 1 : pady + h, ix_int],
-            solid[1, pady + h - 1 : pady + h, ix_int],
-            solid[2, pady + h - 1 : pady + h, ix_int],
-        )
-        fnew = fix_y_walls(fnew, fp_bot, fp_top)
-        if two_d:
-            iy_i = slice(pady, pady + h)
-            fp_w = col_imb(
-                f[:, :, 0:1], solid[0, iy_i, padx : padx + 1],
-                solid[1, iy_i, padx : padx + 1],
-                solid[2, iy_i, padx : padx + 1],
-            )
-            fp_e = col_imb(
-                f[:, :, -1:], solid[0, iy_i, padx + w - 1 : padx + w],
-                solid[1, iy_i, padx + w - 1 : padx + w],
-                solid[2, iy_i, padx + w - 1 : padx + w],
-            )
-            fnew = fix_x_walls(fnew, fp_w, fp_e)
-        fnew = _apply_open_boundaries_sharded(fnew, cfg, h, nx_sh)
-        return state._replace(f=fnew, step=state.step + 1)
+        return state._replace(f=fnew, step=state.step + k)
 
     def static_prep(d):
-        """Per-shard canvas stamp + interior binning of the immutable
-        disk state (replicated input -> sharded constants). Counts are
-        returned zeroed for the kernel (zero-trip reduce); the binning
-        overflow is summed over shards for the one-time host check."""
+        """Per-shard kernel solid window of the immutable disk state
+        (replicated input -> sharded constant; rows [pady-8, pady+h+8)
+        of the canvas stamp, all canvas cols). The binning overflow is
+        summed over shards for the one-time host check."""
         govf = jnp.zeros((), jnp.int32)
         if periodic_dem:
             _, (xa, va, oma, ra, acta), _, _, govf = imb.periodic_ghosts(
@@ -422,12 +403,8 @@ def _build(cfg: SimConfig, grid, mesh, h: int, w: int, dem_axis: str,
             solid = solid.at[:, :, cw].set(
                 jnp.where(at_w, 0.0, solid[:, :, cw])
             ).at[:, :, ce].set(jnp.where(at_e, 0.0, solid[:, :, ce]))
-        td_i = tile_data.reshape(nty_c, ntx_c, cap * 8)[
-            oy_t : oy_t + nty_i, ox_t : ox_t + ntx_i
-        ].reshape(nty_i * ntx_i, 1, cap * 8)
-        cnt_i = jnp.zeros((nty_i * ntx_i, 1, 1), jnp.int32)
         ovf = jax.lax.psum(jnp.maximum(bovf, govf), ("y", "x"))
-        return solid, td_i, cnt_i, ovf
+        return solid[:, pady - _HY : pady + h + _HY, :], ovf
 
     def local_step(state: SimState, f_scratch) -> SimState:
         # f_scratch: dead (9, h, w) shard donated for the kernel output
@@ -616,59 +593,68 @@ def make_sharded_static_chunk(cfg: SimConfig, grid, mesh, h: int, w: int,
     """(prep, chunk_factory) for the static-solid hoist on a mesh.
 
     `prep(state)` runs one shard_map pass turning the (replicated,
-    immutable) disk state into SHARDED loop constants: the per-shard
-    canvas solid stack and the interior-tile binning (counts zeroed -
-    zero-trip reduce; drag on the obstacles stays observable through
+    immutable) disk state into a SHARDED loop constant: the per-shard
+    kernel solid window (the hydro reduce is absent from the hoisted
+    chunk - drag on the obstacles stays observable through
     Simulation.hydro_forces). It returns (ops, overflow) - the caller
     checks overflow == 0 once on the host. `chunk_factory(n)` returns
-    chunk(state, *ops) running n fused-IMB-only steps (ping-ponged
-    donated buffers), the mesh analogue of Simulation._chunk_fn's
-    single-chip static branch."""
+    chunk(state, *ops) running n temporal-blocked static-IMB steps
+    (fused_step_imb_static_multi: k steps per ppermute exchange,
+    ping-ponged donated buffers), the mesh analogue of
+    Simulation._chunk_fn's single-chip static branch."""
     from jax.sharding import PartitionSpec as P
 
     from lbmdem_tpu.parallel.sharding import state_specs
+    from lbmdem_tpu.simulation import TEMPORAL_K
 
     assert cfg.max_disks > 0 and not cfg.paranoia
     _, _, static_step, static_prep = _build(cfg, grid, mesh, h, w,
                                             dem_axis, 1)
     specs = state_specs()
     solid_spec = P(None, "y", "x")
-    bin_spec = P(("y", "x"), None, None)
     prep_sharded = jax.shard_map(
         static_prep, mesh=mesh, in_specs=(specs.disks,),
-        out_specs=(solid_spec, bin_spec, bin_spec, P()),
-        check_vma=False,
+        out_specs=(solid_spec, P()), check_vma=False,
     )
 
     def prep(state):
-        solid, td, cnt, ovf = prep_sharded(state.disks)
-        return (solid, td, cnt), ovf
+        solid, ovf = prep_sharded(state.disks)
+        return (solid,), ovf
 
     def chunk_factory(n: int):
-        def local_chunk(state, f_scratch, solid, td, cnt):
-            def dbl(c):
-                st, scr = c
-                s1 = static_step(st, scr, solid, td, cnt)
-                s2 = static_step(s1, st.f, solid, td, cnt)
-                return (s2, s1.f)
+        kblk = TEMPORAL_K if n >= TEMPORAL_K > 1 else 1
 
-            n2, rem = divmod(n, 2)
-            carry = (state, f_scratch)
-            if n2:
-                carry = jax.lax.fori_loop(0, n2, lambda _, c: dbl(c), carry)
-            st, scr = carry
-            if rem:
-                st = static_step(st, scr, solid, td, cnt)
+        def local_chunk(state, f_scratch, solid):
+            def pingpong(st, scr, k, m):
+                def dbl(c):
+                    s1 = static_step(c[0], c[1], solid, k)
+                    s2 = static_step(s1, c[0].f, solid, k)
+                    return (s2, s1.f)
+
+                m2, rem = divmod(m, 2)
+                if m2:
+                    st, scr = jax.lax.fori_loop(
+                        0, m2, lambda _, c: dbl(c), (st, scr)
+                    )
+                if rem:
+                    st1 = static_step(st, scr, solid, k)
+                    st, scr = st1, st.f
+                return st, scr
+
+            nk, tail = divmod(n, kblk)
+            st, scr = pingpong(state, f_scratch, kblk, nk)
+            if tail:
+                st, _ = pingpong(st, scr, 1, tail)
             return st
 
         sharded = jax.shard_map(
             local_chunk, mesh=mesh,
-            in_specs=(specs, specs.f, solid_spec, bin_spec, bin_spec),
+            in_specs=(specs, specs.f, solid_spec),
             out_specs=specs, check_vma=False,
         )
 
-        def chunkfn(state, solid, td, cnt):
-            return sharded(state, jnp.zeros_like(state.f), solid, td, cnt)
+        def chunkfn(state, solid):
+            return sharded(state, jnp.zeros_like(state.f), solid)
 
         return chunkfn
 

@@ -520,36 +520,46 @@ class Simulation:
                     and not self.cfg.paranoia):
                 # static-solid hoist: all disks fixed at rest, so the
                 # binning + stamp are loop constants (built once in
-                # _static_solid_operands) and the reduce is skipped via
-                # zero-trip counts (drag on obstacles stays observable
-                # through Simulation.hydro_forces at dump time). The
-                # step is the fused IMB kernel alone.
+                # _static_solid_operands) and the hydro reduce is
+                # skipped entirely (drag on obstacles stays observable
+                # through Simulation.hydro_forces at dump time). With
+                # the solid fields constant, the coupled step temporal-
+                # blocks exactly like pure fluid: k steps per HBM
+                # round-trip (fused_step_imb_static_multi - the solid
+                # window never decays, only f consumes the cone).
                 from lbmdem_tpu.ops import pallas_lbm
 
                 cfg = self.cfg
+                kblk = TEMPORAL_K if n >= TEMPORAL_K > 1 else 1
 
-                def sstep(st, scr, solid, td, cnt):
-                    fnew, _ = pallas_lbm.fused_step_imb_reduce(
-                        st.f, solid, None, None, cfg, td, cnt, out_buf=scr
+                def sstep(st, scr, solid, k):
+                    fnew = pallas_lbm.fused_step_imb_static_multi(
+                        st.f, solid, cfg, k, out_buf=scr
                     )
-                    return st._replace(f=fnew, step=st.step + 1)
+                    return st._replace(f=fnew, step=st.step + k)
 
-                def chunk(state, solid, td, cnt):
-                    def dbl(c):
-                        st, scr = c
-                        s1 = sstep(st, scr, solid, td, cnt)
-                        s2 = sstep(s1, st.f, solid, td, cnt)
-                        return (s2, s1.f)
+                def chunk(state, solid):
+                    def pingpong(st, scr, k, m):
+                        def dbl(c):
+                            s1 = sstep(c[0], c[1], solid, k)
+                            s2 = sstep(s1, c[0].f, solid, k)
+                            return (s2, s1.f)
 
-                    n2, rem = divmod(n, 2)
-                    carry = (state, jnp.zeros_like(state.f))
-                    if n2:
-                        carry = jax.lax.fori_loop(
-                            0, n2, lambda _, c: dbl(c), carry
-                        )
-                    st, scr = carry
-                    if rem:
-                        st = sstep(st, scr, solid, td, cnt)
+                        m2, rem = divmod(m, 2)
+                        if m2:
+                            st, scr = jax.lax.fori_loop(
+                                0, m2, lambda _, c: dbl(c), (st, scr)
+                            )
+                        if rem:
+                            st1 = sstep(st, scr, solid, k)
+                            st, scr = st1, st.f
+                        return st, scr
+
+                    nk, tail = divmod(n, kblk)
+                    st, scr = pingpong(state, jnp.zeros_like(state.f),
+                                       kblk, nk)
+                    if tail:
+                        st, _ = pingpong(st, scr, 1, tail)
                     return st
 
                 jitted = jax.jit(chunk, donate_argnums=0)
@@ -729,13 +739,14 @@ class Simulation:
         return self._chunk_cache[n]
 
     def _static_solid_operands(self):
-        """(solid stack, tile_data, zeroed counts) for the static-solid
-        hoist: computed once on device from the (immutable) disk state.
-        Counts are zeroed so the fused kernel's reduce loops are
-        zero-trip - the per-disk force partials of a fixed-at-rest scene
-        are never consumed by motion (hydro_forces() observes drag from
-        a separate oracle evaluation). Binning overflow is checked once
-        here instead of per step."""
+        """(solid stack,) for the static-solid hoist: computed once on
+        device from the (immutable) disk state and passed as a jit
+        ARGUMENT to the hoisted chunk. The hydro reduce is absent from
+        that chunk by design - the per-disk force partials of a
+        fixed-at-rest scene are never consumed by motion
+        (hydro_forces() observes drag from a separate oracle
+        evaluation). Binning overflow is checked once here instead of
+        per step."""
         if self._static_ops is None:
             from lbmdem_tpu.ops import pallas_stamp
 
@@ -752,7 +763,7 @@ class Simulation:
                     )
                 binned = pallas_stamp.bin_disks_to_tiles(x, v, om, r, act,
                                                          cfg)
-                tile_data, counts, _, bovf = binned
+                _, _, _, bovf = binned
                 solid, _ = pallas_stamp.stamp_solid_fraction(
                     x, v, om, r, act, cfg, binned=binned, as_stack=True
                 )
@@ -760,15 +771,15 @@ class Simulation:
                     # Zou/He boundary columns stay pure fluid (oracle:
                     # imb.mask_open_columns)
                     solid = solid.at[:, :, 0].set(0.0).at[:, :, -1].set(0.0)
-                return solid, tile_data, counts, jnp.maximum(bovf, govf)
+                return solid, jnp.maximum(bovf, govf)
 
-            solid, tile_data, counts, ovf = build(self.state.disks)
+            solid, ovf = build(self.state.disks)
             if int(ovf) != 0:
                 raise ValueError(
                     "static-solid binning overflow: raise cfg.tile_cap "
                     "(or cfg.ghost_cap for periodic obstacle arrays)"
                 )
-            self._static_ops = (solid, tile_data, jnp.zeros_like(counts))
+            self._static_ops = (solid,)
         return self._static_ops
 
     def run(

@@ -134,6 +134,41 @@ def test_simulation_temporal_chunks_openbc():
                                np.asarray(s2.state.f), rtol=1e-5, atol=2e-6)
 
 
+@pytest.mark.parametrize("openbc", [False, True])
+def test_static_imb_temporal_block_matches_oracle(openbc):
+    """fused_step_imb_static_multi: k coupled steps per pass over a
+    STATIC solid stack (the static-solid hoist's chunk kernel). The
+    solid window never decays, so the pure-fluid temporal validity
+    argument carries over; parity vs k oracle coupled steps."""
+    from lbmdem_tpu.ops import imb
+
+    kw = (dict(bc_west="inlet", bc_east="outlet", u_inlet=0.05)
+          if openbc else dict(bc_west="wall", bc_east="wall", gx=1e-5))
+    cfg = SimConfig(nx=256, ny=64, tau=0.7, dtype="float32", max_disks=2,
+                    window=9, **kw)
+    rng = np.random.default_rng(13)
+    # static obstacles straddling tile boundaries
+    xs = jnp.asarray([[64.3, 32.1], [128.0, 40.0]], jnp.float32)
+    vs = jnp.zeros((2, 2), jnp.float32)
+    om = jnp.zeros((2,), jnp.float32)
+    r = jnp.asarray([4.0, 3.0], jnp.float32)
+    act = jnp.ones((2,), bool)
+    eps, usx, usy = imb.stamp_solid_fraction(xs, vs, om, r, act, cfg)
+    if openbc:
+        eps, usx, usy = imb.mask_open_columns(eps, usx, usy)
+    f = _rand_f(cfg.ny, cfg.nx, seed=21)
+    ref = f
+    for _ in range(8):
+        fpost, _, _ = imb.collide_imb(ref, eps, usx, usy, cfg)
+        ref = lbm.apply_open_boundaries(
+            lbm.apply_bounce_back(lbm.stream(fpost), fpost, cfg), cfg
+        )
+    solid = jnp.stack([eps, usx, usy])
+    got = pallas_lbm.fused_step_imb_static_multi(f, solid, cfg, 8)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-5, atol=2e-6)
+
+
 def test_simulation_temporal_chunks_match_oracle():
     """Simulation chunk driver mixing TEMPORAL_K-step macros + a
     single-step remainder (19 = 4x4 + 3 at the production k=4) vs the
