@@ -29,9 +29,17 @@ sublanes (`axis='x'` transposes) so the SPARSE axis gets the 8-cell
 banding granularity - the caller picks the axis from the initial disk
 extents (see choose_axis).
 
-Scope: kt == 0 (tangential dashpot friction). The history-spring path
-(kt > 0) falls back to the XLA subcycle, which remains the oracle for
-parity tests either way.
+Tangential friction: both the dashpot law (kt == 0) and the Cundall-
+Strack history spring (kt > 0) run in-kernel. The spring state rides
+the slab itself: a contact between the disk at slot (k, s, l) and the
+partner at (k2, s+dy, l+dc) is a FIXED (dy, dc, k2) relation for the
+whole subcycle (slab assignment never changes mid-subcycle), so each
+rank gets 9*SLAB_K extra xi channels (one per partner slot) plus 4
+wall-spring channels, advanced in place by every force eval exactly
+like the oracle's per-candidate-slot xi. Across LBM steps the springs
+are re-matched by partner id through DiskState.ct_j/ct_xi (the same
+(N, contact_cap) carry the XLA subcycle uses, so the two paths
+interoperate mid-run); see ops/dem.py:440-447 for the rematch oracle.
 """
 
 from __future__ import annotations
@@ -65,6 +73,14 @@ SLAB_K = 4  # slots per broadphase cell (cells hold <= ~2 disks of r_max)
 # 1/I = (1/m) * 2/r^2.
 _X, _Y, _VX, _VY, _OM, _TH, _R, _FHX, _FHY, _THQ, _MINV = range(11)
 _NCH = 11
+# kt > 0 appends per-rank spring channels: 9*SLAB_K pair-xi channels
+# (channel _XI0 + dir_idx*SLAB_K + k2 holds rank k's stretch vs the
+# (dy, dc) = dir partner of rank k2; dir_idx = (dy+1)*3 + (dc+1)) and
+# 4 wall-xi channels (W/E/S/N order, matching DiskState.wall_xi).
+_XI0 = _NCH
+_NXI = 9 * SLAB_K
+_XIW = _XI0 + _NXI
+_NCH_KT = _XIW + 4
 
 
 def slab_dims(grid: DemGrid, axis: str) -> Tuple[int, int, int, int, int]:
@@ -96,7 +112,7 @@ def _wrap_sl(grid: DemGrid, axis: str) -> Tuple[float, float]:
             else (grid.wrap_lx, grid.wrap_ly))
 
 
-def slab_supported(grid: DemGrid, axis: str = "y") -> bool:
+def slab_supported(grid: DemGrid, axis: str = "y", kt: bool = False) -> bool:
     """Feasibility gate: VMEM for the state planes + force scratch, and
     a plane-size cap tracking the largest *verified* Mosaic compile
     (qualified on TPU v5e up to 504x512 planes = 8192^2 domains at
@@ -107,26 +123,95 @@ def slab_supported(grid: DemGrid, axis: str = "y") -> bool:
     wrapped adjacency: ghost guard rows on a wrapped sublane axis,
     roll-wrapped partner lanes on a wrapped lane axis); a wrapped
     sublane axis needs >= 8 cell rows so the 8-row ghost copies are
-    whole real rows."""
+    whole real rows.
+
+    kt = True budgets the history-spring channels (_NCH_KT vs _NCH:
+    +40 planes per rank), so spring scenes fall back to the XLA
+    subcycle ~4.6x earlier in plane area."""
     ncs, ncl, R, C, nb = slab_dims(grid, axis)
     wrap_s, _ = _wrap_sl(grid, axis)
     if wrap_s and ncs < 8:
         return False
     if R * C > 270000:
         return False
-    bytes_ = (_NCH * SLAB_K + 3 * SLAB_K + 1) * R * C * 4
-    return bytes_ <= 72 * 2**20
+    nch = _NCH_KT if kt else _NCH
+    bytes_ = (nch * SLAB_K + 3 * SLAB_K + 1) * R * C * 4
+    # kt budgets half the kt=0 bound: the spring channels are kernel
+    # OUTPUTS too, and input_output_aliases is a buffer donation, not a
+    # VMEM-aliasing guarantee - Mosaic may stage the output separately,
+    # so leave 2x headroom under the 100 MB scoped-VMEM limit.
+    return bytes_ <= (48 if kt else 72) * 2**20
+
+
+def _partner_ids(slot, n, grid: DemGrid, axis: str):
+    """(N, _NXI) partner disk ids for each (dy, dc, k2) slab slot of
+    each disk (-1 = empty/out-of-grid/self), ordered dir_idx*K + k2 to
+    match the kernel's xi channel layout. Wrapped axes use modular
+    adjacency (cells exactly tile wrapped axes - DemGrid.build)."""
+    ncs, ncl, R, C, _ = slab_dims(grid, axis)
+    wrap_s, wrap_l = _wrap_sl(grid, axis)
+    nslots = SLAB_K * R * C
+    iota = jnp.arange(n, dtype=jnp.int32)
+    dos = (
+        jnp.full((nslots + 1,), -1, jnp.int32)
+        .at[jnp.where(slot >= 0, slot, nslots)]
+        .set(jnp.where(slot >= 0, iota, -1))
+    )
+    p = jnp.maximum(slot, 0)
+    k_i = p // (R * C)
+    rem = p - k_i * (R * C)
+    row = rem // C - 8  # real cell row (strip the guard-band offset)
+    lane = rem - (rem // C) * C
+    cols = []
+    for dy in (-1, 0, 1):
+        rs = row + dy
+        if wrap_s:
+            rs = jax.lax.rem(rs + ncs, jnp.int32(ncs))
+            ok_y = jnp.ones_like(rs, dtype=bool)
+        else:
+            ok_y = (rs >= 0) & (rs < ncs)
+        for dc in (-1, 0, 1):
+            ls = lane + dc
+            if wrap_l:
+                ls = jax.lax.rem(ls + ncl, jnp.int32(ncl))
+                ok = ok_y
+            else:
+                ok = ok_y & (ls >= 0) & (ls < ncl)
+            base = (rs + 8) * C + ls
+            for k2 in range(SLAB_K):
+                ps = jnp.where(ok & (slot >= 0), k2 * (R * C) + base,
+                               nslots)
+                if dy == 0 and dc == 0:
+                    ps = jnp.where(k_i == k2, nslots, ps)
+                cols.append(ps)
+    j36 = dos[jnp.stack(cols, axis=1)]  # (N, _NXI), one gather
+    return j36
+
+
+def _rematch_xi(j36, ct_j, ct_xi):
+    """Re-match carried springs to the fresh slab partner slots by
+    partner id (oracle: ops/dem.py dem_subcycle's `same` mask)."""
+    same = (
+        (j36[:, :, None] == ct_j[:, None, :])
+        & (ct_j[:, None, :] >= 0)
+        & (j36[:, :, None] >= 0)
+    )
+    return jnp.sum(
+        jnp.where(same, ct_xi[:, None, :].astype(jnp.float32), 0.0), axis=2
+    )
 
 
 def build_slabs(
     disks: DiskState, f_hydro, t_hydro, body_f, grid: DemGrid,
-    axis: str = "y",
+    axis: str = "y", kt: bool = False,
 ):
     """(slabs (NCH, K, R, C) f32, slot_of_disk (N,) i32, overflow,
     kmax () i32 - max occupied rank + 1, bounding the kernel rank loops,
     n_occ () i32 and band_offs (nb,) i32 - the occupancy band table:
     the first n_occ entries are the plane-row offsets of the occupied
-    8-row bands, ascending).
+    8-row bands, ascending - and j36: the (N, _NXI) partner-id map when
+    kt (slabs then carry _NCH_KT channels: rematched pair springs +
+    wall springs), else None.
 
     Inactive disks never reach the slabs (their cell id is -1, so the
     packed scatter drops them); empty slots hold all-zero rows.  Every
@@ -188,6 +273,12 @@ def build_slabs(
             disks.mobile & disks.active, 1.0 / disks.mass, 0.0
         ).astype(f32),
     ]
+    j36 = None
+    if kt:
+        j36 = _partner_ids(slot_of_disk, n, grid, axis)
+        xi0 = _rematch_xi(j36, disks.ct_j, disks.ct_xi)
+        fields.extend(xi0[:, c] for c in range(_NXI))
+        fields.extend(disks.wall_xi[:, c].astype(f32) for c in range(4))
     nslots = SLAB_K * R * C
     sdisk = order.astype(jnp.int32)
     # ONE channel-batched column scatter straight into the final
@@ -197,14 +288,16 @@ def build_slabs(
     # skips both the (nslots, NCH) intermediate - whose 10-element minor
     # dim is lane-padded to 128, a ~13x HBM footprint - and the big
     # transpose after it: measured 1.37 -> 0.63 ms at 4096^2/10k.
-    packed = jnp.stack(fields, axis=0)[:, sdisk]  # (NCH, n), slot-ordered
+    nch = len(fields)  # _NCH, or _NCH_KT with springs
+    packed = jnp.stack(fields, axis=0)[:, sdisk]  # (nch, n), slot-ordered
     dense = (
-        jnp.zeros((_NCH, nslots), f32)
+        jnp.zeros((nch, nslots), f32)
         .at[:, jnp.where(valid, slot, nslots)]
         .set(packed, mode="drop")
     )
-    slabs = dense.reshape(_NCH, SLAB_K, R, C)
-    return slabs, slot_of_disk, overflow, kmax.astype(jnp.int32), n_occ, band_offs
+    slabs = dense.reshape(nch, SLAB_K, R, C)
+    return (slabs, slot_of_disk, overflow, kmax.astype(jnp.int32), n_occ,
+            band_offs, j36)
 
 
 def _dem_kernel(kmax_ref, nocc_ref, bands_ref, s_ref, out_ref, nc_ref, fscr,
@@ -220,11 +313,19 @@ def _dem_kernel(kmax_ref, nocc_ref, bands_ref, s_ref, out_ref, nc_ref, fscr,
       128-padded plane width);
     - sublane adjacency wraps via ghost copies of the 8 edge rows into
       the guard bands, refreshed after every kick+drift
-      (_refresh_wrap_rows)."""
+      (_refresh_wrap_rows).
+
+    kt > 0: the spring channels (_XI0.., _XIW..) ride out_ref and are
+    advanced IN PLACE by every per-substep force eval (the initial eval
+    reads but never writes them - the oracle discards its h=0 xi2,
+    ops/dem.py:459). xi slots are indexed by the i-side disk's rows, so
+    neither wrap ghosts nor band windows touch them."""
     K = SLAB_K
     h = np.float32(1.0 / cfg.n_sub)
     kn, gn, gt, mu = (np.float32(cfg.kn), np.float32(cfg.gamma_n),
                       np.float32(cfg.gamma_t), np.float32(cfg.mu))
+    ktc = np.float32(cfg.kt)
+    kt_on = cfg.kt > 0.0
     kmax = kmax_ref[0]
     nocc = nocc_ref[0]
     # lattice-frame wrap lengths for the minimum image (pair() works in
@@ -246,14 +347,18 @@ def _dem_kernel(kmax_ref, nocc_ref, bands_ref, s_ref, out_ref, nc_ref, fscr,
         oks[dc] = ok
 
     walls = [
-        (cfg.bc_west == WALL, -0.5, 0),
-        (cfg.bc_east == WALL, cfg.nx - 0.5, 0),
-        (cfg.bc_south == WALL, -0.5, 1),
-        (cfg.bc_north == WALL, cfg.ny - 0.5, 1),
+        (0, cfg.bc_west == WALL, -0.5, 0),
+        (1, cfg.bc_east == WALL, cfg.nx - 0.5, 0),
+        (2, cfg.bc_south == WALL, -0.5, 1),
+        (3, cfg.bc_north == WALL, cfg.ny - 0.5, 1),
     ]
 
     def pair(xi, yi, vxi, vyi, omi, ri, xj, yj, vxj, vyj, omj, rj, extra_ok,
-             j_act=None, min_image=True):
+             j_act=None, min_image=True, spring=None, adv=None):
+        """spring/adv (kt > 0): the carried tangential stretch and the
+        advance step (0 for the initial eval). The 5th return is the
+        slip-consistently truncated new stretch (oracle:
+        dem._pair_force's xi_new), or None when kt == 0."""
         dx = xi - xj
         dyv = yi - yj
         # minimum image on wrapped axes (oracle: dem._min_image); wall
@@ -280,10 +385,17 @@ def _dem_kernel(kmax_ref, nocc_ref, bands_ref, s_ref, out_ref, nc_ref, fscr,
         vt = vrx * tx_ + vry * ty_
         fn = kn * delta - gn * vn
         cap = mu * jnp.abs(fn)
-        ft = jnp.clip(-gt * vt, -cap, cap)
+        xi_new = None
+        if spring is not None:
+            xi_t = jnp.where(touching, spring + vt * adv, 0.0)
+            ft = jnp.clip(-ktc * xi_t - gt * vt, -cap, cap)
+            xi_new = jnp.where(touching, -(ft + gt * vt) / ktc, 0.0)
+        else:
+            ft = jnp.clip(-gt * vt, -cap, cap)
         fn = jnp.where(touching, fn, 0.0)
         ft = jnp.where(touching, ft, 0.0)
-        return (fn * nx_ + ft * tx_, fn * ny_ + ft * ty_, -li * ft, touching)
+        return (fn * nx_ + ft * tx_, fn * ny_ + ft * ty_, -li * ft, touching,
+                xi_new)
 
     def rd(ch, k, off):
         return out_ref[ch, k, pl.ds(off, 8)]
@@ -331,96 +443,129 @@ def _dem_kernel(kmax_ref, nocc_ref, bands_ref, s_ref, out_ref, nc_ref, fscr,
     # --- per-band phases (state lives IN out_ref; rows of untouched
     # bands pass through as the just-copied input) ---
 
-    def band_force(i, nc_tot):
-        off = pl.multiple_of(bands_ref[i], 8)
-        woff = pl.multiple_of(off - 8, 8)
-        X = [rd(_X, k, off) for k in range(K)]
-        Y = [rd(_Y, k, off) for k in range(K)]
-        VX = [rd(_VX, k, off) for k in range(K)]
-        VY = [rd(_VY, k, off) for k in range(K)]
-        OM = [rd(_OM, k, off) for k in range(K)]
-        Rr = [rd(_R, k, off) for k in range(K)]
-        act = [(Rr[k] > 0).astype(jnp.float32) for k in range(K)]
-        nc_acc = jnp.zeros((8, C), jnp.float32)
-        for k in range(K):
-            zero = jnp.zeros((8, C), jnp.float32)
-            trip = jnp.where(k < kmax, kmax, 0)
+    def make_band_force(adv, write_xi):
+        """Band force-eval closure. adv/write_xi distinguish the h=0
+        initial eval (reads springs, never writes - the oracle discards
+        its xi2) from the per-substep evals (advance by h, write)."""
 
-            def inner(k2, acc, k=k):
-                afx, afy, atq, anc = acc
-                # partner window: this band +-8 rows of rank k2 (dynamic
-                # rank keeps the unroll at 9 pair bodies per k)
-                w = [out_ref[ch, k2, pl.ds(woff, 24)]
-                     for ch in (_X, _Y, _VX, _VY, _OM, _R)]
-                for dy in (-1, 0, 1):
-                    for dc in (-1, 0, 1):
-                        def sl(a, dy=dy, dc=dc):
-                            p = jax.lax.slice(a, (8 + dy, 0), (16 + dy, C))
-                            if dc:
-                                q = pltpu.roll(p, (-dc) % C, 1)
-                                if wrap_l:
-                                    # lane wrap: the edge lane's partner
-                                    # sits (ncl-1) lanes the other way
-                                    # inside the 128-padded plane width
-                                    # (cyclic shift of period ncl != C)
-                                    edge = ncl - 1 if dc > 0 else 0
-                                    r_ = pltpu.roll(p, (dc * (ncl - 1)) % C, 1)
-                                    q = jnp.where(col == edge, r_, q)
-                                p = q
-                            return p
-                        okk = oks[dc]
-                        if dy == 0 and dc == 0:
-                            okk = okk & (k2 != k)
-                        dfx, dfy, dtq, tt = pair(
+        def band_force(i, nc_tot):
+            off = pl.multiple_of(bands_ref[i], 8)
+            woff = pl.multiple_of(off - 8, 8)
+            X = [rd(_X, k, off) for k in range(K)]
+            Y = [rd(_Y, k, off) for k in range(K)]
+            VX = [rd(_VX, k, off) for k in range(K)]
+            VY = [rd(_VY, k, off) for k in range(K)]
+            OM = [rd(_OM, k, off) for k in range(K)]
+            Rr = [rd(_R, k, off) for k in range(K)]
+            act = [(Rr[k] > 0).astype(jnp.float32) for k in range(K)]
+            nc_acc = jnp.zeros((8, C), jnp.float32)
+            for k in range(K):
+                zero = jnp.zeros((8, C), jnp.float32)
+                trip = jnp.where(k < kmax, kmax, 0)
+
+                def inner(k2, acc, k=k):
+                    afx, afy, atq, anc = acc
+                    # partner window: this band +-8 rows of rank k2
+                    # (dynamic rank keeps the unroll at 9 pair bodies
+                    # per k)
+                    w = [out_ref[ch, k2, pl.ds(woff, 24)]
+                         for ch in (_X, _Y, _VX, _VY, _OM, _R)]
+                    for dy in (-1, 0, 1):
+                        for dc in (-1, 0, 1):
+                            def sl(a, dy=dy, dc=dc):
+                                p = jax.lax.slice(
+                                    a, (8 + dy, 0), (16 + dy, C)
+                                )
+                                if dc:
+                                    q = pltpu.roll(p, (-dc) % C, 1)
+                                    if wrap_l:
+                                        # lane wrap: the edge lane's
+                                        # partner sits (ncl-1) lanes the
+                                        # other way inside the 128-padded
+                                        # plane width (cyclic shift of
+                                        # period ncl != C)
+                                        edge = ncl - 1 if dc > 0 else 0
+                                        r_ = pltpu.roll(
+                                            p, (dc * (ncl - 1)) % C, 1
+                                        )
+                                        q = jnp.where(col == edge, r_, q)
+                                    p = q
+                                return p
+                            okk = oks[dc]
+                            if dy == 0 and dc == 0:
+                                okk = okk & (k2 != k)
+                            spring = None
+                            if kt_on:
+                                # this (dy, dc, k2) partner slot's spring
+                                # channel (dynamic leading index - k2 is
+                                # the fori_loop carry)
+                                xi_ch = (_XI0
+                                         + ((dy + 1) * 3 + (dc + 1)) * K
+                                         + k2)
+                                spring = out_ref[xi_ch, k, pl.ds(off, 8)]
+                            dfx, dfy, dtq, tt, xi_new = pair(
+                                X[k], Y[k], VX[k], VY[k], OM[k], Rr[k],
+                                sl(w[0]), sl(w[1]), sl(w[2]), sl(w[3]),
+                                sl(w[4]), sl(w[5]), okk,
+                                spring=spring, adv=adv,
+                            )
+                            if kt_on and write_xi:
+                                out_ref[xi_ch, k, pl.ds(off, 8)] = xi_new
+                            afx = afx + dfx
+                            afy = afy + dfy
+                            atq = atq + dtq
+                            anc = anc + tt.astype(jnp.float32)
+                    return (afx, afy, atq, anc)
+
+                fx, fy, tq, nck = jax.lax.fori_loop(
+                    0, trip, inner, (zero, zero, zero, zero)
+                )
+
+                # walls: mirror disk of radius 0 on the plane (skipped
+                # for ranks >= kmax via a 0/1-trip loop; rows are empty)
+                def wall_forces(_, acc, k=k):
+                    afx, afy, atq = acc
+                    for wslot, on, wpos, waxis in walls:
+                        if not on:
+                            continue
+                        if waxis == 0:
+                            xj = jnp.full_like(X[k], np.float32(wpos))
+                            yj = Y[k]
+                        else:
+                            xj = X[k]
+                            yj = jnp.full_like(Y[k], np.float32(wpos))
+                        zp = jnp.zeros_like(X[k])
+                        spring = None
+                        if kt_on:
+                            spring = out_ref[_XIW + wslot, k, pl.ds(off, 8)]
+                        dfx, dfy, dtq, _t, xi_new = pair(
                             X[k], Y[k], VX[k], VY[k], OM[k], Rr[k],
-                            sl(w[0]), sl(w[1]), sl(w[2]), sl(w[3]),
-                            sl(w[4]), sl(w[5]), okk,
+                            xj, yj, zp, zp, zp, zp,
+                            jnp.ones((8, C), dtype=bool), j_act=True,
+                            min_image=False, spring=spring, adv=adv,
                         )
+                        if kt_on and write_xi:
+                            out_ref[_XIW + wslot, k, pl.ds(off, 8)] = xi_new
                         afx = afx + dfx
                         afy = afy + dfy
                         atq = atq + dtq
-                        anc = anc + tt.astype(jnp.float32)
-                return (afx, afy, atq, anc)
+                    return (afx, afy, atq)
 
-            fx, fy, tq, nck = jax.lax.fori_loop(
-                0, trip, inner, (zero, zero, zero, zero)
-            )
+                fx, fy, tq = jax.lax.fori_loop(
+                    0, jnp.where(k < kmax, 1, 0), wall_forces, (fx, fy, tq)
+                )
+                fscr[0, k, pl.ds(off, 8)] = (fx + rd(_FHX, k, off)) * act[k]
+                fscr[1, k, pl.ds(off, 8)] = (fy + rd(_FHY, k, off)) * act[k]
+                fscr[2, k, pl.ds(off, 8)] = (tq + rd(_THQ, k, off)) * act[k]
+                nc_acc = nc_acc + nck
+            # directed-touching count of this band, accumulated into the
+            # per-force-eval total carried by the fori_loop
+            return nc_tot + jnp.sum(nc_acc)
 
-            # walls: mirror disk of radius 0 on the plane (skipped for
-            # ranks >= kmax via a 0/1-trip loop; those rows are empty)
-            def wall_forces(_, acc, k=k):
-                afx, afy, atq = acc
-                for on, wpos, waxis in walls:
-                    if not on:
-                        continue
-                    if waxis == 0:
-                        xj = jnp.full_like(X[k], np.float32(wpos))
-                        yj = Y[k]
-                    else:
-                        xj = X[k]
-                        yj = jnp.full_like(Y[k], np.float32(wpos))
-                    zp = jnp.zeros_like(X[k])
-                    dfx, dfy, dtq, _t = pair(
-                        X[k], Y[k], VX[k], VY[k], OM[k], Rr[k],
-                        xj, yj, zp, zp, zp, zp,
-                        jnp.ones((8, C), dtype=bool), j_act=True,
-                        min_image=False,
-                    )
-                    afx = afx + dfx
-                    afy = afy + dfy
-                    atq = atq + dtq
-                return (afx, afy, atq)
+        return band_force
 
-            fx, fy, tq = jax.lax.fori_loop(
-                0, jnp.where(k < kmax, 1, 0), wall_forces, (fx, fy, tq)
-            )
-            fscr[0, k, pl.ds(off, 8)] = (fx + rd(_FHX, k, off)) * act[k]
-            fscr[1, k, pl.ds(off, 8)] = (fy + rd(_FHY, k, off)) * act[k]
-            fscr[2, k, pl.ds(off, 8)] = (tq + rd(_THQ, k, off)) * act[k]
-            nc_acc = nc_acc + nck
-        # directed-touching count of this band, accumulated into the
-        # per-force-eval total carried by the fori_loop
-        return nc_tot + jnp.sum(nc_acc)
+    band_force0 = make_band_force(np.float32(0.0), False)
+    band_force = make_band_force(h, True) if kt_on else band_force0
 
     def _mass(Rk, inv_m):
         # inv_m is the _MINV channel: already 0 for fixed/empty slots -
@@ -467,7 +612,7 @@ def _dem_kernel(kmax_ref, nocc_ref, bands_ref, s_ref, out_ref, nc_ref, fscr,
     # directed-touching sum. A global scalar per eval is the only
     # correct granularity — a per-cell max would overcount pairs that
     # migrate between broadphase cells mid-subcycle.
-    nc_ref[0] = jax.lax.fori_loop(0, nocc, band_force, jnp.float32(0.0))
+    nc_ref[0] = jax.lax.fori_loop(0, nocc, band_force0, jnp.float32(0.0))
 
     def substep(_, c):
         jax.lax.fori_loop(0, nocc, band_kickdrift, 0)
@@ -487,13 +632,15 @@ def dem_subcycle(
     disks: DiskState, f_hydro, t_hydro, grid: DemGrid, cfg: SimConfig,
     axis: str = "y",
 ) -> Tuple[DiskState, jax.Array, jax.Array]:
-    """Drop-in Pallas replacement for ops.dem.dem_subcycle (kt == 0)."""
-    assert cfg.kt == 0.0, "history springs use the XLA subcycle"
+    """Drop-in Pallas replacement for ops.dem.dem_subcycle (kt >= 0;
+    the kt > 0 history springs ride extra slab channels rematched
+    through DiskState.ct_j/ct_xi - see the module docstring)."""
+    kt_on = cfg.kt > 0.0
     ncs, ncl, R, C, nb = slab_dims(grid, axis)
     wrap_s, wrap_l = _wrap_sl(grid, axis)
     body_f = dem_ops.body_forces(disks, cfg)
-    slabs, slot, overflow, kmax, n_occ, band_offs = build_slabs(
-        disks, f_hydro, t_hydro, body_f, grid, axis
+    slabs, slot, overflow, kmax, n_occ, band_offs, j36 = build_slabs(
+        disks, f_hydro, t_hydro, body_f, grid, axis, kt=kt_on
     )
     kernel = functools.partial(_dem_kernel, cfg=cfg, ncs=ncs, ncl=ncl, R=R,
                                C=C, wrap_s=wrap_s, wrap_l=wrap_l)
@@ -520,11 +667,13 @@ def dem_subcycle(
         input_output_aliases={3: 0},
         interpret=_interpret(),
     )(kmax.reshape(1), n_occ.reshape(1), band_offs, slabs)
-    # one row-gather back to disk order; only the 6 integrated state
-    # channels (_X.._TH) leave slab layout
-    flat_t = out[:6].reshape(6, -1).T  # (nslots, 6)
+    # one row-gather back to disk order: the 6 integrated state channels
+    # (_X.._TH), plus the spring channels when kt > 0
+    nch = slabs.shape[0]
+    width = nch if kt_on else 6
+    flat_t = out[:width].reshape(width, -1).T  # (nslots, width)
     ok = slot >= 0
-    g = flat_t[jnp.maximum(slot, 0)]  # (N, 6)
+    g = flat_t[jnp.maximum(slot, 0)]  # (N, width)
     dt = disks.x.dtype
 
     def pick(ch, old):
@@ -537,6 +686,41 @@ def dem_subcycle(
         omega=pick(_OM, disks.omega),
         theta=pick(_TH, disks.theta),
     )
+    if kt_on:
+        # Compact the nonzero springs to the (N, contact_cap) carry
+        # (partner id + stretch), the same format the XLA subcycle
+        # stores - the two paths interoperate mid-run. Springs beyond
+        # contact_cap are dropped and counted as overflow (coordination
+        # of equal-size disks is <= 6, so cap 10 never truncates in
+        # practice).
+        cap = cfg.contact_cap
+        xi36 = g[:, _XI0:_XIW]
+        live = ok & disks.active
+        keep = (j36 >= 0) & (xi36 != 0.0) & live[:, None]
+        k_eff = min(cap, _NXI)
+        vals, ordr = jax.lax.top_k(keep.astype(jnp.float32), k_eff)
+        ct_j = jnp.take_along_axis(jnp.where(keep, j36, -1), ordr, axis=1)
+        ct_j = jnp.where(vals > 0, ct_j, -1)
+        ct_xi = jnp.where(
+            vals > 0,
+            jnp.take_along_axis(jnp.where(keep, xi36, 0.0), ordr, axis=1),
+            0.0,
+        ).astype(dt)
+        if cap > k_eff:
+            pad = cap - k_eff
+            ct_j = jnp.concatenate(
+                [ct_j, jnp.full((ct_j.shape[0], pad), -1, jnp.int32)], 1
+            )
+            ct_xi = jnp.concatenate(
+                [ct_xi, jnp.zeros((ct_xi.shape[0], pad), dt)], 1
+            )
+        ovf_ct = (jnp.sum(keep, dtype=jnp.int32)
+                  - jnp.sum(ct_j >= 0, dtype=jnp.int32))
+        overflow = jnp.maximum(overflow, ovf_ct)
+        wall_xi = jnp.where(
+            live[:, None], g[:, _XIW:_XIW + 4].astype(dt), disks.wall_xi
+        )
+        new = new._replace(ct_j=ct_j, ct_xi=ct_xi, wall_xi=wall_xi)
     # Active disks the slab could NOT slot (rank >= SLAB_K overflow)
     # must not freeze in place while the XLA oracle keeps integrating
     # them: give them a contact-free Verlet fallback (hydro + body +

@@ -81,12 +81,13 @@ def _build(cfg: SimConfig, grid, mesh, h: int, w: int, dem_axis: str,
         f"bf16 sharded shards need local ny%16==0 (h={h})"
     )
     use_slab_dem = False
-    if coupled and cfg.kt == 0.0:
+    if coupled:
         from lbmdem_tpu.ops import pallas_dem
 
         # disks are replicated and forces psum'd, so every shard runs
         # the identical subcycle - the slab kernel drops in per shard
-        use_slab_dem = pallas_dem.slab_supported(grid, dem_axis)
+        use_slab_dem = pallas_dem.slab_supported(grid, dem_axis,
+                                                 kt=cfg.kt > 0.0)
     ny_sh, nx_sh = mesh.shape["y"], mesh.shape["x"]
     two_d = nx_sh > 1
     prehalo = "yx" if two_d else True

@@ -224,9 +224,8 @@ def make_step_fn(
 
         use_slab_dem = (
             coupled
-            and cfg.kt == 0.0
             and dem_mode == "subcycle"
-            and pallas_dem.slab_supported(grid, dem_axis)
+            and pallas_dem.slab_supported(grid, dem_axis, kt=cfg.kt > 0.0)
         )
 
     def advance_disks(d, fh, th):

@@ -231,7 +231,7 @@ def test_slab_band_table():
     body = dem.body_forces(disks, cfg)
     z2 = jnp.zeros((3, 2), jnp.float32)
     z1 = jnp.zeros((3,), jnp.float32)
-    _, _, _, _, n_occ, offs = pallas_dem.build_slabs(
+    _, _, _, _, n_occ, offs, _ = pallas_dem.build_slabs(
         disks, z2, z1, body, grid, "y")
     ncs, ncl, R, C, nb = pallas_dem.slab_dims(grid, "y")
     offs = np.asarray(offs)
@@ -258,3 +258,157 @@ def test_slab_wall_contact():
         dr, *_ = sub_r(dr, fh, th, grid, cfg)
         dp, *_ = sub_p(dp, fh, th, grid, cfg)
     np.testing.assert_allclose(np.asarray(dp.x), np.asarray(dr.x), atol=5e-5)
+
+
+def _spring_set(d):
+    """{(i, j): xi} of the NONZERO pair springs in a DiskState carry
+    (format-independent: the oracle stores its whole candidate list with
+    zero stretches for non-touching pairs; the slab stores only live
+    springs)."""
+    ct_j = np.asarray(d.ct_j)
+    ct_xi = np.asarray(d.ct_xi)
+    out = {}
+    for i in range(ct_j.shape[0]):
+        for s in range(ct_j.shape[1]):
+            if ct_j[i, s] >= 0 and ct_xi[i, s] != 0.0:
+                out[(i, int(ct_j[i, s]))] = float(ct_xi[i, s])
+    return out
+
+
+@pytest.mark.parametrize("mu", [
+    0.8, pytest.param(0.05, marks=pytest.mark.slow)])
+def test_slab_kt_history_matches_oracle(mu):
+    """kt > 0 in-kernel Cundall-Strack springs vs the XLA oracle over
+    THREE LBM steps (exercises the cross-step rematch through
+    ct_j/ct_xi, the per-substep slip-consistent truncation - mu=0.05
+    makes the Coulomb cap bind - and wall springs)."""
+    cfg = _cfg(max_disks=8, kt=0.5, gamma_t=0.2, mu=mu, n_sub=6,
+               g_py=-2e-4)
+    specs = [
+        DiskSpec(30.0, 5.8, 3.0),                 # rests on south wall
+        DiskSpec(35.5, 6.2, 3.0, omega=0.2),      # touches #0, spins
+        DiskSpec(60.0, 40.0, 3.0, vx=0.03),
+        DiskSpec(65.5, 41.0, 3.0, vx=-0.03),      # head-on pair
+        DiskSpec(90.0, 90.0, 2.5, vy=-0.05),
+        DiskSpec(90.0, 84.5, 2.5),                # vertical pair
+        DiskSpec(15.0, 100.0, 2.5),               # free flier
+        DiskSpec(100.3, 20.0, 3.0, omega=-0.1),
+    ]
+    disks = dem.make_disk_state(specs, cfg, "float32")
+    grid = DemGrid.build(cfg, 3.0)
+    z2 = jnp.zeros((8, 2), jnp.float32)
+    z1 = jnp.zeros((8,), jnp.float32)
+    sub_r = jax.jit(dem.dem_subcycle, static_argnums=(3, 4))
+    sub_p = jax.jit(pallas_dem.dem_subcycle, static_argnums=(3, 4))
+    dr, dp = disks, disks
+    for step in range(3):
+        dr, _, nc_r = sub_r(dr, z2, z1, grid, cfg)
+        dp, ovf, nc_p = sub_p(dp, z2, z1, grid, cfg)
+        assert int(ovf) == 0
+        assert int(nc_p) == int(nc_r)
+        np.testing.assert_allclose(np.asarray(dp.x), np.asarray(dr.x),
+                                   rtol=0, atol=3e-5, err_msg=f"step {step}")
+        np.testing.assert_allclose(np.asarray(dp.v), np.asarray(dr.v),
+                                   rtol=0, atol=3e-5)
+        np.testing.assert_allclose(np.asarray(dp.omega),
+                                   np.asarray(dr.omega), rtol=0, atol=3e-5)
+        np.testing.assert_allclose(np.asarray(dp.wall_xi),
+                                   np.asarray(dr.wall_xi), rtol=0, atol=3e-5)
+        sr, sp = _spring_set(dr), _spring_set(dp)
+        assert set(sp) == set(sr), f"step {step}: spring pairs diverge"
+        for k in sr:
+            assert abs(sp[k] - sr[k]) < 3e-5, (step, k, sp[k], sr[k])
+    assert _spring_set(dr), "scene never built a spring - test is vacuous"
+
+
+@pytest.mark.slow  # interpret-mode slab builds (~2 min)
+def test_slab_kt_periodic_wrap():
+    """Springs persist across the periodic seam: a pair touching
+    through the x wrap keeps its stretch through the slab rematch."""
+    cfg = _cfg(nx=128, ny=96, max_disks=3, kt=0.4, gamma_t=0.2, mu=0.9,
+               n_sub=6, g_py=0.0, bc_west="periodic", bc_east="periodic")
+    specs = [
+        DiskSpec(126.5, 40.0, 3.0, omega=0.15),
+        DiskSpec(2.0, 41.0, 3.0),        # touches #0 through the seam
+        DiskSpec(60.0, 60.0, 2.5),
+    ]
+    disks = dem.make_disk_state(specs, cfg, "float32")
+    grid = DemGrid.build(cfg, 3.0)
+    z2 = jnp.zeros((3, 2), jnp.float32)
+    z1 = jnp.zeros((3,), jnp.float32)
+    sub_r = jax.jit(dem.dem_subcycle, static_argnums=(3, 4))
+    sub_p = jax.jit(pallas_dem.dem_subcycle, static_argnums=(3, 4, 5))
+    dr, dp = disks, disks
+    for _ in range(2):
+        dr, _, _ = sub_r(dr, z2, z1, grid, cfg)
+        dp, ovf, _ = sub_p(dp, z2, z1, grid, cfg, "y")
+        assert int(ovf) == 0
+    np.testing.assert_allclose(np.asarray(dp.x), np.asarray(dr.x),
+                               rtol=0, atol=3e-5)
+    np.testing.assert_allclose(np.asarray(dp.omega), np.asarray(dr.omega),
+                               rtol=0, atol=3e-5)
+    sr, sp = _spring_set(dr), _spring_set(dp)
+    assert (0, 1) in sr and set(sp) == set(sr)
+
+
+@pytest.mark.slow  # interpret-mode slab builds (~2 min)
+def test_slab_kt_interop_with_oracle():
+    """Mid-run path handoff: XLA step -> slab step == 2 XLA steps (the
+    spring carry formats interoperate)."""
+    cfg = _cfg(max_disks=4, kt=0.5, gamma_t=0.2, mu=0.8, n_sub=6,
+               g_py=-2e-4)
+    specs = [
+        DiskSpec(30.0, 5.8, 3.0),
+        DiskSpec(35.5, 6.2, 3.0, omega=0.2),
+        DiskSpec(60.0, 40.0, 3.0, vx=0.03),
+        DiskSpec(65.5, 41.0, 3.0, vx=-0.03),
+    ]
+    disks = dem.make_disk_state(specs, cfg, "float32")
+    grid = DemGrid.build(cfg, 3.0)
+    z2 = jnp.zeros((4, 2), jnp.float32)
+    z1 = jnp.zeros((4,), jnp.float32)
+    sub_r = jax.jit(dem.dem_subcycle, static_argnums=(3, 4))
+    sub_p = jax.jit(pallas_dem.dem_subcycle, static_argnums=(3, 4))
+    d1, _, _ = sub_r(disks, z2, z1, grid, cfg)
+    d_mix, _, _ = sub_p(d1, z2, z1, grid, cfg)
+    d_ref, _, _ = sub_r(d1, z2, z1, grid, cfg)
+    np.testing.assert_allclose(np.asarray(d_mix.x), np.asarray(d_ref.x),
+                               rtol=0, atol=3e-5)
+    np.testing.assert_allclose(np.asarray(d_mix.v), np.asarray(d_ref.v),
+                               rtol=0, atol=3e-5)
+    sr, sp = _spring_set(d_ref), _spring_set(d_mix)
+    assert set(sp) == set(sr) and sr
+
+
+@pytest.mark.slow  # interpret-mode fused coupled build (~2 min)
+def test_simulation_friction_slab_matches_oracle():
+    """End-to-end Simulation with kt > 0: the Pallas path (slab DEM with
+    in-kernel springs + fused IMB) vs the XLA oracle path over 3 coupled
+    steps - exercises the use_slab_dem gate wiring, hydro forces feeding
+    the spring subcycle, and the cross-step rematch inside the jitted
+    step."""
+    from lbmdem_tpu.simulation import Simulation, make_step_fn
+
+    cfg = SimConfig(nx=128, ny=128, tau=0.8, dtype="float32", g_py=-2e-4,
+                    rho_s=2.5, kn=2.0, gamma_n=1.0, kt=0.5, gamma_t=0.2,
+                    mu=0.5, n_sub=6, bc_west="wall", bc_east="wall")
+    specs = [DiskSpec(60.0, 9.0, 4.0, omega=0.1),
+             DiskSpec(67.5, 10.0, 4.0),
+             DiskSpec(64.0, 40.0, 4.0, vy=-0.02)]
+    ref = Simulation(cfg, specs)
+    pal = Simulation(cfg, specs, use_pallas=True)
+    step_r = jax.jit(make_step_fn(ref.cfg, ref.grid, False))
+    step_p = jax.jit(make_step_fn(pal.cfg, pal.grid, True))
+    sr, sp = ref.state, pal.state
+    for _ in range(3):
+        sr = step_r(sr)
+        sp = step_p(sp)
+    assert int(sp.overflow) == 0
+    np.testing.assert_allclose(np.asarray(sp.disks.x), np.asarray(sr.disks.x),
+                               rtol=0, atol=5e-5)
+    np.testing.assert_allclose(np.asarray(sp.disks.v), np.asarray(sr.disks.v),
+                               rtol=0, atol=5e-5)
+    np.testing.assert_allclose(np.asarray(sp.disks.omega),
+                               np.asarray(sr.disks.omega), rtol=0, atol=5e-5)
+    sr_set, sp_set = _spring_set(sr.disks), _spring_set(sp.disks)
+    assert set(sp_set) == set(sr_set) and sr_set

@@ -111,7 +111,7 @@ def build_variants(cfg, grid, axis="y"):
                 # build_slabs only: isolates the XLA-side slab build from
                 # the kernel + exit gather
                 body_f = dem_ops.body_forces(d, cfg)
-                slabs, slot, ovf, kmax, n_occ, offs = pallas_dem.build_slabs(
+                slabs, slot, ovf, kmax, n_occ, offs, _ = pallas_dem.build_slabs(
                     d, fh, th, body_f, grid, axis
                 )
                 live = tiny(slabs[0, 0, 0, :2].sum()) + tiny(slot[0]) + tiny(kmax)

@@ -21,7 +21,7 @@ def main():
     from lbmdem_tpu.simulation import Simulation
 
     orig = pallas_dem.slab_supported
-    pallas_dem.slab_supported = lambda grid, axis="y": True
+    pallas_dem.slab_supported = lambda grid, axis="y", **kw: True
     try:
         cfg, disks = column_collapse(nx=8192, ny=8192, n_disks=n_disks)
         cfg = cfg.replace(out_interval=10**9)
