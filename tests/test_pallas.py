@@ -134,7 +134,10 @@ def test_simulation_temporal_chunks_openbc():
                                np.asarray(s2.state.f), rtol=1e-5, atol=2e-6)
 
 
-@pytest.mark.parametrize("openbc", [False, True])
+@pytest.mark.parametrize("openbc", [
+    pytest.param(False, marks=pytest.mark.slow),  # walls+gx variant is
+    True,  # covered by the (slow) e2e hoist tests; keep Zou/He quick
+])
 def test_static_imb_temporal_block_matches_oracle(openbc):
     """fused_step_imb_static_multi: k coupled steps per pass over a
     STATIC solid stack (the static-solid hoist's chunk kernel). The

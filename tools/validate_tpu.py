@@ -242,5 +242,107 @@ def _cylinder():
     assert 0.008 < cl < 0.013, f"scale-2 lift {cl:.4f} implausible"
 
 
+def _friction():
+    """Compiled kt > 0 slab DEM: in-kernel history springs vs the XLA
+    oracle subcycle, both compiled on the device. Interpret mode cannot
+    catch Mosaic-only miscompiles of the dynamic spring-channel
+    indexing (out_ref[xi_ch, k, ...] with a traced leading index); 3
+    LBM-step handoffs also exercise the cross-step rematch compiled."""
+    import jax
+    import jax.numpy as jnp
+
+    from lbmdem_tpu.config import DiskSpec, SimConfig
+    from lbmdem_tpu.ops import dem, pallas_dem
+    from lbmdem_tpu.ops.dem import DemGrid
+
+    cfg = SimConfig(nx=128, ny=128, tau=0.8, dtype="float32", g_py=-2e-4,
+                    rho_s=2.5, kn=2.0, gamma_n=1.0, kt=0.5, gamma_t=0.2,
+                    mu=0.2, n_sub=6, bc_west="wall", bc_east="wall")
+    specs = [DiskSpec(30.0, 5.8, 3.0), DiskSpec(35.5, 6.2, 3.0, omega=0.2),
+             DiskSpec(60.0, 40.0, 3.0, vx=0.03),
+             DiskSpec(65.5, 41.0, 3.0, vx=-0.03)]
+    disks = dem.make_disk_state(specs, cfg, "float32")
+    grid = DemGrid.build(cfg, 3.0)
+    z2 = jnp.zeros((4, 2), jnp.float32)
+    z1 = jnp.zeros((4,), jnp.float32)
+    sub_r = jax.jit(dem.dem_subcycle, static_argnums=(3, 4))
+    sub_p = jax.jit(pallas_dem.dem_subcycle, static_argnums=(3, 4))
+    dr = dp = disks
+    for _ in range(3):
+        dr, _, nc_r = sub_r(dr, z2, z1, grid, cfg)
+        dp, ovf, nc_p = sub_p(dp, z2, z1, grid, cfg)
+    assert int(ovf) == 0
+    assert int(nc_p) == int(nc_r) and int(nc_p) > 0
+    ex = np.abs(np.asarray(dp.x) - np.asarray(dr.x)).max()
+    ev = np.abs(np.asarray(dp.v) - np.asarray(dr.v)).max()
+    eo = np.abs(np.asarray(dp.omega) - np.asarray(dr.omega)).max()
+    print(f"friction slab: nc={int(nc_p)} max|dx|={ex:.2e} "
+          f"max|dv|={ev:.2e} max|dom|={eo:.2e}")
+    assert ex < 3e-5 and ev < 3e-5 and eo < 3e-5, "FRICTION PARITY FAIL"
+    print("FRICTION OK")
+
+
+def _static_multi():
+    """Compiled temporal-blocked static-coupled kernel
+    (fused_step_imb_static_multi, k=4) vs 4 compiled oracle coupled
+    steps on the device (the kernel is new in r3; the mesh static hoist
+    runs it per shard)."""
+    import jax
+    import jax.numpy as jnp
+
+    from lbmdem_tpu.config import SimConfig
+    from lbmdem_tpu.ops import imb, lbm, pallas_lbm
+
+    cfg = SimConfig(nx=256, ny=128, tau=0.7, dtype="float32", max_disks=2,
+                    window=9, gx=1e-5, bc_west="wall", bc_east="wall")
+    xs = jnp.asarray([[64.3, 32.1], [128.0, 40.0]], jnp.float32)
+    vs = jnp.zeros((2, 2), jnp.float32)
+    om = jnp.zeros((2,), jnp.float32)
+    r = jnp.asarray([4.0, 3.0], jnp.float32)
+    act = jnp.ones((2,), bool)
+    eps, usx, usy = imb.stamp_solid_fraction(xs, vs, om, r, act, cfg)
+    rng = np.random.default_rng(7)
+    f = jnp.asarray(
+        lbm.equilibrium(
+            jnp.asarray(1.0 + 0.01 * rng.standard_normal((cfg.ny, cfg.nx)),
+                        jnp.float32),
+            jnp.asarray(0.02 * rng.standard_normal((cfg.ny, cfg.nx)),
+                        jnp.float32),
+            jnp.asarray(0.02 * rng.standard_normal((cfg.ny, cfg.nx)),
+                        jnp.float32),
+        )
+    )
+
+    @jax.jit
+    def oracle(f):
+        def body(_, f):
+            fpost, _, _ = imb.collide_imb(f, eps, usx, usy, cfg)
+            return lbm.apply_bounce_back(lbm.stream(fpost), fpost, cfg)
+
+        return jax.lax.fori_loop(0, 4, body, f)
+
+    solid = jnp.stack([eps, usx, usy])
+    got = jax.jit(
+        lambda f, s: pallas_lbm.fused_step_imb_static_multi(f, s, cfg, 4)
+    )(f, solid)
+    err = np.abs(np.asarray(got) - np.asarray(oracle(f))).max()
+    print(f"static-multi k=4: max|df|={err:.2e}")
+    assert err < 2e-6, "STATIC TEMPORAL KERNEL PARITY FAIL"
+    print("STATIC-MULTI OK")
+
+
 if __name__ == "__main__":
-    main()
+    import sys
+
+    stages = {"settling": main, "dkt": _dkt, "periodic": _periodic,
+              "cavity": _cavity, "trt": _trt, "cylinder": _cylinder,
+              "friction": _friction, "static": _static_multi}
+    picked = sys.argv[1:]
+    if picked:
+        for name in picked:
+            stages[name]()
+        print("SELECTED TPU VALIDATION OK")
+    else:
+        main()
+        _friction()
+        _static_multi()
