@@ -72,6 +72,15 @@ def main() -> None:
         "nx/ny down for CPU smoke runs.\n"
         "Run:  python -m lbmdem_tpu.cli examples/column_collapse.par --out out/"
     ))
+    emit("column_collapse_friction", "column_collapse", (
+        "Column collapse with Cundall-Strack friction springs (kt > 0):\n"
+        "the runout is visibly shorter than the dashpot-only deck. Sized\n"
+        "2048^2 so the history springs run inside the slab DEM kernel\n"
+        "(larger cell grids fall back to the XLA subcycle - see\n"
+        "pallas_dem.slab_supported).\n"
+        "Run:  python -m lbmdem_tpu.cli examples/column_collapse_friction.par"
+        " --out out/"
+    ), nx=2048, ny=2048, n_disks=2500, kt=25.0)
     emit("cavity", "cavity", (
         "Lid-driven cavity: moving north wall (moving-wall half-way\n"
         "bounce-back, SURVEY C6).\n"

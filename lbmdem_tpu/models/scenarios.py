@@ -120,17 +120,22 @@ def column_collapse(
     rho_s: float = 2.5,
     tau: float = 0.55,
     g: float = 1e-5,
+    kt: float = 0.0,
+    mu: float = 0.5,
 ) -> Scene:
     """#5: submerged granular column collapse at 4096^2 with 10k disks
-    (the headline benchmark config; shard over the ICI mesh)."""
+    (the headline benchmark config; shard over the ICI mesh). kt > 0
+    switches tangential friction to Cundall-Strack history springs
+    (runs in the slab DEM kernel up to ~2048^2-class cell grids, then
+    falls back to the XLA subcycle - pallas_dem.slab_supported)."""
     # kn sized so bottom-of-column overlap stays ~5% of r; n_sub=10
     # (dt_dem = 0.1) resolves the contact period 2 pi sqrt(m/kn) ~ 20
     # lattice times by ~200 points.
     cfg = SimConfig(
         nx=nx, ny=ny, tau=tau, steps=20000, out_interval=1000,
         bc_west="wall", bc_east="wall",
-        rho_s=rho_s, kn=50.0, gamma_n=60.0, gamma_t=15.0, mu=0.5, n_sub=10,
-        g_py=-g, buoyancy=True, max_disks=n_disks,
+        rho_s=rho_s, kn=50.0, gamma_n=60.0, gamma_t=15.0, mu=mu, kt=kt,
+        n_sub=10, g_py=-g, buoyancy=True, max_disks=n_disks,
     )
     # initial column against the west wall, ~aspect ratio 2
     width = 0.22 * nx
