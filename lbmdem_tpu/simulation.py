@@ -108,7 +108,11 @@ BIN_MARGIN = 2
 # TPU A/B at 4096^2 (tools/ab_temporal.py): k=1 2.348 ms/step (7146
 # MLUPS), k=4 1.109 (15127), k=8 1.148 (14616) - by k=4 the step is
 # compute-bound on the 1.56x halo-overlap recompute, so the extra
-# traffic halving at k=8 no longer pays.
+# traffic halving at k=8 no longer pays. Re-confirmed r3 SAME-SESSION
+# (sessions vary ~10%+ day to day - never compare across clients):
+# f32 k=4 19774 vs k=8 19648; bf16 k=4 16710 > k=8 16152 > k=16 13819;
+# static-coupled hoist k=4 11652 > k=8 11398 (k=1: 5652). k=4 is the
+# right block for every path.
 TEMPORAL_K = 4
 
 
