@@ -242,6 +242,27 @@ def _cylinder():
     assert 0.008 < cl < 0.013, f"scale-2 lift {cl:.4f} implausible"
 
 
+def _shedding():
+    """Schafer-Turek 2D-2 (Re=100 vortex shedding): the Strouhal number
+    is the discretization-robust observable - recorded 0.3007 at D=20
+    (published interval 0.2950..0.3050; the force maxima carry the
+    D=20 diffuse-interface bias, so they are reported but not
+    asserted)."""
+    import contextlib
+    import io
+
+    from tools.benchmark_cylinder import main as cyl
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        cyl(["--unsteady"])
+    out = buf.getvalue()
+    print(out[out.index("FINAL"):].strip())
+    st = float(out.split("St=")[1].split()[0])
+    assert 0.290 <= st <= 0.310, f"2D-2 Strouhal {st} off the interval"
+    print("SHEDDING OK")
+
+
 def _friction():
     """Compiled kt > 0 slab DEM: in-kernel history springs vs the XLA
     oracle subcycle, both compiled on the device. Interpret mode cannot
@@ -336,7 +357,8 @@ if __name__ == "__main__":
 
     stages = {"settling": main, "dkt": _dkt, "periodic": _periodic,
               "cavity": _cavity, "trt": _trt, "cylinder": _cylinder,
-              "friction": _friction, "static": _static_multi}
+              "friction": _friction, "static": _static_multi,
+              "shedding": _shedding}
     picked = sys.argv[1:]
     if picked:
         for name in picked:
@@ -346,3 +368,4 @@ if __name__ == "__main__":
         main()
         _friction()
         _static_multi()
+        _shedding()
