@@ -294,3 +294,27 @@ def test_cylinder_in_channel_drag():
     assert ux[24, 44] < 0.5 * ux[24, 8]
     # flow recovers downstream of the wake
     assert ux[24, 100] > ux[24, 44]
+
+
+def test_strouhal_estimator_synthetic():
+    """The 2D-2 Strouhal estimator (tools/benchmark_cylinder.py) on a
+    synthetic lift signal of known period: recovered St must match the
+    analytic D/(T u_mean) despite a DC offset, amplitude drift, and a
+    coarse sample interval (the endpoint-averaging bound)."""
+    from tools.benchmark_cylinder import measure_strouhal
+
+    D, u_mean, period = 20.0, 0.05, 1333.0  # ~the scale-1 2D-2 numbers
+    steps = np.arange(0, 50_000, 125)  # coarse sampling, ~10.7/period
+    cl = 1.0 + (1.0 + 1e-5 * steps) * np.sin(2 * np.pi * steps / period)
+    cd = 3.0 + 0.1 * np.sin(4 * np.pi * steps / period)  # 2x frequency
+    hist = np.stack([steps, cd, cl], axis=1)
+    res = measure_strouhal(hist, D, u_mean)
+    assert res is not None
+    st, n_per, cd_max, cl_max = res
+    assert abs(st - D / (period * u_mean)) / (D / (period * u_mean)) < 0.01
+    assert n_per >= 10
+    assert cd_max == pytest.approx(3.1, abs=0.01)
+    assert cl_max > 1.9  # offset + grown amplitude
+
+    # too-short history: not yet periodic -> None, never a crash
+    assert measure_strouhal(hist[:8], D, u_mean) is None

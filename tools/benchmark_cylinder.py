@@ -24,6 +24,26 @@ import argparse
 import time
 
 
+def measure_strouhal(hist, D, u_mean, tail_frac=0.6):
+    """Strouhal number from a (step, cD, cL) history: mean period
+    between upward zero crossings of the mean-removed lift signal over
+    the last (1 - tail_frac) of the run, averaged first-to-last
+    crossing (endpoint quantization ~ sample_interval / (n_periods *
+    period)). Returns (St, n_periods, cD_max, cL_max) or None if fewer
+    than 3 crossings (not yet periodic). Unit-tested on synthetic
+    signals in tests/test_openbc.py."""
+    import numpy as np
+
+    tail = np.asarray(hist)[int(tail_frac * len(hist)):]  # (m, 3)
+    cl_sig = tail[:, 2] - tail[:, 2].mean()
+    up = np.where((cl_sig[:-1] < 0) & (cl_sig[1:] >= 0))[0]
+    if len(up) < 3:
+        return None
+    period = (tail[up[-1], 0] - tail[up[0], 0]) / (len(up) - 1)
+    return (D / (period * u_mean), len(up) - 1,
+            float(tail[:, 1].max()), float(tail[:, 2].max()))
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--cpu", action="store_true", help="force CPU float64")
@@ -95,20 +115,16 @@ def main(argv=None):
     if args.unsteady:
         import numpy as np
 
-        tail = np.array(hist[int(0.6 * len(hist)):])  # (m, 3)
-        cl_sig = tail[:, 2] - tail[:, 2].mean()
-        # Strouhal from the mean period between upward zero crossings
-        up = np.where((cl_sig[:-1] < 0) & (cl_sig[1:] >= 0))[0]
-        if len(up) >= 3:
-            period = (tail[up[-1], 0] - tail[up[0], 0]) / (len(up) - 1)
-            st = D / (period * u_mean)
-            print(f"FINAL St={st:.4f} cD_max={tail[:, 1].max():.4f} "
-                  f"cL_max={tail[:, 2].max():.4f} "
-                  f"({len(up) - 1} periods measured)")
+        res = measure_strouhal(hist, D, u_mean)
+        if res is not None:
+            st, n_per, cd_max, cl_max = res
+            print(f"FINAL St={st:.4f} cD_max={cd_max:.4f} "
+                  f"cL_max={cl_max:.4f} ({n_per} periods measured)")
             print("published 2D-2: St in [0.2950, 0.3050], cD_max ~ 3.23, "
                   "cL_max ~ 1.0")
         else:
-            print(f"shedding not (yet) periodic: {len(up)} zero crossings; "
+            tail = np.array(hist[int(0.6 * len(hist)):])
+            print(f"shedding not (yet) periodic; "
                   f"cL range [{tail[:, 2].min():.4f}, {tail[:, 2].max():.4f}]")
         return
     cd, cl = hist[-1][1], hist[-1][2]
