@@ -146,11 +146,13 @@ def main(argv=None):
 # the scale-2 cD within 2% on every validation run.
 #
 # 2D-2 unsteady record (TPU v5e, f32, TRT, 2026-08-19, --unsteady):
-#   scale 1 (D=20, 50k steps): St=0.3007 (published 0.2950..0.3050 -
-#   mid-interval), cD_max=3.75, cL_max=1.20 over 14 shedding periods
-#   (published cD_max ~ 3.23, cL_max ~ 1.0: the force MAXIMA carry the
-#   same D=20 diffuse-interface bias as 2D-1; the shedding FREQUENCY is
-#   the discretization-robust observable and lands dead center).
+#   scale 1 (D=20, 50k steps):  St=0.3007, cD_max=3.75,  cL_max=1.20
+#   scale 2 (D=40, 200k steps): St=0.3007, cD_max=3.547, cL_max=1.060
+#   (published St in 0.2950..0.3050, cD_max ~ 3.23, cL_max ~ 1.0).
+#   The Strouhal number is the discretization-robust observable and
+#   lands mid-interval AT BOTH RESOLUTIONS; the force maxima carry the
+#   diffuse-interface bias of 2D-1 and converge the same way on grid
+#   doubling (cD_max +16% -> +9.8%, cL_max +20% -> +6%).
 
 if __name__ == "__main__":
     main()
