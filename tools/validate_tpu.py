@@ -352,13 +352,28 @@ def _static_multi():
     print("STATIC-MULTI OK")
 
 
+def _collapse():
+    """Submerged column collapse runout-vs-aspect on the compiled
+    coupled path (the reference's headline application, SURVEY SS0):
+    four aspect ratios on ONE compiled program, asserting monotone
+    runout, a power-law exponent in the literature band, and settled
+    deposits (tools/collapse_study.py)."""
+    from tools.collapse_study import check_scaling, run_study
+
+    results = run_study()
+    lam, alpha = check_scaling(results)
+    print(f"collapse scaling: dL/L0 = {lam:.2f} * a^{alpha:.2f} over "
+          f"a = {[round(r['aspect'], 2) for r in results]}")
+    print("COLLAPSE OK")
+
+
 if __name__ == "__main__":
     import sys
 
     stages = {"settling": main, "dkt": _dkt, "periodic": _periodic,
               "cavity": _cavity, "trt": _trt, "cylinder": _cylinder,
               "friction": _friction, "static": _static_multi,
-              "shedding": _shedding}
+              "shedding": _shedding, "collapse": _collapse}
     picked = sys.argv[1:]
     if picked:
         for name in picked:
