@@ -35,6 +35,10 @@ Parameter keywords (reference-format; SURVEY C18 lists the set):
                           mid-link walls)
     eps_samples <n>       n x n subgrid samples per cell for the solid
                           fraction (SURVEY C9)
+    eps_method sample|ramp|exact   coverage model (default sample =
+                          reference-style subgrid sampling; ramp is the
+                          measured speed tier, exact the accuracy tier
+                          - see tools/ab_eps.py / docs/performance.md)
     dtype float32|float64
     f_storage float32|bfloat16   HBM storage of f on the fused path
                           (bfloat16 = shifted-population storage)
@@ -438,6 +442,8 @@ def load_param_file(path: str) -> Tuple[SimConfig, Optional[str]]:
                 kw[key] = bool(int(vals[0]))
             elif key == "collision":
                 kw["collision"] = vals[0]
+            elif key == "eps_method":
+                kw["eps_method"] = vals[0]
             elif key == "inlet_profile":
                 kw["inlet_profile"] = vals[0]
             elif key in ("tau", "gx", "gy", "kn", "kt", "gamma_n", "gamma_t",

@@ -230,3 +230,18 @@ def test_si_open_boundary_keywords(tmp_path):
     assert d.fixed
     np.testing.assert_allclose(d.r, 2.0, rtol=1e-12)
     np.testing.assert_allclose(d.rho_s, 2.5, rtol=1e-12)
+
+
+def test_eps_method_deck_keyword(tmp_path):
+    """eps_method is deck-settable (sample = reference parity default;
+    ramp = speed tier, exact = accuracy tier - tools/ab_eps.py)."""
+    import pytest
+
+    p = tmp_path / "run.par"
+    base = "nx 32\nny 32\ntau 0.8\nsteps 10\nout_interval 10\n"
+    p.write_text(base + "eps_method ramp\n")
+    cfg, _ = load_param_file(str(p))
+    assert cfg.eps_method == "ramp"
+    p.write_text(base + "eps_method voxel\n")
+    with pytest.raises(ValueError, match="eps_method"):
+        load_param_file(str(p))
