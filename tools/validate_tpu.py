@@ -357,7 +357,12 @@ def _collapse():
     coupled path (the reference's headline application, SURVEY SS0):
     four aspect ratios on ONE compiled program, asserting monotone
     runout, a power-law exponent in the literature band, and settled
-    deposits (tools/collapse_study.py)."""
+    deposits (tools/collapse_study.py). RECORDED r3 (TPU v5e, f32,
+    1024x576, r=4, L0=112, kt springs): dL/L0 = 0.60 * a^1.32 over
+    a = 0.46/0.98/1.96/3.97 (runouts 0.200/0.630/1.531/3.459, all four
+    deposits locked - vmax < 2% v_ff; the a~4 column locks at ~162k
+    steps). The first three aspects reproduced bit-identically across
+    two TPU clients."""
     from tools.collapse_study import check_scaling, run_study
 
     results = run_study()
