@@ -71,17 +71,20 @@ def _probe_device():
     return jax.devices()[0].platform
 
 
-def _run(nx, ny, n_disks, chunk, repeats, use_pallas, storage="float32"):
+def _run(nx, ny, n_disks, chunk, repeats, use_pallas, storage="float32",
+         eps="sample"):
     from lbmdem_tpu.models import column_collapse
     from lbmdem_tpu.simulation import Simulation
 
     cfg, disks = column_collapse(nx=nx, ny=ny, n_disks=n_disks)
     # Shifted-bf16 f storage halves the HBM floor; settling parity
     # validated <1% (tools/ab_bf16.py), so it runs as its own labeled
-    # stage. float32 stays the simulation default (golden-regression
-    # trajectories are pinned on it); BENCH_F_STORAGE overrides every
-    # stage for manual A/Bs.
-    cfg = cfg.replace(out_interval=10**9,
+    # stage. eps="ramp" shortens the issue-bound per-disk coverage
+    # chains in BOTH the stamp and the in-kernel reduce (+11%, settling
+    # delta 0.059% - tools/ab_eps.py). float32/sample stay the
+    # simulation defaults (golden-regression trajectories are pinned on
+    # them); BENCH_F_STORAGE overrides every stage for manual A/Bs.
+    cfg = cfg.replace(out_interval=10**9, eps_method=eps,
                       f_storage=os.environ.get("BENCH_F_STORAGE", storage))
     sim = Simulation(cfg, disks, use_pallas=use_pallas)
     # warm with the SAME chunk length so later runs hit the jit cache
@@ -203,13 +206,17 @@ def main():
     # >= 2700 in practice), and overrunning the alarm mid-stage still
     # exits 0 with the 4096 line as the final output.
     stages = [
-        (1024, 1024, 640, 400, 2, 120, "float32"),
-        (2048, 2048, 2500, 200, 2, 150, "float32"),
-        (4096, 4096, 10000, 100, 3, 300, "float32"),
-        # shifted-bf16 f storage (opt-in mode, parity-validated <1%):
-        # the fastest qualified coupled number on the north-star config
-        (4096, 4096, 10000, 100, 3, 320, "bfloat16"),
-        (8192, 8192, 40000, 50, 2, 1600, "float32"),
+        (1024, 1024, 640, 400, 2, 120, "float32", "sample"),
+        (2048, 2048, 2500, 200, 2, 150, "float32", "sample"),
+        (4096, 4096, 10000, 100, 3, 300, "float32", "sample"),
+        # shifted-bf16 f storage + ramp coverage (both opt-in,
+        # parity-validated: bf16 settling <1%, ramp delta 0.059%): the
+        # fastest qualified coupled number on the north-star config -
+        # ordered before the single-option stages so a tight budget
+        # still records it
+        (4096, 4096, 10000, 100, 3, 320, "bfloat16", "ramp"),
+        (4096, 4096, 10000, 100, 3, 320, "bfloat16", "sample"),
+        (8192, 8192, 40000, 50, 2, 1600, "float32", "sample"),
     ]
     only = os.environ.get("BENCH_ONLY")  # e.g. "4096" to skip warmup stages
     if only:
@@ -245,21 +252,23 @@ def main():
             print(f"bench: static-hoist stage failed "
                   f"({type(e).__name__}: {e})", file=sys.stderr)
     coupled_done = False
-    for nx, ny, nd, chunk, repeats, est_s, storage in stages:
+    for nx, ny, nd, chunk, repeats, est_s, storage, eps in stages:
         left = budget - (time.time() - t_start)
         # only skip for budget once a COUPLED stage has landed (the
         # pure-fluid line must never suppress the north-star attempt)
         if coupled_done and left < est_s + 60:
-            print(f"bench: skipping {nx}x{ny}/{storage} ({left:.0f}s left "
-                  f"< ~{est_s}s est)", file=sys.stderr)
+            print(f"bench: skipping {nx}x{ny}/{storage}/{eps} "
+                  f"({left:.0f}s left < ~{est_s}s est)", file=sys.stderr)
             continue
         try:
-            mlups = _run(nx, ny, nd, chunk, repeats, use_pallas, storage)
+            mlups = _run(nx, ny, nd, chunk, repeats, use_pallas, storage,
+                         eps)
         except Exception as e:
-            print(f"bench: {nx}x{ny}/{nd}/{storage} failed "
+            print(f"bench: {nx}x{ny}/{nd}/{storage}/{eps} failed "
                   f"({type(e).__name__}: {e})", file=sys.stderr)
             continue
         tag = ", bf16 f-storage" if storage == "bfloat16" else ""
+        tag += ", ramp coverage" if eps == "ramp" else ""
         _emit(f"coupled LBM-DEM MLUPS/chip ({nx}x{ny}, {nd} disks{tag})",
               mlups)
         coupled_done = True

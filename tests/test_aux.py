@@ -325,6 +325,8 @@ def test_async_writer_error_surfaces():
         w.close()
 
 
+@pytest.mark.slow  # two CLI subprocesses (~22 s); the async-writer
+# units above and test_cli_end_to_end keep quick-lane coverage
 def test_cli_async_matches_sync_io(tmp_path):
     """--sync-io and the default async pipeline must produce byte-
     identical outputs (same frames, same trajectory CSV order)."""

@@ -51,6 +51,9 @@ def test_slab_subcycle_matches_oracle():
     assert int(nc) == int(nc_ref)
 
 
+@pytest.mark.slow  # ~36 s/axis interpret; the quick lane's in-kernel
+# wrap coverage is test_slab_fully_periodic_parity[y], which composes
+# BOTH wrap mechanisms (lane roll-wrap + sublane ghost rows) in one run
 @pytest.mark.parametrize("axis", ["y", "x"])
 def test_slab_periodic_wrap_parity(axis):
     """Periodic-x wrap through the slab kernel vs the XLA oracle, under
@@ -90,7 +93,8 @@ def test_slab_periodic_wrap_parity(axis):
                                np.asarray(d_ref.omega), rtol=0, atol=2e-5)
 
 
-@pytest.mark.parametrize("axis", ["y", "x"])
+@pytest.mark.parametrize("axis", [
+    "y", pytest.param("x", marks=pytest.mark.slow)])  # ~59 s interpret
 def test_slab_fully_periodic_parity(axis):
     """Both axes wrapped (suspension box): lane roll-wrap + sublane
     ghost rows compose; a corner-straddling contact pair must match."""
@@ -202,9 +206,11 @@ def test_slab_overflow_fallback_integrates():
     """Disks that overflow the SLAB_K=4 per-cell slots must not freeze:
     they fall back to a contact-free Verlet (hydro + body + walls), so
     a crammed cell's extra disks still accelerate under gravity."""
-    cfg = _cfg(max_disks=8, n_sub=4)
+    # 64^2 domain: interpret-mode kernel cost scales with the cell-plane
+    # area, and the overflow semantics only need one crammed cell
+    cfg = _cfg(nx=64, ny=64, max_disks=8, n_sub=4)
     # 6 disks inside one broadphase cell (cell_size = 2*1 + 1 = 3)
-    specs = [DiskSpec(60.0 + 0.3 * i, 60.0 + 0.2 * i, 1.0)
+    specs = [DiskSpec(30.0 + 0.3 * i, 30.0 + 0.2 * i, 1.0)
              for i in range(6)]
     disks = dem.make_disk_state(specs, cfg, "float32")
     grid = DemGrid.build(cfg, 1.0)
@@ -218,7 +224,7 @@ def test_slab_overflow_fallback_integrates():
     # v_y = g_py * 1 LBM step, y drops by g_py*(1+1/n_sub)/2.
     vy = np.asarray(d_pal.v[4:6, 1])
     np.testing.assert_allclose(vy, cfg.g_py, rtol=1e-4)
-    assert (np.asarray(d_pal.x[4:6, 1]) < 60.0 + 0.2 * np.arange(4, 6)).all()
+    assert (np.asarray(d_pal.x[4:6, 1]) < 30.0 + 0.2 * np.arange(4, 6)).all()
 
 
 def test_slab_band_table():
@@ -301,7 +307,10 @@ def test_slab_kt_history_matches_oracle(mu):
     sub_r = jax.jit(dem.dem_subcycle, static_argnums=(3, 4))
     sub_p = jax.jit(pallas_dem.dem_subcycle, static_argnums=(3, 4))
     dr, dp = disks, disks
-    for step in range(3):
+    # 2 LBM steps suffice: step 1 builds springs, step 2 exercises the
+    # cross-step rematch (interpret-mode cost scales with step count;
+    # the 3-handoff variant runs compiled in tools/validate_tpu.py)
+    for step in range(2):
         dr, _, nc_r = sub_r(dr, z2, z1, grid, cfg)
         dp, ovf, nc_p = sub_p(dp, z2, z1, grid, cfg)
         assert int(ovf) == 0

@@ -31,7 +31,9 @@ def _setup(n=24, seed=1, method="sample"):
     return cfg, xp, vp, om, r, act
 
 
-@pytest.mark.parametrize("method", ["sample", "ramp", "exact"])
+@pytest.mark.parametrize("method", [
+    "sample", "ramp",  # exact is the slow-marked accuracy tier (~10 s)
+    pytest.param("exact", marks=pytest.mark.slow)])
 def test_stamp_matches_oracle(method):
     cfg, xp, vp, om, r, act = _setup(method=method)
     e1, ux1, uy1 = imb.stamp_solid_fraction(xp, vp, om, r, act, cfg)
@@ -106,7 +108,9 @@ def test_stamp_edge_disks():
     np.testing.assert_allclose(np.asarray(e1), np.asarray(e2), atol=1e-6)
 
 
-@pytest.mark.parametrize("method", ["sample", "exact"])
+@pytest.mark.parametrize("method", [
+    "sample", "ramp",
+    pytest.param("exact", marks=pytest.mark.slow)])
 def test_reduce_matches_oracle(method):
     cfg, xp, vp, om, r, act = _setup(seed=3, method=method)
     rng = np.random.default_rng(7)

@@ -57,8 +57,8 @@ def test_column_collapse_runout():
     s = sim.state
     x0 = np.asarray(s.disks.x)[np.asarray(s.disks.active)]
     front0 = x0[:, 0].max()
-    for _ in range(8):
-        s = chunk(s)
+    for _ in range(5):  # ~1250 steps: the front is moving well before
+        s = chunk(s)    # arrest (the full study is slow-marked + TPU)
     x1 = np.asarray(s.disks.x)[np.asarray(s.disks.active)]
     front1 = x1[:, 0].max()
     assert front1 > front0 + 1.0, f"no runout: {front0} -> {front1}"

@@ -139,7 +139,9 @@ def _run_both_pallas(cfg, disks, mesh, nsteps):
     return s_ref, s_sh
 
 
-@pytest.mark.parametrize("meshdims", [(4, 1), (2, 2), (2, 4)])
+@pytest.mark.parametrize("meshdims", [
+    (4, 1), (2, 2),  # (2,4) re-covers the 2D path: slow-marked
+    pytest.param((2, 4), marks=pytest.mark.slow)])
 def test_pallas_sharded_fluid_matches(meshdims):
     """Fused-kernel path on 1D and 2D meshes == single-device fused path."""
     mesh = _mesh(*meshdims)
