@@ -8,6 +8,7 @@ import sys
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from lbmdem_tpu.config import DiskSpec, SimConfig
 from lbmdem_tpu.simulation import Simulation, make_step_fn
