@@ -40,9 +40,11 @@ def build_variants(cfg, grid, axis="y"):
             d = state.disks
             if do_lbm == "floor":
                 # minimal live step: one f pass + disk touch = the
-                # irreducible fori/donation/traffic floor
+                # irreducible fori/donation/traffic floor. 1e-30 is
+                # representable in bf16 (8-bit exponent), so the add
+                # stays live under ABLATE_F_STORAGE=bfloat16 too.
                 return state._replace(
-                    f=state.f + jnp.float32(1e-30),
+                    f=state.f + jnp.asarray(1e-30, state.f.dtype),
                     disks=d._replace(x=d.x + tiny(d.v).astype(d.x.dtype)),
                     step=state.step + 1,
                 )
@@ -89,7 +91,8 @@ def build_variants(cfg, grid, axis="y"):
                     state.f, eps, usx, usy, cfg
                 )
             else:
-                fnew = state.f + tiny(eps)[None] + tiny(usx) + tiny(usy)
+                fnew = (state.f + (tiny(eps)[None] + tiny(usx) +
+                                   tiny(usy)).astype(state.f.dtype))
                 phix = tiny(state.f[0]) + tiny(eps)
                 phiy = phix
             if do_reduce:
@@ -153,13 +156,20 @@ def build_variants(cfg, grid, axis="y"):
 
 
 def main():
+    import os
+
     nx = int(sys.argv[1]) if len(sys.argv) > 1 else 4096
     nd = int(sys.argv[2]) if len(sys.argv) > 2 else 10000
     chunk = int(sys.argv[3]) if len(sys.argv) > 3 else 50
     names = sys.argv[4].split(",") if len(sys.argv) > 4 else None
 
     cfg, disks = column_collapse(nx=nx, ny=nx, n_disks=nd)
-    cfg = cfg.replace(out_interval=10**9)
+    # ABLATE_EPS / ABLATE_F_STORAGE re-balance the stage marginals for
+    # the opt-in tiers (e.g. ABLATE_EPS=ramp after the r3 coverage A/B)
+    cfg = cfg.replace(out_interval=10**9,
+                      eps_method=os.environ.get("ABLATE_EPS", "sample"),
+                      f_storage=os.environ.get("ABLATE_F_STORAGE",
+                                               "float32"))
     sim = Simulation(cfg, disks, use_pallas=True)
     cfg, grid = sim.cfg, sim.grid
     variants = build_variants(cfg, grid, sim.dem_axis)
