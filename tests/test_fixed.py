@@ -185,6 +185,31 @@ def test_static_solid_hoist_matches_per_step():
     assert sim2.dem_mode == "drift" and not sim2.static_solid
 
 
+@pytest.mark.slow  # interpret-mode temporal static kernel build
+def test_static_solid_hoist_bf16_matches_oracle():
+    """bf16 f-storage composes with the static hoist: the hoisted chunk
+    temporal-blocks k=4 steps per bf16 writeback (ONE storage rounding
+    per macro vs the oracle's per-step quantization), so parity is
+    rounding-cadence-level, not bitwise. The solid stack stays f32."""
+    cfg = _cfg(nx=128, ny=128, max_disks=2, gx=1e-5, g_py=0.0,
+               f_storage="bfloat16", bc_west="periodic",
+               bc_east="periodic", out_interval=8)
+    specs = [DiskSpec(40.0, 64.0, 4.0, fixed=True),
+             DiskSpec(80.0, 64.0, 4.0, fixed=True)]
+    sim = Simulation(cfg, specs, use_pallas=True)
+    assert sim.static_solid
+    assert sim.state.f.dtype == jnp.bfloat16
+    sim.run(8)
+    ref = Simulation(cfg, specs)  # XLA oracle path, per-step quantized
+    ref.run(8)
+    assert int(sim.state.step) == 8
+    np.testing.assert_allclose(
+        np.asarray(sim.state.f, np.float32),
+        np.asarray(ref.state.f, np.float32), rtol=0, atol=3e-4)
+    F, _ = sim.hydro_forces()
+    assert F[0, 0] > 0.0
+
+
 @pytest.mark.slow  # interpret-mode fused coupled builds (~2 min)
 def test_static_solid_hoist_mesh_matches():
     """Mesh edition of the static hoist: the prep shard_map bakes
