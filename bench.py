@@ -145,7 +145,8 @@ def _run_static(n, n_disks, chunk, repeats):
             r, fixed=True,
         ))
     cfg = SimConfig(nx=n, ny=n, tau=0.8, gx=1e-6, dtype="float32",
-                    max_disks=n_disks, out_interval=10**9)
+                    max_disks=n_disks, out_interval=10**9,
+                    f_storage=os.environ.get("BENCH_F_STORAGE", "float32"))
     sim = Simulation(cfg, disks, use_pallas=True)
     assert sim.static_solid
     sim.run(chunk)

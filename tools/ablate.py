@@ -139,6 +139,83 @@ def build_variants(cfg, grid, axis="y"):
 
         return step
 
+    def assemble_fused(do_bin, do_stamp, do_reduce, dem_kind,
+                       do_gather=True):
+        """Stage decomposition around fused_step_imb_reduce (the
+        production kernel for bf16 storage, where the split
+        fused_step_imb + reduce_hydro_forces pair does not exist):
+        the stamp ablates via zeroed eps/us inputs, the in-kernel
+        reduce ablates via ZEROED COUNTS (its per-tile loops are
+        traced-trip-count fori_loops - zero trips skip the work but
+        keep the partials output live through the DEM)."""
+
+        def step(state, lists, counts, entry_slots):
+            d = state.disks
+            if do_bin:
+                lists, counts, entry_slots, _ = pallas_stamp.build_tile_lists(
+                    d.x, d.active, cfg, margin=BIN_MARGIN
+                )
+            if do_gather:
+                tile_data = pallas_stamp.gather_tile_data(
+                    lists, d.x, d.v, d.omega, d.r, d.active
+                )
+            else:
+                n_tiles, cap = lists.shape
+                tile_data = jnp.zeros(
+                    (n_tiles, 1, cap * 8), jnp.float32
+                ) + jnp.sum(tiny(d.x)) + jnp.sum(tiny(lists))
+            if do_stamp:
+                eps, usx, usy, _ = pallas_stamp.stamp_solid_fraction(
+                    d.x, d.v, d.omega, d.r, d.active, cfg,
+                    binned=(tile_data, counts, None, None),
+                )
+            else:
+                live = jnp.sum(tiny(tile_data))
+                eps = jnp.zeros((cfg.ny, cfg.nx), jnp.float32) + live
+                usx = eps
+                usy = eps
+            rcounts = counts if do_reduce else jnp.zeros_like(counts)
+            fnew, partials = pallas_lbm.fused_step_imb_reduce(
+                state.f, eps, usx, usy, cfg, tile_data, rcounts
+            )
+            fh, th = pallas_stamp.gather_partials(
+                partials, entry_slots, d.x.dtype
+            )
+            if dem_kind == "slab":
+                disks, ovf, nc = pallas_dem.dem_subcycle(
+                    d, fh, th, grid, cfg, axis
+                )
+            elif dem_kind == "xla":
+                disks, ovf, nc = dem_ops.dem_subcycle(d, fh, th, grid, cfg)
+            else:
+                disks = d._replace(
+                    x=d.x + tiny(fh).astype(d.x.dtype),
+                    v=d.v + tiny(fh).astype(d.x.dtype),
+                )
+                ovf = state.overflow
+                nc = state.n_contacts
+            return state._replace(
+                f=fnew, disks=disks, step=state.step + 1,
+                overflow=jnp.maximum(state.overflow, ovf), n_contacts=nc,
+            )
+
+        return step
+
+    if cfg.f_storage == "bfloat16":
+        # marginals vs the fused production step ("full" == "fused"
+        # here); "no-lbm" has no bf16 analogue (the LBM IS the kernel)
+        return {
+            "floor": assemble(False, False, "floor", False, None),
+            "fused": assemble_fused(False, True, True, "slab"),
+            "full": assemble_fused(False, True, True, "slab"),
+            "full+bin": assemble_fused(True, True, True, "slab"),
+            "no-stamp": assemble_fused(False, False, True, "slab"),
+            "no-reduce": assemble_fused(False, True, False, "slab"),
+            "no-dem": assemble_fused(False, True, True, None),
+            "no-gather": assemble_fused(False, True, True, "slab",
+                                        do_gather=False),
+            "xla-dem": assemble_fused(False, True, True, "xla"),
+        }
     return {
         "floor": assemble(False, False, "floor", False, None),
         "fused": assemble(False, True, "fused", True, "slab"),

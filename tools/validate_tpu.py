@@ -159,13 +159,21 @@ def _trt():
     """Compiled TRT leg: magic Lambda = 3/16 pins the bounce-back wall
     exactly mid-link, so body-force Poiseuille on the COMPILED f32
     kernel must sit on the analytic parabola to f32 roundoff while BGK
-    at the same tau carries a real slip error."""
+    at the same tau carries a real slip error.
+
+    The forcing must be strong enough that the signal clears the f32
+    noise floor: the velocity is a near-cancelling moment of f ~ 0.1,
+    so |u| carries ~2e-9 absolute rounding noise regardless of gx.
+    Measured (CPU, same compiled kernels, 12k steps): gx=1e-6 ->
+    trt 5.9e-3 / bgk 5.9e-3 (both noise-dominated, u_max 3.8e-4);
+    gx=5e-5 -> trt 1.6e-5 / bgk 4.2e-3 (TRT at the floor, BGK at its
+    genuine slip; u_max 1.9e-2, still laminar Re ~ 2)."""
     from lbmdem_tpu.config import SimConfig
     from lbmdem_tpu.simulation import Simulation
 
     errs = {}
     for coll in ("trt", "bgk"):
-        cfg = SimConfig(nx=128, ny=32, tau=1.5, gx=1e-6, dtype="float32",
+        cfg = SimConfig(nx=128, ny=32, tau=1.5, gx=5e-5, dtype="float32",
                         collision=coll, out_interval=10**9)
         sim = Simulation(cfg, use_pallas=True)
         sim.run(12000)
@@ -176,11 +184,8 @@ def _trt():
         errs[coll] = float(np.abs(prof - analytic).max() / analytic.max())
     print(f"poiseuille tau=1.5 rel err: trt {errs['trt']:.2e} "
           f"bgk {errs['bgk']:.2e}")
-    # f32 bound: exact in exact arithmetic; 12k steps of f32 rounding
-    # leave O(1e-5..1e-4) relative drift. BGK's slip at tau=1.5/ny=32 is
-    # O(1e-2) relative - orders apart either way.
     assert errs["trt"] < 2e-4, "TRT(3/16) wall not exact on TPU"
-    assert errs["bgk"] > 5 * errs["trt"], "BGK/TRT contrast missing"
+    assert errs["bgk"] > 50 * errs["trt"], "BGK/TRT contrast missing"
     print("TRT OK")
 
 
