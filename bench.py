@@ -217,6 +217,11 @@ def main():
         # still records it
         (4096, 4096, 10000, 100, 3, 320, "bfloat16", "ramp"),
         (4096, 4096, 10000, 100, 3, 320, "bfloat16", "sample"),
+        # 8192^2 showcase tiers. bf16+ramp first: it is both the faster
+        # number (2508 vs 2023 MLUPS measured r3) and ~3x cheaper to
+        # compile (460 s vs ~1000-1250 s of remote Mosaic time - the
+        # bf16 window kernels lower to fewer Mosaic relayouts)
+        (8192, 8192, 40000, 50, 2, 700, "bfloat16", "ramp"),
         (8192, 8192, 40000, 50, 2, 1600, "float32", "sample"),
     ]
     only = os.environ.get("BENCH_ONLY")  # e.g. "4096" to skip warmup stages

@@ -451,6 +451,18 @@ def _dem_kernel(kmax_ref, nocc_ref, bands_ref, s_ref, out_ref, nc_ref, fscr,
         def band_force(i, nc_tot):
             off = pl.multiple_of(bands_ref[i], 8)
             woff = pl.multiple_of(off - 8, 8)
+            if wrap_s:
+                # ghost guard rows hold REAL copies (r > 0), so they
+                # pass pair()'s touching test as i-disks whenever a
+                # guard row shares an 8-row band with real rows
+                # (ncs % 8 != 0 puts the top guard at an unaligned
+                # plane row). Their forces/xi are discarded at exit,
+                # but the contact count must not see them: mask the
+                # accumulation to the real-row extent [8, 8 + ncs).
+                prow = off + jax.lax.broadcasted_iota(jnp.int32, (8, C), 0)
+                real_row = ((prow >= 8) & (prow < 8 + ncs)).astype(
+                    jnp.float32
+                )
             X = [rd(_X, k, off) for k in range(K)]
             Y = [rd(_Y, k, off) for k in range(K)]
             VX = [rd(_VX, k, off) for k in range(K)]
@@ -557,7 +569,7 @@ def _dem_kernel(kmax_ref, nocc_ref, bands_ref, s_ref, out_ref, nc_ref, fscr,
                 fscr[0, k, pl.ds(off, 8)] = (fx + rd(_FHX, k, off)) * act[k]
                 fscr[1, k, pl.ds(off, 8)] = (fy + rd(_FHY, k, off)) * act[k]
                 fscr[2, k, pl.ds(off, 8)] = (tq + rd(_THQ, k, off)) * act[k]
-                nc_acc = nc_acc + nck
+                nc_acc = nc_acc + (nck * real_row if wrap_s else nck)
             # directed-touching count of this band, accumulated into the
             # per-force-eval total carried by the fori_loop
             return nc_tot + jnp.sum(nc_acc)
@@ -668,10 +680,16 @@ def dem_subcycle(
         interpret=_interpret(),
     )(kmax.reshape(1), n_occ.reshape(1), band_offs, slabs)
     # one row-gather back to disk order: the 6 integrated state channels
-    # (_X.._TH), plus the spring channels when kt > 0
-    nch = slabs.shape[0]
-    width = nch if kt_on else 6
-    flat_t = out[:width].reshape(width, -1).T  # (nslots, width)
+    # (_X.._TH), plus the spring channels when kt > 0. Channels 6..10
+    # (_R/_FHX/_FHY/_THQ/_MINV) are kernel INPUTS never consumed after
+    # exit - dropping them from the transpose+gather cuts ~10% of the
+    # slab-exit traffic on spring scenes.
+    if kt_on:
+        keep_ch = jnp.concatenate([out[:6], out[_XI0:]], axis=0)
+    else:
+        keep_ch = out[:6]
+    width = keep_ch.shape[0]
+    flat_t = keep_ch.reshape(width, -1).T  # (nslots, width)
     ok = slot >= 0
     g = flat_t[jnp.maximum(slot, 0)]  # (N, width)
     dt = disks.x.dtype
@@ -694,7 +712,7 @@ def dem_subcycle(
         # of equal-size disks is <= 6, so cap 10 never truncates in
         # practice).
         cap = cfg.contact_cap
-        xi36 = g[:, _XI0:_XIW]
+        xi36 = g[:, 6:6 + _NXI]  # keep_ch frame: springs start at col 6
         live = ok & disks.active
         keep = (j36 >= 0) & (xi36 != 0.0) & live[:, None]
         k_eff = min(cap, _NXI)
@@ -718,7 +736,8 @@ def dem_subcycle(
                   - jnp.sum(ct_j >= 0, dtype=jnp.int32))
         overflow = jnp.maximum(overflow, ovf_ct)
         wall_xi = jnp.where(
-            live[:, None], g[:, _XIW:_XIW + 4].astype(dt), disks.wall_xi
+            live[:, None],
+            g[:, 6 + _NXI:6 + _NXI + 4].astype(dt), disks.wall_xi,
         )
         new = new._replace(ct_j=ct_j, ct_xi=ct_xi, wall_xi=wall_xi)
     # Active disks the slab could NOT slot (rank >= SLAB_K overflow)

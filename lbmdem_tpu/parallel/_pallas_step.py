@@ -45,7 +45,7 @@ _HY = 8  # halo rows exchanged (f32 kernel sublane DMA granule)
 _HX = 128  # halo cols exchanged for 2D meshes (lane DMA granule)
 
 
-def canvas_pads(h: int, w: int, two_d: bool):
+def canvas_pads(h: int, two_d: bool):
     """(pady, padx) of the sharded stamp canvas.
 
     pady = the local lattice-tile height (largest of 64/32/16/8 dividing
@@ -103,7 +103,7 @@ def _build(cfg: SimConfig, grid, mesh, h: int, w: int, dem_axis: str,
         # replicated), the global->local canvas shift places them inside
         # the apron, and the binning drops out-of-canvas tiles. Fluid
         # periodicity comes free from the ppermute halo ring.
-        pady, padx = canvas_pads(h, w, two_d)
+        pady, padx = canvas_pads(h, two_d)
         canvas_cfg = cfg.replace(ny=h + 2 * pady, nx=w + 2 * padx)
         th_s, tw_s = pallas_stamp.tile_dims(canvas_cfg)
         assert th_s == pady and tw_s == 128, (
@@ -115,6 +115,23 @@ def _build(cfg: SimConfig, grid, mesh, h: int, w: int, dem_axis: str,
         oy_t, ox_t = pady // th_s, padx // 128
         cap = cfg.tile_cap
         ix_int = slice(padx, padx + w)  # interior cols of the canvas
+
+        def mask_open_canvas(solid):
+            """Zou/He boundary columns stay pure fluid (oracle:
+            imb.mask_open_columns): zero the canvas column holding
+            GLOBAL x = 0 / nx-1 on the edge shards only. THE single
+            sharded definition - coupled_step and static_prep must
+            apply the identical rule or the static hoist diverges
+            from the dynamic path."""
+            if cfg.bc_west != "inlet":
+                return solid
+            ix_sh = jax.lax.axis_index("x")
+            cw, ce = padx, padx + w - 1
+            return solid.at[:, :, cw].set(
+                jnp.where(ix_sh == 0, 0.0, solid[:, :, cw])
+            ).at[:, :, ce].set(
+                jnp.where(ix_sh == nx_sh - 1, 0.0, solid[:, :, ce])
+            )
     else:
         pady = padx = 0
 
@@ -263,17 +280,7 @@ def _build(cfg: SimConfig, grid, mesh, h: int, w: int, dem_axis: str,
             xloc, va, oma, ra, acta, canvas_cfg,
             binned=(tile_data, counts_c, None, None), as_stack=True,
         )
-        if cfg.bc_west == "inlet":
-            # Zou/He boundary columns stay pure fluid (oracle:
-            # imb.mask_open_columns): zero the canvas column holding
-            # GLOBAL x = 0 / nx-1 on the edge shards only
-            ix_sh = jax.lax.axis_index("x")
-            at_w = ix_sh == 0
-            at_e = ix_sh == nx_sh - 1
-            cw, ce = padx, padx + w - 1
-            solid = solid.at[:, :, cw].set(
-                jnp.where(at_w, 0.0, solid[:, :, cw])
-            ).at[:, :, ce].set(jnp.where(at_e, 0.0, solid[:, :, ce]))
+        solid = mask_open_canvas(solid)
         # interior tile rows of the canvas binning feed the fused reduce
         td_i = tile_data.reshape(nty_c, ntx_c, cap * 8)[
             oy_t : oy_t + nty_i, ox_t : ox_t + ntx_i
@@ -396,14 +403,7 @@ def _build(cfg: SimConfig, grid, mesh, h: int, w: int, dem_axis: str,
             xloc, va, oma, ra, acta, canvas_cfg,
             binned=(tile_data, counts_c, None, None), as_stack=True,
         )
-        if cfg.bc_west == "inlet":
-            ix_sh = jax.lax.axis_index("x")
-            at_w = ix_sh == 0
-            at_e = ix_sh == nx_sh - 1
-            cw, ce = padx, padx + w - 1
-            solid = solid.at[:, :, cw].set(
-                jnp.where(at_w, 0.0, solid[:, :, cw])
-            ).at[:, :, ce].set(jnp.where(at_e, 0.0, solid[:, :, ce]))
+        solid = mask_open_canvas(solid)
         ovf = jax.lax.psum(jnp.maximum(bovf, govf), ("y", "x"))
         return solid[:, pady - _HY : pady + h + _HY, :], ovf
 
@@ -504,25 +504,20 @@ def make_sharded_coupled_chunk(cfg: SimConfig, grid, mesh, h: int, w: int,
     the single-chip chunk does. Paranoid mode keeps the per-step path
     (its per-step validation wraps the shard_map boundary)."""
     from lbmdem_tpu.ops import pallas_stamp
-    from lbmdem_tpu.simulation import BIN_CADENCE, BIN_MARGIN
+    from lbmdem_tpu.simulation import BIN_CADENCE, BIN_MARGIN, pingpong_loop
     from lbmdem_tpu.parallel.sharding import state_specs
 
     assert cfg.max_disks > 0 and not cfg.paranoia
     _, coupled_step, _, _ = _build(cfg, grid, mesh, h, w, dem_axis, 1)
     periodic_dem = bool(cfg.wrap_lx or cfg.wrap_ly)
     two_d = mesh.shape["x"] > 1
-    pady, padx = canvas_pads(h, w, two_d)
+    pady, padx = canvas_pads(h, two_d)
     canvas_cfg = cfg.replace(ny=h + 2 * pady, nx=w + 2 * padx)
     th_s, _ = pallas_stamp.tile_dims(canvas_cfg)
     nty_c, ntx_c = canvas_cfg.ny // th_s, canvas_cfg.nx // 128
     nty_i, ntx_i = h // th_s, w // 128
     oy_t, ox_t = pady // th_s, padx // 128
     cap = cfg.tile_cap
-
-    def double(s, sc, stepfn):
-        s1 = stepfn(s, sc)
-        s2 = stepfn(s1, s.f)
-        return s2, s1.f
 
     def k_steps(carry, k):
         st, scr = carry
@@ -555,16 +550,8 @@ def make_sharded_coupled_chunk(cfg: SimConfig, grid, mesh, h: int, w: int,
         )
         st = st._replace(overflow=jnp.maximum(st.overflow, bovf))
         ctx = (lists, counts_c, entries_i, d.x, gparent, gaxes)
-        kstep = lambda s, sc: coupled_step(s, sc, ctx)
-        k2, krem = divmod(k, 2)
-        if k2:
-            st, scr = jax.lax.fori_loop(
-                0, k2, lambda _, c: double(c[0], c[1], kstep), (st, scr)
-            )
-        if krem:
-            st1 = kstep(st, scr)
-            st, scr = st1, st.f
-        return (st, scr)
+        return pingpong_loop(lambda s, sc: coupled_step(s, sc, ctx),
+                             st, scr, k)
 
     def local_chunk(state, f_scratch):
         n_outer, n_rem = divmod(n, BIN_CADENCE)
@@ -606,7 +593,7 @@ def make_sharded_static_chunk(cfg: SimConfig, grid, mesh, h: int, w: int,
     from jax.sharding import PartitionSpec as P
 
     from lbmdem_tpu.parallel.sharding import state_specs
-    from lbmdem_tpu.simulation import TEMPORAL_K
+    from lbmdem_tpu.simulation import TEMPORAL_K, pingpong_loop
 
     assert cfg.max_disks > 0 and not cfg.paranoia
     _, _, static_step, static_prep = _build(cfg, grid, mesh, h, w,
@@ -626,26 +613,16 @@ def make_sharded_static_chunk(cfg: SimConfig, grid, mesh, h: int, w: int,
         kblk = TEMPORAL_K if n >= TEMPORAL_K > 1 else 1
 
         def local_chunk(state, f_scratch, solid):
-            def pingpong(st, scr, k, m):
-                def dbl(c):
-                    s1 = static_step(c[0], c[1], solid, k)
-                    s2 = static_step(s1, c[0].f, solid, k)
-                    return (s2, s1.f)
-
-                m2, rem = divmod(m, 2)
-                if m2:
-                    st, scr = jax.lax.fori_loop(
-                        0, m2, lambda _, c: dbl(c), (st, scr)
-                    )
-                if rem:
-                    st1 = static_step(st, scr, solid, k)
-                    st, scr = st1, st.f
-                return st, scr
-
             nk, tail = divmod(n, kblk)
-            st, scr = pingpong(state, f_scratch, kblk, nk)
+            st, scr = pingpong_loop(
+                lambda s, sc: static_step(s, sc, solid, kblk),
+                state, f_scratch, nk,
+            )
             if tail:
-                st, _ = pingpong(st, scr, 1, tail)
+                st, _ = pingpong_loop(
+                    lambda s, sc: static_step(s, sc, solid, 1),
+                    st, scr, tail,
+                )
             return st
 
         sharded = jax.shard_map(

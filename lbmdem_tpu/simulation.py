@@ -116,6 +116,36 @@ BIN_MARGIN = 2
 TEMPORAL_K = 4
 
 
+def pingpong_loop(stepfn, state, scr, m):
+    """m applications of stepfn(state, f_scratch) -> state over two
+    ping-ponged donated f buffers. THE single definition of the
+    donation-ordering dance (single-chip chunks, the static hoist,
+    and the sharded chunk bodies in parallel/_pallas_step.py all use
+    it): stepfn writes its output f into the scratch buffer via
+    input_output_aliases, so after each call the old state.f is dead
+    and becomes the NEXT scratch. The loop body is an unrolled DOUBLE
+    step - after two steps every while-carry slot holds its original
+    allocation again, which is what lets XLA run the fori_loop fully
+    in place (a single-step body trips XLA's while in-place rule into
+    a full f copy per iteration: 1.2 GB at 4096^2, seen as copy.333
+    in the profile, ~1.8 ms/step). An odd remainder step runs OUTSIDE
+    the loop. Returns (state, scratch)."""
+    m2, rem = divmod(m, 2)
+    if m2:
+
+        def dbl(c):
+            s1 = stepfn(c[0], c[1])
+            s2 = stepfn(s1, c[0].f)
+            return (s2, s1.f)
+
+        state, scr = jax.lax.fori_loop(0, m2, lambda _, c: dbl(c),
+                                       (state, scr))
+    if rem:
+        s1 = stepfn(state, scr)
+        state, scr = s1, state.f
+    return state, scr
+
+
 def pallas_supported(cfg: SimConfig, mesh=None) -> Optional[str]:
     """None if the fused Pallas path supports `cfg`, else the reason.
 
@@ -174,7 +204,7 @@ def pallas_supported(cfg: SimConfig, mesh=None) -> Optional[str]:
             # pads align canvas tiles to the interior's stamp sub-tiles
             # (canvas_pads); both the per-step and the Verlet-cadence
             # sharded paths bin on it (the cadence adds the margin)
-            pady, padx = canvas_pads(ny, nx, two_d)
+            pady, padx = canvas_pads(ny, two_d)
             ny += 2 * pady
             nx += 2 * padx
         th = next(t for t in (64, 32, 16, 8, 4, 2, 1) if ny % t == 0)
@@ -513,11 +543,6 @@ class Simulation:
         if n not in self._chunk_cache:
             step = self._step
 
-            def double(s, sc, stepfn):
-                s1 = stepfn(s, sc)
-                s2 = stepfn(s1, s.f)
-                return s2, s1.f
-
             if (self.use_pallas and self.cfg.max_disks > 0
                     and self.mesh is None and self.static_solid
                     and not self.cfg.paranoia):
@@ -542,27 +567,16 @@ class Simulation:
                     return st._replace(f=fnew, step=st.step + k)
 
                 def chunk(state, solid):
-                    def pingpong(st, scr, k, m):
-                        def dbl(c):
-                            s1 = sstep(c[0], c[1], solid, k)
-                            s2 = sstep(s1, c[0].f, solid, k)
-                            return (s2, s1.f)
-
-                        m2, rem = divmod(m, 2)
-                        if m2:
-                            st, scr = jax.lax.fori_loop(
-                                0, m2, lambda _, c: dbl(c), (st, scr)
-                            )
-                        if rem:
-                            st1 = sstep(st, scr, solid, k)
-                            st, scr = st1, st.f
-                        return st, scr
-
                     nk, tail = divmod(n, kblk)
-                    st, scr = pingpong(state, jnp.zeros_like(state.f),
-                                       kblk, nk)
+                    st, scr = pingpong_loop(
+                        lambda s, sc: sstep(s, sc, solid, kblk),
+                        state, jnp.zeros_like(state.f), nk,
+                    )
                     if tail:
-                        st, _ = pingpong(st, scr, 1, tail)
+                        st, _ = pingpong_loop(
+                            lambda s, sc: sstep(s, sc, solid, 1),
+                            st, scr, tail,
+                        )
                     return st
 
                 jitted = jax.jit(chunk, donate_argnums=0)
@@ -665,15 +679,8 @@ class Simulation:
                         dem_axis=self.dem_axis,
                         dem_mode=self.dem_mode,
                     )
-                    k2, krem = divmod(k, 2)
-                    st, scr = jax.lax.fori_loop(
-                        0, k2, lambda _, c: double(c[0], c[1], kstep),
-                        (st, scr),
-                    )
-                    if krem:  # only in the trailing (outside-while) call
-                        st1 = kstep(st, scr)
-                        st, scr = st1, st.f
-                    return (st, scr)
+                    # odd k only in the trailing (outside-while) call
+                    return pingpong_loop(kstep, st, scr, k)
 
                 def chunk(state):
                     carry = (state, jnp.zeros_like(state.f))
@@ -702,22 +709,11 @@ class Simulation:
                 else:
                     kstep = make_step_fn(self.cfg, None, True, temporal_k=k)
 
-                def pingpong(st, scr, fn, m):
-                    m2, rem = divmod(m, 2)
-                    if m2:
-                        st, scr = jax.lax.fori_loop(
-                            0, m2, lambda _, c: double(c[0], c[1], fn),
-                            (st, scr),
-                        )
-                    if rem:
-                        st, scr = fn(st, scr), st.f
-                    return st, scr
-
                 def chunk(state):
                     nk, tail = divmod(n, k)
-                    st, scr = pingpong(state, jnp.zeros_like(state.f),
-                                       kstep, nk)
-                    st, _ = pingpong(st, scr, step, tail)
+                    st, scr = pingpong_loop(kstep, state,
+                                            jnp.zeros_like(state.f), nk)
+                    st, _ = pingpong_loop(step, st, scr, tail)
                     return st
             elif self.use_pallas:
                 # sharded Pallas path, or pure fluid below the temporal
@@ -725,13 +721,8 @@ class Simulation:
                 # per-shard-aliases it)
 
                 def chunk(state):
-                    n2, rem = divmod(n, 2)
-                    st, scr = jax.lax.fori_loop(
-                        0, n2, lambda _, c: double(c[0], c[1], step),
-                        (state, jnp.zeros_like(state.f)),
-                    )
-                    if rem:
-                        st = step(st, scr)
+                    st, _ = pingpong_loop(step, state,
+                                          jnp.zeros_like(state.f), n)
                     return st
             else:
 

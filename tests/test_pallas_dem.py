@@ -126,6 +126,40 @@ def test_slab_fully_periodic_parity(axis):
                                rtol=0, atol=2e-5)
 
 
+def test_slab_wrap_ghost_rows_not_counted():
+    """Regression: with ncs % 8 != 0 the top ghost guard rows share an
+    8-row band with the last real rows; they hold REAL copies (r > 0)
+    so they pass pair()'s touching test as i-disks, and the contact
+    count must mask them out (their forces/xi are discarded at exit,
+    but nc fed SimState.n_contacts). Seam pairs near BOTH edges made
+    the unmasked kernel report nc=4+ vs the oracle's 3."""
+    cfg = _cfg(nx=128, ny=96, max_disks=6, n_sub=4, g_py=0.0,
+               bc_south="periodic", bc_north="periodic")
+    specs = [
+        DiskSpec(40.0, 94.8, 3.5),
+        DiskSpec(40.5, 2.0, 3.5),    # touches #0 through the y seam
+        DiskSpec(80.0, 1.0, 3.0),
+        DiskSpec(80.2, 93.5, 3.2),   # second seam pair
+        DiskSpec(60.0, 50.0, 3.0),
+        DiskSpec(63.0, 53.0, 3.0),   # bulk pair
+    ]
+    disks = dem.make_disk_state(specs, cfg, "float32")
+    grid = DemGrid.build(cfg, 3.5)
+    ncs, _, _, _, _ = pallas_dem.slab_dims(grid, "y")
+    assert ncs % 8 != 0  # the scene must exercise the unaligned guard
+    z2 = jnp.zeros((6, 2), jnp.float32)
+    z1 = jnp.zeros((6,), jnp.float32)
+    d_ref, _, nc_ref = jax.jit(dem.dem_subcycle, static_argnums=(3, 4))(
+        disks, z2, z1, grid, cfg)
+    d_pal, ovf, nc = jax.jit(
+        pallas_dem.dem_subcycle, static_argnums=(3, 4, 5))(
+        disks, z2, z1, grid, cfg, "y")
+    assert int(ovf) == 0
+    assert int(nc) == int(nc_ref) and int(nc) >= 3
+    np.testing.assert_allclose(np.asarray(d_pal.x), np.asarray(d_ref.x),
+                               rtol=0, atol=2e-5)
+
+
 @pytest.mark.slow
 def test_slab_subcycle_with_hydro_and_gravity():
     cfg = _cfg(buoyancy=True, g_py=-2e-4, max_disks=12)

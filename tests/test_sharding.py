@@ -381,6 +381,58 @@ def test_pallas_sharded_coupled_axis_x_matches():
                                rtol=0, atol=1e-6)
 
 
+@pytest.mark.slow  # interpret-mode coupled builds ~40 s; the sample
+# variant covers the quick lane - this pins the ramp coverage tier
+def test_pallas_sharded_coupled_ramp_matches():
+    """eps_method='ramp' through the sharded canvas stamp + in-kernel
+    reduce (the speed tier of SURVEY C9 on the mesh path) vs the
+    single-chip fused path at the same eps_method."""
+    mesh = _mesh(4, 1)
+    cfg = SimConfig(nx=128, ny=128, tau=0.8, dtype="float32", g_py=-1e-4,
+                    buoyancy=True, rho_s=2.0, kn=0.5, gamma_n=0.5, n_sub=5,
+                    bc_west="wall", bc_east="wall", eps_method="ramp")
+    disks = [
+        DiskSpec(64.0, 64.0, 3.0),           # straddles the mesh center
+        DiskSpec(32.2, 96.1, 2.5),
+        DiskSpec(90.0, 31.9, 2.0, vx=0.01),
+    ]
+    sref, ssh = _run_both_pallas(cfg, disks, mesh, 2)
+    np.testing.assert_allclose(np.asarray(sref.f), np.asarray(ssh.f),
+                               rtol=0, atol=2e-6)
+    np.testing.assert_allclose(np.asarray(sref.disks.x),
+                               np.asarray(ssh.disks.x), rtol=0, atol=1e-6)
+
+
+@pytest.mark.slow  # same cost class as the ramp variant above
+def test_pallas_sharded_coupled_kt_matches():
+    """kt > 0 Cundall-Strack springs on the mesh path: disks are
+    replicated, so every shard advances the identical spring state
+    (slab kernel or XLA fallback, whichever slab_supported picks) and
+    the psum'd hydro forces feed the same subcycle - contact history
+    (ct_j/ct_xi) must match the single-chip fused path."""
+    mesh = _mesh(4, 1)
+    cfg = SimConfig(nx=128, ny=128, tau=0.8, dtype="float32", g_py=-1e-4,
+                    buoyancy=True, rho_s=2.0, kn=0.5, gamma_n=0.5,
+                    gamma_t=0.2, kt=0.4, mu=0.3, n_sub=5,
+                    bc_west="wall", bc_east="wall")
+    disks = [
+        DiskSpec(64.0, 64.0, 3.0),
+        DiskSpec(64.2, 70.1, 3.0),            # touching pair: live spring
+        DiskSpec(90.0, 31.9, 2.0, vx=0.01),
+    ]
+    sref, ssh = _run_both_pallas(cfg, disks, mesh, 2)
+    np.testing.assert_allclose(np.asarray(sref.f), np.asarray(ssh.f),
+                               rtol=0, atol=2e-6)
+    np.testing.assert_allclose(np.asarray(sref.disks.x),
+                               np.asarray(ssh.disks.x), rtol=0, atol=1e-6)
+    assert np.asarray(np.abs(sref.disks.ct_xi)).max() > 0  # spring engaged
+    np.testing.assert_array_equal(np.asarray(sref.disks.ct_j),
+                                  np.asarray(ssh.disks.ct_j))
+    np.testing.assert_allclose(np.asarray(sref.disks.ct_xi),
+                               np.asarray(ssh.disks.ct_xi),
+                               rtol=0, atol=1e-6)
+
+
 @pytest.mark.parametrize("meshdims", [(4, 1), (2, 2)])
 def test_pallas_sharded_temporal_block_matches(meshdims):
     """Sharded temporal blocking (k=4 steps per halo exchange, edge BB

@@ -189,7 +189,10 @@ def _trt():
     print("TRT OK")
 
 
-def main():
+def _settling():
+    """Single-disk settling vs the repo's f64 oracle golden (the
+    SURVEY's headline parity metric): instantaneous velocity over the
+    back half within 1% of the oracle's velocity scale."""
     import jax
 
     from lbmdem_tpu.config import DiskSpec, SimConfig
@@ -227,6 +230,10 @@ def main():
     y_err = abs(rows[-1, 0] - golden[-1, 2])
     print(f"final y: tpu {rows[-1, 0]:.4f} vs golden {golden[-1, 2]:.4f} "
           f"(|dy| = {y_err:.4f} cells)")
+
+
+def main():
+    _settling()
     _dkt()
     _periodic()
     _cavity()
@@ -380,7 +387,8 @@ def _collapse():
 if __name__ == "__main__":
     import sys
 
-    stages = {"settling": main, "dkt": _dkt, "periodic": _periodic,
+    stages = {"settling": _settling, "all": main,
+              "dkt": _dkt, "periodic": _periodic,
               "cavity": _cavity, "trt": _trt, "cylinder": _cylinder,
               "friction": _friction, "static": _static_multi,
               "shedding": _shedding, "collapse": _collapse}
