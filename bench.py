@@ -28,25 +28,41 @@ import sys
 import time
 
 _last_line = None
-_best = None  # (value, line) over COUPLED stages only - the headline
+_best = None  # (value, dict) over COUPLED stages only - the headline
+_skipped = []  # stage labels skipped on time budget (explicit in JSON)
+
+# v5e HBM peak (GB/s) for the roofline fields: achieved GB/s is
+# MLUPS x modeled UNIQUE HBM bytes/site/step (reads once + writes
+# once; the 1.56x halo read amplification is a separate recompute tax,
+# see docs/performance.md roofline table for the per-path derivation).
+_V5E_HBM_GBS = 819.0
 
 
-def _emit(metric, value, headline=True):
+def _emit(metric, value, headline=True, bytes_per_site=None):
     """Print one JSON stage line. The driver takes the LAST stdout line
     as the result, so `main` re-emits the best COUPLED line at the end
     (a later, bigger config can be slower than a smaller faster one -
     e.g. 8192^2 f32 ~1970 vs 4096^2 bf16 ~2208). headline=False
-    (pure-fluid context line) never becomes the final line."""
+    (pure-fluid context line) never becomes the final line.
+    bytes_per_site adds the roofline fields (modeled HBM GB/s and % of
+    v5e peak) so perf is judged against the chip ceiling, not only the
+    north-star target."""
     global _last_line, _best
-    line = json.dumps({
+    rec = {
         "metric": metric,
         "value": round(value, 1),
         "unit": "MLUPS",
         "vs_baseline": round(value / 1000.0, 3),
-    })
+    }
+    if bytes_per_site is not None:
+        gbs = value * 1e6 * bytes_per_site / 1e9
+        rec["hbm_bytes_per_site_model"] = bytes_per_site
+        rec["hbm_gbs_model"] = round(gbs, 1)
+        rec["pct_v5e_hbm_peak"] = round(100.0 * gbs / _V5E_HBM_GBS, 1)
+    line = json.dumps(rec)
     _last_line = line
     if headline and (_best is None or value > _best[0]):
-        _best = (value, line)
+        _best = (value, rec)
     print(line, flush=True)
 
 
@@ -166,7 +182,9 @@ def main():
             # Out of budget with results in hand: reprint the best
             # coupled line and exit 0 — a completed-stage bench is a
             # SUCCESS even if an optional bigger stage overran the alarm.
-            print(_best[1], flush=True)
+            print(json.dumps({**_best[1],
+                              "skipped_stages": _skipped + ["<alarm>"]}),
+                  flush=True)
             os._exit(0)
         if _last_line is not None:  # pure-fluid only landed
             print(_last_line, flush=True)
@@ -206,23 +224,28 @@ def main():
     # remain after init + the standard stages (BENCH_TIMEOUT_S roughly
     # >= 2700 in practice), and overrunning the alarm mid-stage still
     # exits 0 with the 4096 line as the final output.
+    # Stage order (VERDICT r3 weak #2): the un-opted-in plain-f32
+    # configs - 4096^2 (the literal north star) and 8192^2 - are
+    # secured BEFORE any opt-in tier (bf16 storage / ramp coverage)
+    # spends budget; the 4096^2 bf16 tiers ride between them because
+    # they are cheap (~5 min incl. compile) and historically the best
+    # qualified number. Anything skipped lands in skipped_stages of the
+    # final JSON line, so a missing stage is explicit.
     stages = [
         (1024, 1024, 640, 400, 2, 120, "float32", "sample"),
         (2048, 2048, 2500, 200, 2, 150, "float32", "sample"),
         (4096, 4096, 10000, 100, 3, 300, "float32", "sample"),
         # shifted-bf16 f storage + ramp coverage (both opt-in,
         # parity-validated: bf16 settling <1%, ramp delta 0.059%): the
-        # fastest qualified coupled number on the north-star config -
-        # ordered before the single-option stages so a tight budget
-        # still records it
+        # fastest qualified coupled number on the north-star config
         (4096, 4096, 10000, 100, 3, 320, "bfloat16", "ramp"),
         (4096, 4096, 10000, 100, 3, 320, "bfloat16", "sample"),
-        # 8192^2 showcase tiers. bf16+ramp first: it is both the faster
-        # number (2508 vs 2023 MLUPS measured r3) and ~3x cheaper to
-        # compile (460 s vs ~1000-1250 s of remote Mosaic time - the
-        # bf16 window kernels lower to fewer Mosaic relayouts)
-        (8192, 8192, 40000, 50, 2, 700, "bfloat16", "ramp"),
+        # 8192^2 showcase tiers, plain f32 FIRST (r3 lost this line to
+        # the time guard because the bf16+ramp tier ran before it);
+        # f32/sample needs ~16-21 min of remote Mosaic compile, the
+        # bf16 window kernels ~460 s (fewer Mosaic relayouts)
         (8192, 8192, 40000, 50, 2, 1600, "float32", "sample"),
+        (8192, 8192, 40000, 50, 2, 700, "bfloat16", "ramp"),
     ]
     only = os.environ.get("BENCH_ONLY")  # e.g. "4096" to skip warmup stages
     if only:
@@ -233,7 +256,8 @@ def main():
         # never become the final (north-star) output line
         try:
             _emit("pure-fluid LBM MLUPS/chip (4096x4096, temporal k=4)",
-                  _run_fluid(4096, 400, 2), headline=False)
+                  _run_fluid(4096, 400, 2), headline=False,
+                  bytes_per_site=18.0)
         except Exception as e:
             print(f"bench: pure-fluid stage failed "
                   f"({type(e).__name__}: {e})", file=sys.stderr)
@@ -244,7 +268,7 @@ def main():
             _emit("pure-fluid LBM MLUPS/chip (4096x4096, bf16 f-storage, "
                   "temporal k=4)",
                   _run_fluid(4096, 400, 2, storage="bfloat16"),
-                  headline=False)
+                  headline=False, bytes_per_site=9.0)
         except Exception as e:
             print(f"bench: bf16 pure-fluid stage failed "
                   f"({type(e).__name__}: {e})", file=sys.stderr)
@@ -253,36 +277,42 @@ def main():
             # loop constants, the step is the fused IMB kernel alone
             _emit("static-obstacle coupled MLUPS/chip (4096x4096, 4096 "
                   "fixed disks, hoisted)",
-                  _run_static(4096, 4096, 200, 2), headline=False)
+                  _run_static(4096, 4096, 200, 2), headline=False,
+                  bytes_per_site=21.0)
         except Exception as e:
             print(f"bench: static-hoist stage failed "
                   f"({type(e).__name__}: {e})", file=sys.stderr)
     coupled_done = False
     for nx, ny, nd, chunk, repeats, est_s, storage, eps in stages:
+        tag = ", bf16 f-storage" if storage == "bfloat16" else ""
+        tag += ", ramp coverage" if eps == "ramp" else ""
+        label = f"{nx}x{ny}/{storage}/{eps}"
         left = budget - (time.time() - t_start)
         # only skip for budget once a COUPLED stage has landed (the
         # pure-fluid line must never suppress the north-star attempt)
         if coupled_done and left < est_s + 60:
-            print(f"bench: skipping {nx}x{ny}/{storage}/{eps} "
+            print(f"bench: skipping {label} "
                   f"({left:.0f}s left < ~{est_s}s est)", file=sys.stderr)
+            _skipped.append(f"{label} ({left:.0f}s left < ~{est_s}s est)")
             continue
         try:
             mlups = _run(nx, ny, nd, chunk, repeats, use_pallas, storage,
                          eps)
         except Exception as e:
-            print(f"bench: {nx}x{ny}/{nd}/{storage}/{eps} failed "
+            print(f"bench: {label}/{nd} failed "
                   f"({type(e).__name__}: {e})", file=sys.stderr)
+            _skipped.append(f"{label} ({type(e).__name__})")
             continue
-        tag = ", bf16 f-storage" if storage == "bfloat16" else ""
-        tag += ", ramp coverage" if eps == "ramp" else ""
         _emit(f"coupled LBM-DEM MLUPS/chip ({nx}x{ny}, {nd} disks{tag})",
-              mlups)
+              mlups,
+              bytes_per_site=48.0 if storage == "bfloat16" else 84.0)
         coupled_done = True
     if _best is not None:
         # the driver reads the LAST stdout line: make it the best
         # coupled stage (a later/bigger stage can be slower - 8192 f32
-        # ~1970 vs 4096 bf16 ~2208)
-        print(_best[1], flush=True)
+        # ~1970 vs 4096 bf16 ~2208), with any skipped stages explicit
+        print(json.dumps({**_best[1], "skipped_stages": _skipped}),
+              flush=True)
     if _last_line is None:
         print(json.dumps({
             "metric": "coupled LBM-DEM MLUPS/chip (all configs failed)",

@@ -39,10 +39,16 @@ def main(argv=None) -> int:
                     help="write snapshots inline instead of overlapping "
                          "file I/O with the next chunk's device execution "
                          "(utils/async_io.py)")
-    ap.add_argument("--paranoid", action="store_true",
-                    help="validate f/rho/disks after every step inside "
-                         "the jitted chunk; abort at the exact failing "
-                         "step (SURVEY 5.2/5.3 debug mode)")
+    ap.add_argument("--paranoid", nargs="?", const="step", default=None,
+                    choices=("step", "chunk"),
+                    help="validate f/rho/disks inside the jitted chunk "
+                         "and abort at the failing step (SURVEY 5.2/5.3 "
+                         "debug mode). Bare --paranoid = per-step "
+                         "(exact step, forfeits the fast chunk "
+                         "structures); --paranoid chunk validates at "
+                         "kernel-chunk granularity (hoist/cadence/"
+                         "temporal paths stay fast; the reported step "
+                         "is the end of the failing block)")
     ap.add_argument("--mesh", default=None, metavar="YxX",
                     help="shard the lattice over a device mesh, e.g. "
                          "'2x4' (y-by-x) or 'auto' for all devices")
@@ -76,7 +82,9 @@ def main(argv=None) -> int:
     if args.steps is not None:
         cfg = cfg.replace(steps=args.steps)
     if args.paranoid:
-        cfg = cfg.replace(paranoia=True)
+        cfg = cfg.replace(
+            paranoia=True if args.paranoid == "step" else args.paranoid
+        )
     if cfg.dtype == "float64":
         import jax
 

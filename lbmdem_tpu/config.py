@@ -156,11 +156,17 @@ class SimConfig:
     collision: str = "bgk"
     trt_magic: float = 3.0 / 16.0
     # Paranoid/debug mode (SURVEY SS5.2/5.3): validate f finite, rho>0,
-    # disk state finite and zero overflow after EVERY step inside the
-    # jitted chunk; the first failing step number lands in
-    # SimState.fail_step and the state freezes there. Costs one extra
-    # pass over f per step - off in production.
-    paranoia: bool = False
+    # disk state finite and zero overflow inside the jitted chunk; the
+    # first failing step number lands in SimState.fail_step and the
+    # state freezes there. True (= "step"): validate after EVERY step -
+    # exact step reporting, but the big-grid fast chunk structures
+    # (static-solid hoist, sharded Verlet cadence) are forfeited for the
+    # per-step path, and each step pays one extra pass over f. "chunk":
+    # validate at the kernel-chunk boundary (every TEMPORAL_K steps on
+    # the hoisted paths, every BIN_CADENCE steps on the Verlet-cadence
+    # paths) - the fast structures stay, fail_step reports the END of
+    # the failing block (within k of the exact step). Off in production.
+    paranoia: bool | str = False
     # Numerics
     dtype: str = "float32"
     # HBM storage dtype for the f array on the fused-kernel path:
@@ -267,6 +273,12 @@ class SimConfig:
                 f"bad eps_method {self.eps_method!r}: "
                 "want 'exact', 'sample' or 'ramp'"
             )
+        if self.paranoia not in (False, True, "step", "chunk"):
+            raise ValueError(
+                f"bad paranoia {self.paranoia!r}: want False, True "
+                "(per-step) or 'chunk' (validate at kernel-chunk "
+                "granularity, keeping the fast chunk structures)"
+            )
 
     def validate_periodic_dem(self) -> None:
         """Periodic DEM uses minimum-image contacts + ghost-disk
@@ -290,6 +302,13 @@ class SimConfig:
     @property
     def nu(self) -> float:
         return (self.tau - 0.5) / 3.0
+
+    @property
+    def paranoia_mode(self) -> str:
+        """'off' | 'step' | 'chunk' (True normalizes to 'step')."""
+        if not self.paranoia:
+            return "off"
+        return "chunk" if self.paranoia == "chunk" else "step"
 
     @property
     def trt_lambda(self) -> float:
@@ -438,8 +457,13 @@ def load_param_file(path: str) -> Tuple[SimConfig, Optional[str]]:
             elif key in ("nx", "ny", "steps", "out_interval", "n_sub",
                          "eps_samples", "window", "max_disks"):
                 kw[key] = int(float(vals[0]))
-            elif key in ("buoyancy", "paranoia"):
+            elif key == "buoyancy":
                 kw[key] = bool(int(vals[0]))
+            elif key == "paranoia":
+                # `paranoia 1` = per-step, `paranoia chunk` = validate
+                # at kernel-chunk granularity (keeps fast structures)
+                kw[key] = (vals[0] if vals[0] in ("step", "chunk")
+                           else bool(int(vals[0])))
             elif key == "collision":
                 kw["collision"] = vals[0]
             elif key == "eps_method":

@@ -501,13 +501,19 @@ def make_sharded_coupled_chunk(cfg: SimConfig, grid, mesh, h: int, w: int,
     between only re-gather disk data at current positions. Per-step
     travel beyond the margin is counted into state.overflow. The two
     f buffers ping-pong through the donated kernel output exactly as
-    the single-chip chunk does. Paranoid mode keeps the per-step path
-    (its per-step validation wraps the shard_map boundary)."""
+    the single-chip chunk does. Per-step paranoid mode keeps the
+    per-step path (its validation wraps the shard_map boundary);
+    paranoia="chunk" validates here once per cadence block -
+    shard-local state_ok pmin'd over the mesh so the freeze is
+    uniform."""
     from lbmdem_tpu.ops import pallas_stamp
-    from lbmdem_tpu.simulation import BIN_CADENCE, BIN_MARGIN, pingpong_loop
+    from lbmdem_tpu.simulation import (
+        BIN_CADENCE, BIN_MARGIN, paranoid_commit, pingpong_loop, state_ok,
+    )
     from lbmdem_tpu.parallel.sharding import state_specs
 
-    assert cfg.max_disks > 0 and not cfg.paranoia
+    assert cfg.max_disks > 0 and cfg.paranoia_mode != "step"
+    par_chunk = cfg.paranoia_mode == "chunk"
     _, coupled_step, _, _ = _build(cfg, grid, mesh, h, w, dem_axis, 1)
     periodic_dem = bool(cfg.wrap_lx or cfg.wrap_ly)
     two_d = mesh.shape["x"] > 1
@@ -521,6 +527,7 @@ def make_sharded_coupled_chunk(cfg: SimConfig, grid, mesh, h: int, w: int,
 
     def k_steps(carry, k):
         st, scr = carry
+        st_in = st
         d = st.disks
         gparent = gaxes = None
         if periodic_dem:
@@ -550,8 +557,16 @@ def make_sharded_coupled_chunk(cfg: SimConfig, grid, mesh, h: int, w: int,
         )
         st = st._replace(overflow=jnp.maximum(st.overflow, bovf))
         ctx = (lists, counts_c, entries_i, d.x, gparent, gaxes)
-        return pingpong_loop(lambda s, sc: coupled_step(s, sc, ctx),
-                             st, scr, k)
+        st, scr = pingpong_loop(lambda s, sc: coupled_step(s, sc, ctx),
+                                st, scr, k)
+        if par_chunk:
+            # shard-local validity, pmin'd so every shard freezes (or
+            # not) identically; fail_step = block-end step
+            ok = jax.lax.pmin(
+                state_ok(cfg, st).astype(jnp.int32), ("y", "x")
+            ) > 0
+            st = paranoid_commit(st_in, st, ok)
+        return st, scr
 
     def local_chunk(state, f_scratch):
         n_outer, n_rem = divmod(n, BIN_CADENCE)
@@ -593,9 +608,12 @@ def make_sharded_static_chunk(cfg: SimConfig, grid, mesh, h: int, w: int,
     from jax.sharding import PartitionSpec as P
 
     from lbmdem_tpu.parallel.sharding import state_specs
-    from lbmdem_tpu.simulation import TEMPORAL_K, pingpong_loop
+    from lbmdem_tpu.simulation import (
+        TEMPORAL_K, paranoid_commit, pingpong_loop, state_ok,
+    )
 
-    assert cfg.max_disks > 0 and not cfg.paranoia
+    assert cfg.max_disks > 0 and cfg.paranoia_mode != "step"
+    par_chunk = cfg.paranoia_mode == "chunk"
     _, _, static_step, static_prep = _build(cfg, grid, mesh, h, w,
                                             dem_axis, 1)
     specs = state_specs()
@@ -612,15 +630,26 @@ def make_sharded_static_chunk(cfg: SimConfig, grid, mesh, h: int, w: int,
     def chunk_factory(n: int):
         kblk = TEMPORAL_K if n >= TEMPORAL_K > 1 else 1
 
+        def sstep(s, sc, solid, k):
+            new = static_step(s, sc, solid, k)
+            if par_chunk:
+                # paranoia="chunk": validate at the kernel boundary
+                # (every k steps), freeze uniformly across shards
+                ok = jax.lax.pmin(
+                    state_ok(cfg, new).astype(jnp.int32), ("y", "x")
+                ) > 0
+                new = paranoid_commit(s, new, ok)
+            return new
+
         def local_chunk(state, f_scratch, solid):
             nk, tail = divmod(n, kblk)
             st, scr = pingpong_loop(
-                lambda s, sc: static_step(s, sc, solid, kblk),
+                lambda s, sc: sstep(s, sc, solid, kblk),
                 state, f_scratch, nk,
             )
             if tail:
                 st, _ = pingpong_loop(
-                    lambda s, sc: static_step(s, sc, solid, 1),
+                    lambda s, sc: sstep(s, sc, solid, 1),
                     st, scr, tail,
                 )
             return st

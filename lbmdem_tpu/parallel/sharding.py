@@ -50,8 +50,13 @@ _NEED_N = lattice.IN_S
 
 
 def make_mesh(devices=None, shape: Optional[Tuple[int, int]] = None) -> Mesh:
-    """A ('y', 'x') mesh over the given devices (default: all)."""
-    devices = list(devices if devices is not None else jax.devices())
+    """A ('y', 'x') mesh over the given devices (default: all).
+
+    With an explicit `shape` but default devices, the first y*x
+    available devices are used (a 2x2 mesh on an 8-device host is
+    legal - e.g. `cli.py --mesh 2x2`)."""
+    explicit = devices is not None
+    devices = list(devices if explicit else jax.devices())
     n = len(devices)
     if shape is None:
         # favor squarish splits; fall back to 1 x n
@@ -59,6 +64,14 @@ def make_mesh(devices=None, shape: Optional[Tuple[int, int]] = None) -> Mesh:
         while n % ysz:
             ysz -= 1
         shape = (ysz, n // ysz)
+    elif not explicit:
+        want = shape[0] * shape[1]
+        if want > n:
+            raise ValueError(
+                f"mesh {shape[0]}x{shape[1]} needs {want} devices, "
+                f"only {n} available"
+            )
+        devices = devices[:want]
     arr = np.asarray(devices).reshape(shape)
     return Mesh(arr, ("y", "x"))
 

@@ -53,46 +53,63 @@ class SimState(NamedTuple):
     fail_step: jax.Array = None
 
 
+def state_ok(cfg: SimConfig, new: SimState):
+    """() bool: paranoid validity of `new` (SURVEY SS5.2/5.3): all f
+    finite, rho > 0 everywhere, disk state finite, no capacity
+    overflow. Works on a shard-local state too (combine shard results
+    with lax.pmin before paranoid_commit)."""
+    ok = jnp.all(jnp.isfinite(new.f))
+    # bf16 storage holds g = f - w*rho0: rho = sum(g) + rho0
+    rho = jnp.sum(new.f.astype(jnp.float32), axis=0)
+    if cfg.f_storage == "bfloat16":
+        rho = rho + cfg.rho0
+    ok &= jnp.all(rho > 0.0)
+    if cfg.max_disks > 0:
+        d = new.disks
+        ok &= jnp.all(jnp.isfinite(d.x)) & jnp.all(jnp.isfinite(d.v))
+        ok &= jnp.all(jnp.isfinite(d.omega))
+    ok &= new.overflow == 0
+    return ok
+
+
+def paranoid_commit(old: SimState, new: SimState, ok) -> SimState:
+    """Freeze-on-failure commit: once fail_step is set, every later
+    commit is identity (the failing fields survive the rest of the
+    chunk for inspection); an `ok=False` commit records new.step as the
+    failing step. The freeze is a value-level select, NOT lax.cond: a
+    cond around a kernel-bearing step measured a ~27x remote-compile
+    blowup on TPU (branch duplication defeats buffer donation), while
+    select compiles like the plain step. Post-failure steps waste
+    compute, but failure is terminal: the chunk ends anyway."""
+    frozen = old.fail_step >= 0
+    out = jax.tree.map(
+        lambda o, fresh: jnp.where(frozen, o, fresh), old, new
+    )
+    return out._replace(
+        fail_step=jnp.where(
+            frozen, old.fail_step,
+            jnp.where(ok, jnp.int32(-1), new.step),
+        )
+    )
+
+
 def paranoid_wrap(step: Callable, cfg: SimConfig) -> Callable:
     """Per-step in-chunk validation (SURVEY SS5.2/5.3 paranoid mode).
 
-    After each step: all f finite, rho > 0 everywhere, disk state finite,
-    no capacity overflow. On the first violation the state freezes (the
-    remaining fori_loop iterations become identity), so `state.fail_step`
-    reports the exact failing step and the failing fields are inspectable
-    - instead of a NaN silently surfacing at the next out_interval.
+    After each step: state_ok; on the first violation the state freezes
+    (the remaining fori_loop iterations become identity), so
+    `state.fail_step` reports the exact failing step and the failing
+    fields are inspectable - instead of a NaN silently surfacing at the
+    next out_interval. cfg.paranoia="chunk" applies the same check at
+    kernel-chunk granularity instead (see Simulation._chunk_fn), keeping
+    the fast chunk structures.
     """
-    coupled = cfg.max_disks > 0
 
     def wrapped(state: SimState, f_scratch=None) -> SimState:
-        # The step runs UNCONDITIONALLY and the freeze is a value-level
-        # select: a `lax.cond` around a kernel-bearing step measured a
-        # ~27x remote-compile blowup on TPU (689 s for a 10-step chunk
-        # at 128^2 - branch duplication defeats buffer donation), while
-        # select compiles like the plain step. Post-failure steps waste
-        # compute, but failure is terminal: the chunk ends anyway.
+        # The step runs UNCONDITIONALLY; freeze semantics and the
+        # cond-vs-select rationale live in paranoid_commit.
         new = step(state, f_scratch)
-        ok = jnp.all(jnp.isfinite(new.f))
-        # bf16 storage holds g = f - w*rho0: rho = sum(g) + rho0
-        rho = jnp.sum(new.f.astype(jnp.float32), axis=0)
-        if cfg.f_storage == "bfloat16":
-            rho = rho + cfg.rho0
-        ok &= jnp.all(rho > 0.0)
-        if coupled:
-            d = new.disks
-            ok &= jnp.all(jnp.isfinite(d.x)) & jnp.all(jnp.isfinite(d.v))
-            ok &= jnp.all(jnp.isfinite(d.omega))
-        ok &= new.overflow == 0
-        frozen = state.fail_step >= 0
-        out = jax.tree.map(
-            lambda old, fresh: jnp.where(frozen, old, fresh), state, new
-        )
-        return out._replace(
-            fail_step=jnp.where(
-                frozen, state.fail_step,
-                jnp.where(ok, jnp.int32(-1), new.step),
-            )
-        )
+        return paranoid_commit(state, new, state_ok(cfg, new))
 
     return wrapped
 
@@ -545,7 +562,7 @@ class Simulation:
 
             if (self.use_pallas and self.cfg.max_disks > 0
                     and self.mesh is None and self.static_solid
-                    and not self.cfg.paranoia):
+                    and self.cfg.paranoia_mode != "step"):
                 # static-solid hoist: all disks fixed at rest, so the
                 # binning + stamp are loop constants (built once in
                 # _static_solid_operands) and the hydro reduce is
@@ -559,12 +576,19 @@ class Simulation:
 
                 cfg = self.cfg
                 kblk = TEMPORAL_K if n >= TEMPORAL_K > 1 else 1
+                par_chunk = cfg.paranoia_mode == "chunk"
 
                 def sstep(st, scr, solid, k):
                     fnew = pallas_lbm.fused_step_imb_static_multi(
                         st.f, solid, cfg, k, out_buf=scr
                     )
-                    return st._replace(f=fnew, step=st.step + k)
+                    new = st._replace(f=fnew, step=st.step + k)
+                    if par_chunk:
+                        # paranoia="chunk": validate at the kernel
+                        # boundary (every k steps) - the hoist survives,
+                        # fail_step reports the block-end step
+                        new = paranoid_commit(st, new, state_ok(cfg, new))
+                    return new
 
                 def chunk(state, solid):
                     nk, tail = divmod(n, kblk)
@@ -585,7 +609,7 @@ class Simulation:
                 return self._chunk_cache[n]
             if (self.use_pallas and self.cfg.max_disks > 0
                     and self.mesh is not None and self.static_solid
-                    and not self.cfg.paranoia):
+                    and self.cfg.paranoia_mode != "step"):
                 # static-solid hoist, mesh edition: a one-time prep
                 # shard_map turns the replicated disk state into
                 # SHARDED loop constants (per-shard canvas stamp +
@@ -615,7 +639,8 @@ class Simulation:
                 self._chunk_cache[n] = lambda state: jitted(state, *ops)
                 return self._chunk_cache[n]
             if (self.use_pallas and self.cfg.max_disks > 0
-                    and self.mesh is not None and not self.cfg.paranoia):
+                    and self.mesh is not None
+                    and self.cfg.paranoia_mode != "step"):
                 # sharded Verlet-cadence chunk: the whole cadence loop
                 # (rebuild every BIN_CADENCE steps, margin-validated)
                 # lives inside shard_map - same structure as the
@@ -643,9 +668,14 @@ class Simulation:
                 n_outer, n_rem = divmod(n, BIN_CADENCE)
 
                 periodic = bool(cfg.wrap_lx or cfg.wrap_ly)
+                # paranoia="chunk": validate once per cadence block
+                # instead of per step (the inner steps run unwrapped)
+                par_chunk = cfg.paranoia_mode == "chunk"
+                step_cfg = cfg.replace(paranoia=False) if par_chunk else cfg
 
                 def k_steps(carry, k):
                     st, scr = carry
+                    st_in = st
                     d = st.disks
                     gparent = gaxes = None
                     if periodic:
@@ -673,14 +703,17 @@ class Simulation:
                     )
                     st = st._replace(overflow=jnp.maximum(st.overflow, bovf))
                     kstep = make_step_fn(
-                        cfg, grid, True,
+                        step_cfg, grid, True,
                         tile_lists=(lists, counts, entry_slots, d.x,
                                     gparent, gaxes),
                         dem_axis=self.dem_axis,
                         dem_mode=self.dem_mode,
                     )
                     # odd k only in the trailing (outside-while) call
-                    return pingpong_loop(kstep, st, scr, k)
+                    st, scr = pingpong_loop(kstep, st, scr, k)
+                    if par_chunk:
+                        st = paranoid_commit(st_in, st, state_ok(cfg, st))
+                    return st, scr
 
                 def chunk(state):
                     carry = (state, jnp.zeros_like(state.f))

@@ -74,9 +74,21 @@ def load_state(path: str, like) -> "SimState":
             f"reinterpret the data (convert explicitly instead)"
         )
     # the only cast this performs is undoing save_state's bf16->f32
-    # widening (exact roundtrip); real dtype changes were rejected above
+    # widening (exact roundtrip); real dtype changes were rejected above.
+    # Arrays are global, so a checkpoint restores into ANY sharding: when
+    # the template leaf is a committed sharded jax.Array (a mesh run,
+    # e.g. from parallel.shard_state), device_put lays the restored leaf
+    # out the same way - single-chip -> mesh, mesh -> mesh of a different
+    # shape, and mesh -> single-chip all work (tests/test_aux.py
+    # ::test_checkpoint_resharding_*).
+    def restore(x, w):
+        a = jax.numpy.asarray(x).astype(w.dtype)
+        sharding = getattr(w, "sharding", None)
+        if sharding is not None and getattr(w, "committed", False):
+            a = jax.device_put(a, sharding)
+        return a
+
     return jax.tree.unflatten(
         treedef,
-        [jax.numpy.asarray(x).astype(w.dtype)
-         for x, w in zip(leaves, template_leaves)],
+        [restore(x, w) for x, w in zip(leaves, template_leaves)],
     )

@@ -53,6 +53,102 @@ def test_checkpoint_resume_identical_trajectory(tmp_path):
     np.testing.assert_array_equal(np.asarray(s_cont.disks.v), np.asarray(s_res.disks.v))
 
 
+def test_checkpoint_resharding_roundtrip(tmp_path):
+    """The checkpoint.py claim 'resumable into a differently-sharded
+    run' (SURVEY SS5.4), tested in every direction: a single-chip
+    checkpoint restored into (2,2)- and (1,8)-mesh runs, a mesh
+    checkpoint restored into a (2,4) mesh of a different shape, and a
+    mesh checkpoint restored single-chip - all continuing the exact
+    trajectory of the uninterrupted single-chip run (the XLA sharded
+    step is bitwise on f and disk x; disk v absorbs the force-psum's
+    reduction-order ulp, so it gets a ~1e-11-relative tolerance)."""
+    from lbmdem_tpu.parallel import make_mesh, make_sharded_step, shard_state
+
+    if len(jax.devices()) < 8:
+        pytest.skip("need 8 devices")
+    cfg = _cfg()
+    disks = [DiskSpec(16.2, 40.0, 3.0)]
+    sim = Simulation(cfg, disks)
+    step1 = jax.jit(make_step_fn(sim.cfg, sim.grid, False))
+    s = sim.state
+    for _ in range(6):
+        s = step1(s)
+    path = str(tmp_path / "ckpt.npz")
+    ckpt.save_state(path, s, cfg)
+    for _ in range(6):
+        s = step1(s)
+    ref = s  # uninterrupted single-chip trajectory at step 12
+
+    def run_mesh(shape, src_path):
+        mesh = make_mesh(jax.devices()[: shape[0] * shape[1]], shape)
+        tpl = shard_state(sim.state, mesh)
+        st = ckpt.load_state(src_path, tpl)
+        # the restore really landed the template's mesh layout
+        assert st.f.sharding == tpl.f.sharding and st.f.committed
+        stepm = jax.jit(make_sharded_step(sim.cfg, sim.grid, mesh))
+        for _ in range(6):
+            st = stepm(st)
+        return st
+
+    for shape in ((2, 2), (1, 8)):
+        st = run_mesh(shape, path)
+        np.testing.assert_array_equal(np.asarray(ref.f), np.asarray(st.f))
+        np.testing.assert_array_equal(np.asarray(ref.disks.x),
+                                      np.asarray(st.disks.x))
+        np.testing.assert_allclose(np.asarray(ref.disks.v),
+                                   np.asarray(st.disks.v),
+                                   rtol=1e-11, atol=1e-20)
+
+    # mesh -> differently-shaped mesh: re-save from the (1,8) run's
+    # checkpoint point and continue on (2,4)
+    mesh18 = make_mesh(jax.devices()[:8], (1, 8))
+    st18 = ckpt.load_state(path, shard_state(sim.state, mesh18))
+    path2 = str(tmp_path / "ckpt_mesh.npz")
+    ckpt.save_state(path2, st18, cfg)  # save from SHARDED state
+    st24 = run_mesh((2, 4), path2)
+    np.testing.assert_array_equal(np.asarray(ref.f), np.asarray(st24.f))
+
+    # mesh checkpoint -> single-chip resume
+    s1 = ckpt.load_state(path2, sim.state)
+    for _ in range(6):
+        s1 = step1(s1)
+    np.testing.assert_array_equal(np.asarray(ref.f), np.asarray(s1.f))
+    np.testing.assert_array_equal(np.asarray(ref.disks.x),
+                                  np.asarray(s1.disks.x))
+
+
+def test_cli_restore_into_mesh(tmp_path):
+    """cli.py --restore + --mesh: a single-chip checkpoint resumes into
+    a mesh run end-to-end through the CLI (VERDICT r3 missing #2)."""
+    cfg = _cfg(steps=4, out_interval=4)
+    sim = Simulation(cfg, [DiskSpec(16.2, 40.0, 3.0)])
+    for _ in range(4):
+        sim.step()
+    path = str(tmp_path / "ckpt.npz")
+    ckpt.save_state(path, sim.state, cfg)
+    deck = tmp_path / "deck.txt"
+    deck.write_text(
+        "nx 32\nny 48\ntau 0.8\ng_py -1e-4\nrho_s 2.0\nkn 0.5\n"
+        "gamma_n 0.5\nn_sub 5\ndtype float64\nsteps 4\nout_interval 4\n"
+        "bc west wall\nbc east wall\nmax_disks 1\nparticles disks.txt\n"
+    )
+    (tmp_path / "disks.txt").write_text("16.2 40.0 3.0\n")
+    # disable the axon TPU plugin (PALLAS_AXON_POOL_IPS gates its
+    # sitecustomize) so the subprocess runs on the simulated CPU mesh
+    env = dict(os.environ, JAX_PLATFORMS="", PALLAS_AXON_POOL_IPS="",
+               XLA_FLAGS="--xla_force_host_platform_device_count=8",
+               PYTHONPATH="/root/repo:" + os.environ.get("PYTHONPATH", ""))
+    r = subprocess.run(
+        [sys.executable, "-m", "lbmdem_tpu.cli", str(deck),
+         "--restore", path, "--mesh", "2x2", "--no-pallas",
+         "--out", str(tmp_path / "out")],
+        capture_output=True, text=True, timeout=600, cwd="/root/repo",
+        env=env,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "restored from" in r.stdout
+
+
 def test_checkpoint_bf16_storage_roundtrips_exact(tmp_path):
     """bf16 f-storage widens to f32 in the .npz (numpy has no bf16) and
     casts back on load - bitwise roundtrip of the stored g values."""
@@ -278,6 +374,91 @@ def test_paranoid_mode_coupled_and_clean():
     )
     with pytest.raises(SimulationDiverged):
         sim.run(10)
+
+
+def test_paranoia_chunk_static_hoist():
+    """paranoia='chunk' keeps the static-solid hoist (per-step mode
+    forfeits it) and validates at the TEMPORAL_K kernel boundary: a NaN
+    injected at step 8 is reported at step 12 (the end of the first
+    k=4 block), with the state frozen there."""
+    import jax.numpy as jnp
+    import pytest
+
+    from lbmdem_tpu.config import DiskSpec, SimConfig
+    from lbmdem_tpu.simulation import Simulation, SimulationDiverged
+
+    cfg = SimConfig(nx=128, ny=32, tau=0.8, gx=1e-5, paranoia="chunk",
+                    bc_west="wall", bc_east="wall", out_interval=100)
+    sim = Simulation(cfg, [DiskSpec(40.0, 16.0, 3.0, fixed=True)],
+                     use_pallas=True)
+    assert sim.static_solid and cfg.paranoia_mode == "chunk"
+    sim.run(8)  # healthy: no false positive through the hoisted chunk
+    assert int(sim.state.fail_step) == -1
+    sim.state = sim.state._replace(f=sim.state.f.at[0, 5, 7].set(jnp.nan))
+    with pytest.raises(SimulationDiverged) as ei:
+        sim.run(12)
+    assert ei.value.step == 12  # block end (8 + TEMPORAL_K)
+    assert int(sim.state.step) == 12
+
+
+def test_paranoia_chunk_cadence_coupled():
+    """paranoia='chunk' on the coupled Verlet-cadence chunk: validation
+    runs once per BIN_CADENCE block (the inner steps are unwrapped), so
+    a NaN disk velocity injected at step 8 reports at step 16."""
+    import jax.numpy as jnp
+    import pytest
+
+    from lbmdem_tpu.config import DiskSpec, SimConfig
+    from lbmdem_tpu.simulation import Simulation, SimulationDiverged
+
+    cfg = SimConfig(nx=128, ny=32, tau=0.8, g_py=-1e-4, rho_s=2.0,
+                    kn=0.5, gamma_n=0.5, n_sub=5, paranoia="chunk",
+                    bc_west="wall", bc_east="wall", out_interval=100)
+    sim = Simulation(cfg, [DiskSpec(64.0, 16.0, 3.0)], use_pallas=True)
+    sim.run(8)
+    assert int(sim.state.fail_step) == -1
+    d = sim.state.disks
+    sim.state = sim.state._replace(
+        disks=d._replace(v=d.v.at[0, 0].set(jnp.nan))
+    )
+    with pytest.raises(SimulationDiverged) as ei:
+        sim.run(16)
+    assert ei.value.step == 16  # block end (8 + BIN_CADENCE)
+
+
+@pytest.mark.slow  # interpret-mode sharded fused coupled build (~90 s)
+def test_paranoia_chunk_sharded_coupled():
+    """paranoia='chunk' on the SHARDED Verlet-cadence chunk (the path
+    per-step paranoia forfeits): shard-local state_ok is pmin'd over
+    the mesh, so every shard freezes identically and fail_step reports
+    the cadence-block end."""
+    import jax
+    import jax.numpy as jnp
+    import pytest
+
+    from lbmdem_tpu.config import DiskSpec, SimConfig
+    from lbmdem_tpu.parallel import make_mesh
+    from lbmdem_tpu.simulation import Simulation, SimulationDiverged
+
+    devs = jax.devices()[:4]
+    if len(devs) < 4:
+        pytest.skip("need 4 devices")
+    mesh = make_mesh(devs, (4, 1))
+    cfg = SimConfig(nx=128, ny=128, tau=0.8, g_py=-1e-4, buoyancy=True,
+                    rho_s=2.0, kn=0.5, gamma_n=0.5, n_sub=5,
+                    paranoia="chunk", bc_west="wall", bc_east="wall",
+                    out_interval=100)
+    sim = Simulation(cfg, [DiskSpec(64.0, 64.0, 3.0)], use_pallas=True,
+                     mesh=mesh)
+    sim.run(4)
+    assert int(sim.state.fail_step) == -1
+    d = sim.state.disks
+    sim.state = sim.state._replace(
+        disks=d._replace(v=d.v.at[0, 0].set(jnp.nan))
+    )
+    with pytest.raises(SimulationDiverged) as ei:
+        sim.run(8)
+    assert ei.value.step == 12  # 4 + BIN_CADENCE
 
 
 def test_async_writer_ordering_and_backpressure(tmp_path):

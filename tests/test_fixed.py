@@ -343,3 +343,30 @@ def test_fixed_drag_momentum_bookkeeping():
         np.testing.assert_allclose(px() - p0, -F[0, 0], rtol=1e-9,
                                    atol=1e-15)
         assert F[0, 0] > 0.0  # drag points downstream
+
+
+def test_hydro_forces_on_mesh_matches_single_chip():
+    """Simulation.hydro_forces() on a mesh-sharded run: the observation
+    closure jits the oracle over the globally-sharded f without
+    shard_map (fine single-chip); this pins its mesh behavior - the
+    observed obstacle drag must match the single-chip observation of
+    the identical (bitwise, XLA f64 path) state."""
+    from lbmdem_tpu.parallel import make_mesh
+
+    if len(jax.devices()) < 4:
+        pytest.skip("need 4 devices")
+    mesh = make_mesh(jax.devices()[:4], (2, 2))
+    cfg = _cfg(max_disks=2, dtype="float64", gx=1e-5, g_py=0.0)
+    specs = [DiskSpec(40.0, 64.0, 4.0, fixed=True),
+             DiskSpec(80.0, 64.0, 4.0, fixed=True)]
+    sim1 = Simulation(cfg, specs)
+    simm = Simulation(cfg, specs, mesh=mesh)
+    sim1.run(5)
+    simm.run(5)
+    np.testing.assert_array_equal(np.asarray(sim1.state.f),
+                                  np.asarray(simm.state.f))
+    F1, T1 = sim1.hydro_forces()
+    Fm, Tm = simm.hydro_forces()
+    np.testing.assert_allclose(Fm, F1, rtol=1e-12, atol=1e-18)
+    np.testing.assert_allclose(Tm, T1, rtol=1e-12, atol=1e-18)
+    assert F1[0, 0] > 0.0  # the body-force channel drags the obstacles

@@ -378,7 +378,9 @@ def _collapse():
     from tools.collapse_study import check_scaling, run_study
 
     results = run_study()
-    lam, alpha = check_scaling(results)
+    # pinned on the RECORDED r3 fit (lambda 0.60, alpha 1.32): the
+    # literature band alone would pass dry-granular (creeping) behavior
+    lam, alpha = check_scaling(results, pin=(0.60, 1.32))
     print(f"collapse scaling: dL/L0 = {lam:.2f} * a^{alpha:.2f} over "
           f"a = {[round(r['aspect'], 2) for r in results]}")
     print("COLLAPSE OK")
