@@ -79,7 +79,13 @@ def tile_dims(cfg: SimConfig, wide: bool = False) -> Tuple[int, int]:
     vs 1438 MLUPS at 4096^2/10k, re-measured after the no-copy f
     ping-pong shifted the balance); 2048+/th=128 crash the remote
     compile helper. The multi-chip coupled kernel stays at 512
-    (unmeasured there; local shards are narrower)."""
+    (unmeasured there; local shards are narrower).
+
+    LBMDEM_TH / LBMDEM_TW env vars override the defaults for hardware
+    A/Bs (tools/ab_tiles.py) - values must divide ny/nx and respect the
+    storage row granule (8 f32 / 16 bf16); illegal overrides raise."""
+    import os
+
     th = next((t for t in (64, 32, 16, 8) if cfg.ny % t == 0), None)
     cands = (1024, 512, 256, 128) if wide else (512, 256, 128)
     tw = next((t for t in cands if cfg.nx % t == 0), None)
@@ -87,6 +93,18 @@ def tile_dims(cfg: SimConfig, wide: bool = False) -> Tuple[int, int]:
         f"lattice {cfg.ny}x{cfg.nx} needs ny%8==0 and nx%128==0 for the "
         f"fused Pallas path"
     )
+    _, hy, _ = _storage(cfg)
+    th_env, tw_env = os.environ.get("LBMDEM_TH"), os.environ.get("LBMDEM_TW")
+    if th_env:
+        t = int(th_env)
+        # best-effort: small internal configs (test grids, shard-local
+        # frames) keep their default when the override cannot tile them
+        if cfg.ny % t == 0 and t % hy == 0:
+            th = t
+    if tw_env:
+        t = int(tw_env)
+        if cfg.nx % t == 0 and t % _HX == 0:
+            tw = t
     return th, tw
 
 
@@ -568,6 +586,9 @@ def fused_step_fluid(f: jax.Array, cfg: SimConfig, prehalo: bool = False,
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary"),
+            # default tiles fit the 16 MB scoped-VMEM default, but the
+            # LBMDEM_TH/TW overrides (tools/ab_tiles.py) can exceed it
+            vmem_limit_bytes=48 * 2**20,
         ),
         input_output_aliases=aliases,
         interpret=_interpret(),
@@ -1254,6 +1275,8 @@ def fused_step_imb(
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary"),
+            # headroom for the LBMDEM_TH/TW tile overrides
+            vmem_limit_bytes=48 * 2**20,
         ),
         input_output_aliases=aliases,
         interpret=_interpret(),

@@ -54,8 +54,18 @@ def tile_dims(cfg: SimConfig) -> Tuple[int, int]:
     that against per-grid-step overhead and per-tile list fragmentation.
     The tile must still be >= the stamp window for the <=2x2 intersect
     invariant of the binning."""
+    import os
+
     th = next(t for t in (64, 32, 16, 8, 4, 2, 1) if cfg.ny % t == 0)
     tw = next(t for t in (128, 64, 32, 16, 8, 4, 2, 1) if cfg.nx % t == 0)
+    # the fused coupled kernel requires stamp tile rows == LATTICE tile
+    # rows (its (nty*ntx, sub) reshape of the binning assumes one stamp
+    # row-band per lattice tile), so the lattice-tile A/B override
+    # applies here too (tools/ab_tiles.py; banding keeps the per-disk
+    # stamp cost th-independent)
+    th_env = os.environ.get("LBMDEM_TH")
+    if th_env and cfg.ny % int(th_env) == 0:
+        th = int(th_env)
     assert cfg.window <= min(th, tw), (
         f"stamp window {cfg.window} exceeds tile {th}x{tw}; disks too "
         f"large for the Pallas stamp path on this lattice"

@@ -401,6 +401,9 @@ def test_paranoia_chunk_static_hoist():
     assert int(sim.state.step) == 12
 
 
+@pytest.mark.slow  # ~107 s interpret-mode fused coupled build; the
+# chunk-mode machinery keeps its quick representative via the static-
+# hoist test above, and per-step coupled paranoia stays quick
 def test_paranoia_chunk_cadence_coupled():
     """paranoia='chunk' on the coupled Verlet-cadence chunk: validation
     runs once per BIN_CADENCE block (the inner steps are unwrapped), so

@@ -93,8 +93,9 @@ def test_slab_periodic_wrap_parity(axis):
                                np.asarray(d_ref.omega), rtol=0, atol=2e-5)
 
 
-@pytest.mark.parametrize("axis", [
-    "y", pytest.param("x", marks=pytest.mark.slow)])  # ~59 s interpret
+@pytest.mark.slow  # ~60-78 s/axis interpret builds; quick-lane wrap
+# coverage rides the oracle/sharded seam tests in test_periodic.py
+@pytest.mark.parametrize("axis", ["y", "x"])
 def test_slab_fully_periodic_parity(axis):
     """Both axes wrapped (suspension box): lane roll-wrap + sublane
     ghost rows compose; a corner-straddling contact pair must match."""
@@ -126,6 +127,8 @@ def test_slab_fully_periodic_parity(axis):
                                rtol=0, atol=2e-5)
 
 
+@pytest.mark.slow  # ~76 s interpret build (ncs%8 geometry); the masked
+# count is also pinned by the fully-periodic parity tests
 def test_slab_wrap_ghost_rows_not_counted():
     """Regression: with ncs % 8 != 0 the top ghost guard rows share an
     8-row band with the last real rows; they hold REAL copies (r > 0)
@@ -236,6 +239,8 @@ def test_slab_polydisperse_parity():
                                np.asarray(d_ref.omega), rtol=0, atol=2e-5)
 
 
+@pytest.mark.slow  # ~98 s interpret build; slab-core quick coverage is
+# test_slab_subcycle_matches_oracle
 def test_slab_overflow_fallback_integrates():
     """Disks that overflow the SLAB_K=4 per-cell slots must not freeze:
     they fall back to a contact-free Verlet (hydro + body + walls), so

@@ -204,6 +204,12 @@ def main(argv=None):
 
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
+    if not args.pallas:
+        # the f64 oracle needs x64 enabled (outside pytest's conftest);
+        # calibration note: the study also passes in f32 (t_kiss 1.505 s,
+        # draft ratio 1.139 measured with x64 off) - the anchors are not
+        # precision-marginal
+        jax.config.update("jax_enable_x64", True)
     if args.fast:
         m = run_study(nx=80)
     elif args.pallas:

@@ -59,6 +59,23 @@ def _dkt():
     print("DKT OK")
 
 
+def _dkt_literature():
+    """DKT on the compiled fused path at the PUBLISHED configuration
+    (tools/dkt_study.py: Feng-Hu-Joseph lineage 2x8 cm channel,
+    d=0.2 cm, rho_s/rho_f=1.01) - kissing time, drafting ratio and
+    tumbling asserted against literature numbers, not repo goldens.
+    CPU f64/f32 calibration: t_kiss=1.505 s, draft ratio 1.139."""
+    from tools.dkt_study import check_literature, run_study
+
+    m = run_study(nx=128, dtype="float32", use_pallas=True,
+                  sample_every=50)
+    check_literature(m)
+    print(f"DKT literature: t_kiss={m['t_kiss_s']:.3f} s, draft ratio "
+          f"{m['draft_ratio']:.3f}, post-kiss |dx| "
+          f"{m['max_dx_post_kiss_cm']:.3f} cm")
+    print("DKT-LITERATURE OK")
+
+
 def _cavity():
     """Lid-driven cavity at Re=100 on the compiled moving-wall fused
     kernel vs the Ghia, Ghia & Shin (1982) benchmark extrema.
@@ -393,7 +410,8 @@ if __name__ == "__main__":
               "dkt": _dkt, "periodic": _periodic,
               "cavity": _cavity, "trt": _trt, "cylinder": _cylinder,
               "friction": _friction, "static": _static_multi,
-              "shedding": _shedding, "collapse": _collapse}
+              "shedding": _shedding, "collapse": _collapse,
+              "dktlit": _dkt_literature}
     picked = sys.argv[1:]
     if picked:
         for name in picked:
