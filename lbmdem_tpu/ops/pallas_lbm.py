@@ -73,20 +73,26 @@ def _storage(cfg: SimConfig):
 
 
 def tile_dims(cfg: SimConfig, wide: bool = False) -> Tuple[int, int]:
-    """64-row tiles; lane width by kernel flavor. wide=True: tw=1024
-    measured +6.5% over 512 on pure fluid 4096^2 (halo read amp 1.56x
-    -> 1.41x) and +0.9% on the coupled single-chip reduce kernel (1450
-    vs 1438 MLUPS at 4096^2/10k, re-measured after the no-copy f
-    ping-pong shifted the balance); 2048+/th=128 crash the remote
-    compile helper. The multi-chip coupled kernel stays at 512
-    (unmeasured there; local shards are narrower).
+    """128-row tiles (r4); lane width by kernel flavor. wide=True:
+    tw=1024 measured +6.5% over 512 on pure fluid 4096^2 and +0.9% on
+    the coupled reduce kernel. th A/B on hardware (tools/ab_tiles.py,
+    one r4 session, 4096^2, MLUPS at th 64/128/256): pure fluid f32
+    19978/21461/22357, bf16 16949/19393/17484; static hoist
+    12121/12642/OOM; coupled f32 1981/2212/2265, bf16+ramp
+    2467/2732/2796 - th=128 wins or nearly wins every path (halo read
+    amp 1.56x -> 1.41x + half the launches), th=256 only adds ~2% on
+    coupled while LOSING 10% on bf16 fluid and blowing the 96 MB
+    scoped-VMEM budget on the static-hoist kernel (103.5 MB), so 128
+    is the global default. (The historical 'th=128 crashes the remote
+    compile helper' was the old 16/48 MB scoped-VMEM limits - raised
+    to 96 MB, it compiles and wins.)
 
     LBMDEM_TH / LBMDEM_TW env vars override the defaults for hardware
-    A/Bs (tools/ab_tiles.py) - values must divide ny/nx and respect the
-    storage row granule (8 f32 / 16 bf16); illegal overrides raise."""
+    A/Bs (tools/ab_tiles.py) - best-effort: ignored where they cannot
+    tile the config (small test grids, shard-local frames)."""
     import os
 
-    th = next((t for t in (64, 32, 16, 8) if cfg.ny % t == 0), None)
+    th = next((t for t in (128, 64, 32, 16, 8) if cfg.ny % t == 0), None)
     cands = (1024, 512, 256, 128) if wide else (512, 256, 128)
     tw = next((t for t in cands if cfg.nx % t == 0), None)
     assert th and tw, (
@@ -588,7 +594,7 @@ def fused_step_fluid(f: jax.Array, cfg: SimConfig, prehalo: bool = False,
             dimension_semantics=("arbitrary", "arbitrary"),
             # default tiles fit the 16 MB scoped-VMEM default, but the
             # LBMDEM_TH/TW overrides (tools/ab_tiles.py) can exceed it
-            vmem_limit_bytes=48 * 2**20,
+            vmem_limit_bytes=96 * 2**20,
         ),
         input_output_aliases=aliases,
         interpret=_interpret(),
@@ -830,7 +836,7 @@ def fused_step_fluid_multi(f: jax.Array, cfg: SimConfig, k: int,
             # 8 inlined steps keep ~2 window-sized plane sets live in
             # vregs/VMEM spill on top of the 7.4 MB double-buffered
             # window - headroom over the 16 MB scoped default
-            vmem_limit_bytes=48 * 2**20,
+            vmem_limit_bytes=96 * 2**20,
         ),
         input_output_aliases=aliases,
         interpret=_interpret(),
@@ -967,7 +973,7 @@ def fused_step_imb_static_multi(f: jax.Array, solid: jax.Array,
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary"),
-            vmem_limit_bytes=48 * 2**20,
+            vmem_limit_bytes=96 * 2**20,
         ),
         input_output_aliases=aliases,
         interpret=_interpret(),
@@ -1175,7 +1181,7 @@ def fused_step_imb_reduce(
             dimension_semantics=("arbitrary", "arbitrary"),
             # tw=1024 windows need ~20 MB scoped VMEM (> the 16 MB
             # default); well under the 128 MB/core physical budget
-            vmem_limit_bytes=48 * 2**20,
+            vmem_limit_bytes=96 * 2**20,
         ),
         input_output_aliases=aliases,
         interpret=_interpret(),
@@ -1276,7 +1282,7 @@ def fused_step_imb(
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary"),
             # headroom for the LBMDEM_TH/TW tile overrides
-            vmem_limit_bytes=48 * 2**20,
+            vmem_limit_bytes=96 * 2**20,
         ),
         input_output_aliases=aliases,
         interpret=_interpret(),

@@ -47,16 +47,16 @@ _ILP = 8
 
 
 def tile_dims(cfg: SimConfig) -> Tuple[int, int]:
-    """Largest power-of-two tile <= 64x128 dividing the lattice.
+    """Largest power-of-two tile <= 128x128 dividing the lattice.
 
-    Smaller tiles waste less dense-coverage compute per disk (the loop
-    evaluates the whole tile for every binned disk); 64x128 balances
-    that against per-grid-step overhead and per-tile list fragmentation.
-    The tile must still be >= the stamp window for the <=2x2 intersect
-    invariant of the binning."""
+    Row-banding makes the per-disk stamp cost tile-height-independent,
+    so the stamp tile height FOLLOWS the lattice tile height (128 since
+    the r4 tile A/B; the fused coupled kernel requires stamp rows ==
+    lattice tile rows). The tile must still be >= the stamp window for
+    the <=2x2 intersect invariant of the binning."""
     import os
 
-    th = next(t for t in (64, 32, 16, 8, 4, 2, 1) if cfg.ny % t == 0)
+    th = next(t for t in (128, 64, 32, 16, 8, 4, 2, 1) if cfg.ny % t == 0)
     tw = next(t for t in (128, 64, 32, 16, 8, 4, 2, 1) if cfg.nx % t == 0)
     # the fused coupled kernel requires stamp tile rows == LATTICE tile
     # rows (its (nty*ntx, sub) reshape of the binning assumes one stamp

@@ -224,7 +224,7 @@ def pallas_supported(cfg: SimConfig, mesh=None) -> Optional[str]:
             pady, padx = canvas_pads(ny, two_d)
             ny += 2 * pady
             nx += 2 * padx
-        th = next(t for t in (64, 32, 16, 8, 4, 2, 1) if ny % t == 0)
+        th = next(t for t in (128, 64, 32, 16, 8, 4, 2, 1) if ny % t == 0)
         tw = next(t for t in (128, 64, 32, 16, 8, 4, 2, 1) if nx % t == 0)
         if cfg.window + margin > min(th, tw):
             canvas = " stamp-canvas" if mesh is not None else ""
