@@ -241,11 +241,13 @@ def main():
         (4096, 4096, 10000, 100, 3, 320, "bfloat16", "ramp"),
         (4096, 4096, 10000, 100, 3, 320, "bfloat16", "sample"),
         # 8192^2 showcase tiers, plain f32 FIRST (r3 lost this line to
-        # the time guard because the bf16+ramp tier ran before it);
-        # f32/sample needs ~16-21 min of remote Mosaic compile, the
-        # bf16 window kernels ~460 s (fewer Mosaic relayouts)
-        (8192, 8192, 40000, 50, 2, 1600, "float32", "sample"),
-        (8192, 8192, 40000, 50, 2, 700, "bfloat16", "ramp"),
+        # the time guard because the bf16+ramp tier ran before it). At
+        # th=128 tiles the 8192^2 remote compiles shrank dramatically:
+        # the r4 qualification run landed BOTH tiers (f32 2249.5,
+        # bf16+ramp 2838.6) in ~15 min combined vs the ~16-21 min r3
+        # needed for the f32 compile alone at th=64
+        (8192, 8192, 40000, 50, 2, 900, "float32", "sample"),
+        (8192, 8192, 40000, 50, 2, 600, "bfloat16", "ramp"),
     ]
     only = os.environ.get("BENCH_ONLY")  # e.g. "4096" to skip warmup stages
     if only:

@@ -417,7 +417,10 @@ def test_pallas_sharded_coupled_kt_matches():
                     bc_west="wall", bc_east="wall")
     disks = [
         DiskSpec(64.0, 64.0, 3.0),
-        DiskSpec(64.2, 70.1, 3.0),            # touching pair: live spring
+        # overlapping pair (center distance 5.905 < 6): live spring.
+        # (64.2, 70.1) as originally written is 6.103 apart - NEVER in
+        # contact, so the spring-engaged assert below failed latently.
+        DiskSpec(64.2, 69.9, 3.0),
         DiskSpec(90.0, 31.9, 2.0, vx=0.01),
     ]
     sref, ssh = _run_both_pallas(cfg, disks, mesh, 2)
