@@ -51,6 +51,15 @@ def main(argv=None):
                     help="grid refinement factor (1 -> 440x82, D=20)")
     ap.add_argument("--steps", type=int, default=0,
                     help="override total steps (0 -> auto by scale)")
+    ap.add_argument("--trt", action="store_true",
+                    help="steady 2D-1 with TRT collision (Lambda=3/16 "
+                         "exact mid-link channel walls): probes how much "
+                         "of the D=20 cD bias is wall slip vs the "
+                         "diffuse IMB interface")
+    ap.add_argument("--eps-method", default=None,
+                    choices=("sample", "exact", "ramp"),
+                    help="override the coverage model (interface-bias "
+                         "diagnostics)")
     ap.add_argument("--unsteady", action="store_true",
                     help="2D-2 case: Re=100 vortex shedding; measures the "
                          "Strouhal number from the lift zero crossings "
@@ -76,6 +85,10 @@ def main(argv=None):
     )
     cfg = cfg.replace(dtype="float64" if args.cpu else "float32",
                       out_interval=10**9)
+    if args.trt:
+        cfg = cfg.replace(collision="trt")
+    if args.eps_method:
+        cfg = cfg.replace(eps_method=args.eps_method)
     if args.unsteady:
         # Re = 100: nu = u_mean D / 100; TRT keeps the coarse grid
         # well-behaved at the resulting tau ~ 0.53
