@@ -39,6 +39,10 @@ Parameter keywords (reference-format; SURVEY C18 lists the set):
                           reference-style subgrid sampling; ramp is the
                           measured speed tier, exact the accuracy tier
                           - see tools/ab_eps.py / docs/performance.md)
+    eps_r_shift <d>       hydrodynamic radius calibration (cells, in
+                          [-1, 0]): shrinks the COVERAGE radius only,
+                          compensating the diffuse-interface drag bias
+                          (SimConfig.eps_r_shift; default 0)
     dtype float32|float64
     f_storage float32|bfloat16   HBM storage of f on the fused path
                           (bfloat16 = shifted-population storage)
@@ -134,6 +138,19 @@ class SimConfig:
     # diffuse-interface approximation clip(r + 1/2 - d, 0, 1).
     eps_samples: int = 4
     eps_method: str = "sample"
+    # Hydrodynamic radius shift (lattice cells) applied ONLY to the
+    # solid-fraction coverage (stamp + force-share gather), never to DEM
+    # contacts or binning: the diffuse IMB interface places the
+    # effective no-slip surface OUTSIDE the nominal radius (the
+    # partially-covered boundary ring still blends solid behavior), so
+    # the obstacle acts hydrodynamically larger - the classical
+    # calibration (Ladd-style hydrodynamic radius) subtracts a fixed
+    # sub-cell shift. Measured on Schafer-Turek 2D-1 (D=20): the
+    # uncorrected drag bias is +4.4% and scales like a constant
+    # ~+0.4-cell radius excess (it drops to +0.93% at D=40). Opt-in
+    # (default 0), range [-1, 0]: a resolution-independent calibration,
+    # not a physics change - tests pin kernel/oracle parity under it.
+    eps_r_shift: float = 0.0
     window: int = 0
     # Per-tile disk capacity for the Pallas stamp/reduce kernels
     # (0 = derived from disk radii at scene build time).
@@ -272,6 +289,13 @@ class SimConfig:
             raise ValueError(
                 f"bad eps_method {self.eps_method!r}: "
                 "want 'exact', 'sample' or 'ramp'"
+            )
+        if not -1.0 <= self.eps_r_shift <= 0.0:
+            raise ValueError(
+                f"eps_r_shift {self.eps_r_shift} out of range [-1, 0]: "
+                "it shrinks the hydrodynamic (coverage) radius by a "
+                "sub-cell calibration; growing it would overflow the "
+                "stamp window/bin margins"
             )
         if self.paranoia not in (False, True, "step", "chunk"):
             raise ValueError(
@@ -474,7 +498,7 @@ def load_param_file(path: str) -> Tuple[SimConfig, Optional[str]]:
                          "mu", "rho_s", "g_px", "g_py", "smagorinsky",
                          "trt_magic", "rho0", "u0x", "u0y", "uw_west",
                          "uw_east", "uw_south", "uw_north",
-                         "u_inlet", "rho_outlet"):
+                         "u_inlet", "rho_outlet", "eps_r_shift"):
                 kw[key] = float(vals[0])
             else:
                 raise ValueError(f"unknown parameter keyword {key!r}")

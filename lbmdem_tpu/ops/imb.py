@@ -97,12 +97,19 @@ def exact_coverage(relx, rely, rr):
     return jnp.where(d2 < 0.01, full, cov)
 
 
-def _coverage_window(x, y, r, active, window: int, ns: int, dtype, method="sample"):
+def _coverage_window(x, y, r, active, window: int, ns: int, dtype,
+                     method="sample", r_shift=0.0):
     """Coverage of each cell in the disk's window, plus base cell indices.
 
     Returns (cov[window, window], by, bx): cov[wy, wx] is the sampled
-    area fraction of cell (by+wy, bx+wx) inside the disk.
+    area fraction of cell (by+wy, bx+wx) inside the disk. `r_shift`
+    (cfg.eps_r_shift) shrinks the hydrodynamic radius for the coverage
+    evaluation only; empty slots (r == 0) stay empty, and the kernel
+    twin (pallas_stamp._cov_field) applies the identical shift so the
+    bitwise sample-membership contract survives calibration.
     """
+    if r_shift:
+        r = jnp.where(r > 0, jnp.maximum(r + dtype.type(r_shift), 0.05), 0.0)
     half = window // 2
     bx = jnp.floor(x + 0.5).astype(jnp.int32) - half
     by = jnp.floor(y + 0.5).astype(jnp.int32) - half
@@ -154,7 +161,8 @@ def stamp_solid_fraction(
     dt = jnp.dtype(cfg.dtype)
 
     def one(px, py, vx, vy, om, rr, act):
-        cov, by, bx = _coverage_window(px, py, rr, act, W, ns, dt, cfg.eps_method)
+        cov, by, bx = _coverage_window(px, py, rr, act, W, ns, dt,
+                                       cfg.eps_method, cfg.eps_r_shift)
         iy = jnp.broadcast_to(by + jnp.arange(W, dtype=jnp.int32)[:, None], (W, W))
         ix = jnp.broadcast_to(bx + jnp.arange(W, dtype=jnp.int32)[None, :], (W, W))
         # NOTE: negative indices wrap in JAX even under scatter mode='drop',
@@ -463,7 +471,8 @@ def reduce_hydro_forces(
     fields = jnp.stack([eps_raw, phi_x, phi_y], axis=-1)
 
     def one(px, py, rr, act):
-        cov, by, bx = _coverage_window(px, py, rr, act, W, ns, dt, cfg.eps_method)
+        cov, by, bx = _coverage_window(px, py, rr, act, W, ns, dt,
+                                       cfg.eps_method, cfg.eps_r_shift)
         iy = by + jnp.arange(W, dtype=jnp.int32)[:, None]
         ix = bx + jnp.arange(W, dtype=jnp.int32)[None, :]
         # Negative indices wrap in JAX gathers: mask + clip explicitly.

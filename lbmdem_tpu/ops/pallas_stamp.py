@@ -227,8 +227,14 @@ def _cov_field(relx, rely, rr, cfg: SimConfig):
     """Per-cell coverage of one disk over the given rel-coordinate grids
     (the per-disk body shared by the stamp and reduce kernel loops).
     Empty (over-iterated, zeroed) slots rr == 0 yield zero coverage for
-    every method."""
+    every method. cfg.eps_r_shift applies the hydrodynamic-radius
+    calibration here, identically to the oracle (imb._coverage_window),
+    so kernel/oracle sample membership stays bitwise under it."""
     ns = cfg.eps_samples
+    if cfg.eps_r_shift:
+        rr = jnp.where(
+            rr > 0,
+            jnp.maximum(rr + jnp.float32(cfg.eps_r_shift), 0.05), 0.0)
     if cfg.eps_method == "ramp":
         d = jnp.sqrt(rely * rely + relx * relx)
         # rr==0 marks an empty slot: mask it, the ramp would otherwise

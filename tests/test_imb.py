@@ -34,6 +34,23 @@ def test_stamp_total_area():
     assert float(jnp.min(eps)) >= 0.0
 
 
+def test_stamp_r_shift_shrinks_hydro_radius():
+    """eps_r_shift shrinks the COVERAGE area to pi*(r+shift)^2 without
+    touching the nominal radius anywhere else (the DEM contact law and
+    binning keep r); empty slots stay empty."""
+    cfg = _cfg(eps_samples=8, eps_r_shift=-0.4)
+    eps, _, _ = _one_disk(cfg, 24.3, 23.7, 4.0)
+    np.testing.assert_allclose(float(jnp.sum(eps)), np.pi * 3.6**2,
+                               rtol=5e-3)
+    # inactive slot yields nothing even with the shift applied
+    xp = jnp.asarray([[24.3, 23.7]], jnp.float64)
+    z = jnp.zeros((1, 2), jnp.float64)
+    eps0, _, _ = imb.stamp_solid_fraction(
+        xp, z, jnp.zeros((1,), jnp.float64), jnp.zeros((1,), jnp.float64),
+        jnp.asarray([False]), cfg)
+    assert float(jnp.sum(eps0)) == 0.0
+
+
 def test_stamp_rigid_rotation_velocity():
     cfg = _cfg()
     eps, usx, usy = _one_disk(cfg, 24.0, 24.0, 4.0, om=0.1)

@@ -44,6 +44,21 @@ def test_stamp_matches_oracle(method):
     np.testing.assert_allclose(np.asarray(uy1), np.asarray(uy2), atol=1e-6)
 
 
+def test_stamp_matches_oracle_with_r_shift():
+    """The eps_r_shift hydrodynamic-radius calibration must hit the
+    kernel and oracle coverage identically (same shifted-r sample
+    membership), and actually shrink the stamped area."""
+    cfg, xp, vp, om, r, act = _setup()
+    cfg = cfg.replace(eps_r_shift=-0.4)
+    e1, ux1, uy1 = imb.stamp_solid_fraction(xp, vp, om, r, act, cfg)
+    e2, _, _, ovf = ps.stamp_solid_fraction(xp, vp, om, r, act, cfg)
+    assert int(ovf) == 0
+    np.testing.assert_allclose(np.asarray(e1), np.asarray(e2), atol=1e-6)
+    e0, _, _ = imb.stamp_solid_fraction(
+        xp, vp, om, r, act, cfg.replace(eps_r_shift=0.0))
+    assert float(jnp.sum(e1)) < 0.9 * float(jnp.sum(e0))
+
+
 @pytest.mark.parametrize("r", [
     pytest.param(8.0, marks=pytest.mark.slow),   # bh 32, ~41 s interpret
     pytest.param(14.0, marks=pytest.mark.slow),  # bh 40, ~13 s interpret
