@@ -60,6 +60,10 @@ def main(argv=None):
                     choices=("sample", "exact", "ramp"),
                     help="override the coverage model (interface-bias "
                          "diagnostics)")
+    ap.add_argument("--r-shift", type=float, default=0.0,
+                    help="eps_r_shift hydrodynamic-radius calibration "
+                         "(cells, in [-1, 0]): the interface-side "
+                         "mitigation of the diffuse-IMB drag bias")
     ap.add_argument("--unsteady", action="store_true",
                     help="2D-2 case: Re=100 vortex shedding; measures the "
                          "Strouhal number from the lift zero crossings "
@@ -89,6 +93,8 @@ def main(argv=None):
         cfg = cfg.replace(collision="trt")
     if args.eps_method:
         cfg = cfg.replace(eps_method=args.eps_method)
+    if args.r_shift:
+        cfg = cfg.replace(eps_r_shift=args.r_shift)
     if args.unsteady:
         # Re = 100: nu = u_mean D / 100; TRT keeps the coarse grid
         # well-behaved at the resulting tau ~ 0.53
