@@ -63,7 +63,9 @@ def main(argv=None):
     ap.add_argument("--r-shift", type=float, default=0.0,
                     help="eps_r_shift hydrodynamic-radius calibration "
                          "(cells, in [-1, 0]): the interface-side "
-                         "mitigation of the diffuse-IMB drag bias")
+                         "mitigation of the diffuse-IMB drag bias "
+                         "(calibrated r4: -0.35 at D=20, -0.14 at D=40 "
+                         "land cD within 0.2% of the published 5.5795)")
     ap.add_argument("--unsteady", action="store_true",
                     help="2D-2 case: Re=100 vortex shedding; measures the "
                          "Strouhal number from the lift zero crossings "
@@ -163,6 +165,25 @@ def main(argv=None):
 # as a slightly larger cylinder), not a coupling bug; cL lands at the
 # published interval's edge at scale 2. tools/validate_tpu.py asserts
 # the scale-2 cD within 2% on every validation run.
+#
+# eps_r_shift calibration record (TPU v5e, f32, 2026-08-20; VERDICT r3
+# weak #3 - the interface-side mitigation):
+#   D=20 sweep: cD(s) is LINEAR in the shift over s = 0/-0.25/-0.45/
+#   -0.65 -> 5.8267/5.6555/5.5050/5.3831 (slope ~0.75 per cell; the
+#   first-principles cD*2/D = 0.56 underestimates by ~1.34x).
+#   Interpolating to the published 5.5795 gives s = -0.35; confirmed:
+#     scale 1, s=-0.35: cD=5.5899 (+0.19%, INSIDE [5.57, 5.59])
+#   Applying the same 1.34x slope factor at scale 2 PREDICTS s = -0.14
+#   for the residual +0.93% bias; confirmed (prediction, not a fit):
+#     scale 2, s=-0.14: cD=5.5764 (-0.06%, inside the interval)
+#   The calibrated shift scales with the residual bias (~1/D with the
+#   bias's own super-linear convergence on top), so it is a
+#   PER-RESOLUTION accuracy knob: calibrate at the resolution you run;
+#   leaving it 0 keeps the scheme's native convergence (the bias
+#   already shrinks ~4.8x on grid doubling). cL loses a little under
+#   the shift (0.0094 -> 0.0076 at D=20) - the published 0.0104..0.0110
+#   needs scale 2 regardless. `validate_tpu.py rshift` pins the D=20
+#   calibrated point.
 #
 # 2D-2 unsteady record (TPU v5e, f32, TRT, 2026-08-19, --unsteady):
 #   scale 1 (D=20, 50k steps):  St=0.3007, cD_max=3.75,  cL_max=1.20

@@ -271,6 +271,23 @@ def _cylinder():
     assert 0.008 < cl < 0.013, f"scale-2 lift {cl:.4f} implausible"
 
 
+def _rshift():
+    """eps_r_shift hydrodynamic-radius calibration at the calibrated
+    point (2D-1, D=20, s=-0.35): the interface-side mitigation of the
+    diffuse-IMB drag bias. RECORDED r4 (TPU v5e, f32): cD=5.5899
+    (+0.19% vs the published 5.5795; uncalibrated D=20 reads +4.4%).
+    Budget 1.5% - generous vs the recorded +0.19% so session noise
+    (last-interval dcD ~1e-2) cannot flake it, tight enough that a
+    coverage/force-share regression in the shifted-radius path cannot
+    hide (the uncalibrated bias is 4.4%)."""
+    from tools.benchmark_cylinder import main as cyl
+
+    cd, cl = cyl(["--r-shift=-0.35"])
+    dev = abs(cd - 5.5795) / 5.5795
+    assert dev < 0.015, f"calibrated D=20 drag off by {dev:.2%} (budget 1.5%)"
+    print("RSHIFT OK")
+
+
 def _shedding():
     """Schafer-Turek 2D-2 (Re=100 vortex shedding): the Strouhal number
     is the discretization-robust observable - recorded 0.3007 at D=20
@@ -411,7 +428,7 @@ if __name__ == "__main__":
               "cavity": _cavity, "trt": _trt, "cylinder": _cylinder,
               "friction": _friction, "static": _static_multi,
               "shedding": _shedding, "collapse": _collapse,
-              "dktlit": _dkt_literature}
+              "dktlit": _dkt_literature, "rshift": _rshift}
     picked = sys.argv[1:]
     if picked:
         for name in picked:
