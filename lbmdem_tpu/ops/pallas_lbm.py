@@ -72,7 +72,8 @@ def _storage(cfg: SimConfig):
     return jnp.float32, _HY, 0.0
 
 
-def tile_dims(cfg: SimConfig, wide: bool = False) -> Tuple[int, int]:
+def tile_dims(cfg: SimConfig, wide: bool = False,
+              fluid: bool = False, coupled: bool = False) -> Tuple[int, int]:
     """128-row tiles (r4); lane width by kernel flavor. wide=True:
     tw=1024 measured +6.5% over 512 on pure fluid 4096^2 and +0.9% on
     the coupled reduce kernel. th A/B on hardware (tools/ab_tiles.py,
@@ -83,16 +84,30 @@ def tile_dims(cfg: SimConfig, wide: bool = False) -> Tuple[int, int]:
     amp 1.56x -> 1.41x + half the launches), th=256 only adds ~2% on
     coupled while LOSING 10% on bf16 fluid and blowing the 96 MB
     scoped-VMEM budget on the static-hoist kernel (103.5 MB), so 128
-    is the global default. (The historical 'th=128 crashes the remote
-    compile helper' was the old 16/48 MB scoped-VMEM limits - raised
-    to 96 MB, it compiles and wins.)
+    is the global default for the paths NOT flavored below. The A/B's
+    th=256 winners become per-path flavors (r4):
+    - `fluid=True` (f32 storage only): pure-fluid kernels, +4.2%
+      (no stamp-tile coupling, no bf16 VMEM pressure);
+    - `coupled=True` (any storage): fused_step_imb_reduce, +2.3-2.4%
+      measured on BOTH f32 (2265 vs 2212) and bf16+ramp (2796 vs
+      2732). The whole binning chain follows: pallas_stamp.tile_dims
+      and parallel/_pallas_step.canvas_pads prefer the same 256 rows,
+      exactly what the LBMDEM_TH=256 A/B exercised (the fused kernel
+      asserts stamp rows == lattice tile rows, so a mismatch anywhere
+      in the chain fails loudly at trace time).
+    The static-hoist kernel keeps 128 (its th=256 window is 103.5 MB,
+    over the 96 MB scoped-VMEM budget) - it consumes the dense solid
+    stack, not the binning, so its tile height is independent.
 
     LBMDEM_TH / LBMDEM_TW env vars override the defaults for hardware
     A/Bs (tools/ab_tiles.py) - best-effort: ignored where they cannot
     tile the config (small test grids, shard-local frames)."""
     import os
 
-    th = next((t for t in (128, 64, 32, 16, 8) if cfg.ny % t == 0), None)
+    rows = ((256, 128, 64, 32, 16, 8)
+            if coupled or (fluid and cfg.f_storage != "bfloat16")
+            else (128, 64, 32, 16, 8))
+    th = next((t for t in rows if cfg.ny % t == 0), None)
     cands = (1024, 512, 256, 128) if wide else (512, 256, 128)
     tw = next((t for t in cands if cfg.nx % t == 0), None)
     assert th and tw, (
@@ -563,7 +578,7 @@ def fused_step_fluid(f: jax.Array, cfg: SimConfig, prehalo: bool = False,
     assert f.dtype == fdt, (
         f"Pallas path wants {fdt} storage (use_pallas=False for f64)"
     )
-    th, tw = tile_dims(cfg, wide=True)
+    th, tw = tile_dims(cfg, wide=True, fluid=True)
     assert f.shape[1] == cfg.ny + (2 * hy if prehalo else 0)
     assert f.shape[2] == cfg.nx + (2 * _HX if prehalo == "yx" else 0)
     kernel = functools.partial(_fluid_kernel, cfg=cfg, th=th, tw=tw,
@@ -788,7 +803,7 @@ def fused_step_fluid_multi(f: jax.Array, cfg: SimConfig, k: int,
     assert 1 <= k <= hy, f"temporal block k={k} exceeds the {hy}-row halo"
     if k == 1 and not prehalo:
         return fused_step_fluid(f, cfg, out_buf=out_buf)
-    th, tw = tile_dims(cfg, wide=True)
+    th, tw = tile_dims(cfg, wide=True, fluid=True)
     assert f.shape[1] == cfg.ny + (2 * hy if prehalo else 0)
     assert f.shape[2] == cfg.nx + (2 * _HX if prehalo == "yx" else 0)
     assert (edges is not None) == bool(prehalo)
@@ -1105,7 +1120,7 @@ def fused_step_imb_reduce(
 
     fdt, hy, shift = _storage(cfg)
     assert f.dtype == fdt
-    th, tw = tile_dims(cfg, wide=True)
+    th, tw = tile_dims(cfg, wide=True, coupled=True)
     sub = tw // 128
     nty, ntx = cfg.ny // th, cfg.nx // tw
     n_tiles, one_, cap8 = tile_data.shape

@@ -47,16 +47,17 @@ _ILP = 8
 
 
 def tile_dims(cfg: SimConfig) -> Tuple[int, int]:
-    """Largest power-of-two tile <= 128x128 dividing the lattice.
-
-    Row-banding makes the per-disk stamp cost tile-height-independent,
-    so the stamp tile height FOLLOWS the lattice tile height (128 since
-    the r4 tile A/B; the fused coupled kernel requires stamp rows ==
-    lattice tile rows). The tile must still be >= the stamp window for
-    the <=2x2 intersect invariant of the binning."""
+    """Stamp tiles: rows follow the COUPLED lattice tile height (256
+    since the r4 per-path tile flavors - the fused coupled kernel
+    requires stamp rows == lattice tile rows, and row-banding makes the
+    per-disk stamp cost tile-height-independent); 128 columns (the
+    stamp's sub-tile granule). The tile must still be >= the stamp
+    window for the <=2x2 intersect invariant of the binning.
+    parallel/_pallas_step.canvas_pads mirrors the row chain."""
     import os
 
-    th = next(t for t in (128, 64, 32, 16, 8, 4, 2, 1) if cfg.ny % t == 0)
+    th = next(t for t in (256, 128, 64, 32, 16, 8, 4, 2, 1)
+              if cfg.ny % t == 0)
     tw = next(t for t in (128, 64, 32, 16, 8, 4, 2, 1) if cfg.nx % t == 0)
     # the fused coupled kernel requires stamp tile rows == LATTICE tile
     # rows (its (nty*ntx, sub) reshape of the binning assumes one stamp

@@ -48,16 +48,20 @@ _HX = 128  # halo cols exchanged for 2D meshes (lane DMA granule)
 def canvas_pads(h: int, two_d: bool):
     """(pady, padx) of the sharded stamp canvas.
 
-    pady = the local lattice-tile height (largest of 128/64/32/16/8
-    dividing h, mirroring pallas_lbm.tile_dims - including its
-    LBMDEM_TH override, so canvas_pads and the stamp tiles can never
-    disagree) so the canvas's stamp tiles align 1:1 with the interior's
-    stamp sub-tiles; padx = one 128-col DMA granule on 2D meshes -
+    pady = the local COUPLED lattice-tile height (largest of
+    256/128/64/32/16/8 dividing h, mirroring
+    pallas_lbm.tile_dims(coupled=True) - including its LBMDEM_TH
+    override, so canvas_pads and the stamp tiles can never disagree:
+    pady | h makes canvas ny = h + 2*pady divisible by a larger
+    candidate only when h itself is, in which case pady IS that
+    candidate) so the canvas's stamp tiles align 1:1 with the
+    interior's stamp sub-tiles; padx = one 128-col DMA granule on 2D
+    meshes -
     exactly the fused kernel's x-halo width, so the kernel's solid
     window is a plain row slice of the canvas."""
     import os
 
-    pady = next(t for t in (128, 64, 32, 16, 8) if h % t == 0)
+    pady = next(t for t in (256, 128, 64, 32, 16, 8) if h % t == 0)
     th_env = os.environ.get("LBMDEM_TH")
     if th_env and h % int(th_env) == 0:
         pady = int(th_env)

@@ -62,6 +62,25 @@ def test_fused_fluid_multi_strip():
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-6, atol=1e-7)
 
 
+def test_fluid_tile_flavor():
+    """The pure-fluid f32 path prefers 256-row tiles (the one clean
+    th=256 winner on hardware, +4.2%); every other chooser keeps 128,
+    and bf16 storage keeps 128 on the fluid path too (measured loss).
+    Parity at the 256-row tile exercises the branch the small default
+    grids never reach."""
+    cfg = SimConfig(nx=128, ny=256, tau=0.7, gy=-1e-5, dtype="float32",
+                    bc_west="wall", bc_east="wall")
+    assert pallas_lbm.tile_dims(cfg, wide=True, fluid=True)[0] == 256
+    assert pallas_lbm.tile_dims(cfg, wide=True)[0] == 128
+    assert pallas_lbm.tile_dims(
+        cfg.replace(f_storage="bfloat16"), wide=True, fluid=True)[0] == 128
+    f = _rand_f(cfg.ny, cfg.nx, seed=5)
+    ref = lbm.step_pure_fluid(f, cfg)
+    got = pallas_lbm.fused_step_fluid(f, cfg)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-6, atol=1e-7)
+
+
 @pytest.mark.parametrize("overrides", CFGS)
 def test_fluid_temporal_block_matches_oracle(overrides):
     """k-step temporal blocking (fused_step_fluid_multi) vs k oracle

@@ -357,6 +357,39 @@ def test_pallas_sharded_coupled_matches(meshdims):
                                rtol=0, atol=1e-7)
 
 
+@pytest.mark.slow  # interpret-mode fused coupled at h=256 per shard
+def test_pallas_sharded_coupled_256row_tiles():
+    """Shard-local height 256: the coupled chain (kernel tile_dims
+    coupled=True, stamp tile_dims, canvas_pads) all pick 256-row tiles
+    (the r4 per-path flavor) - pins the canvas/stamp/kernel row
+    alignment the small-grid parametrizations never reach (they fall
+    back to <=128)."""
+    from lbmdem_tpu.ops import pallas_lbm, pallas_stamp
+    from lbmdem_tpu.parallel._pallas_step import canvas_pads
+
+    mesh = _mesh(2, 1)
+    cfg = SimConfig(nx=128, ny=512, tau=0.8, dtype="float32", g_py=-1e-4,
+                    buoyancy=True, rho_s=2.0, kn=0.5, gamma_n=0.5, n_sub=5,
+                    bc_west="wall", bc_east="wall")
+    h = cfg.ny // mesh.shape["y"]
+    assert pallas_lbm.tile_dims(cfg.replace(ny=h), wide=True,
+                                coupled=True)[0] == 256
+    assert canvas_pads(h, False)[0] == 256
+    assert pallas_stamp.tile_dims(cfg.replace(ny=h + 2 * 256))[0] == 256
+    disks = [
+        DiskSpec(64.0, 256.0, 3.0),           # straddles the shard seam
+        DiskSpec(32.2, 96.1, 2.5),            # interior, lower shard
+        DiskSpec(90.0, 400.0, 2.0, vx=0.01),  # interior, upper shard
+    ]
+    sref, ssh = _run_both_pallas(cfg, disks, mesh, 2)
+    np.testing.assert_allclose(np.asarray(sref.f), np.asarray(ssh.f),
+                               rtol=0, atol=2e-6)
+    np.testing.assert_allclose(np.asarray(sref.disks.x),
+                               np.asarray(ssh.disks.x), rtol=0, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(sref.disks.v),
+                               np.asarray(ssh.disks.v), rtol=0, atol=1e-7)
+
+
 @pytest.mark.slow  # ~80 s interpret-mode; (4,1) coupled covers the quick lane
 def test_pallas_sharded_coupled_axis_x_matches():
     """Simulation(mesh=...) with a narrow disk column picks the
