@@ -88,7 +88,7 @@ def _probe_device():
 
 
 def _run(nx, ny, n_disks, chunk, repeats, use_pallas, storage="float32",
-         eps="sample"):
+         eps="sample", ck=1):
     from lbmdem_tpu.models import column_collapse
     from lbmdem_tpu.simulation import Simulation
 
@@ -100,7 +100,7 @@ def _run(nx, ny, n_disks, chunk, repeats, use_pallas, storage="float32",
     # delta 0.059% - tools/ab_eps.py). float32/sample stay the
     # simulation defaults (golden-regression trajectories are pinned on
     # them); BENCH_F_STORAGE overrides every stage for manual A/Bs.
-    cfg = cfg.replace(out_interval=10**9, eps_method=eps,
+    cfg = cfg.replace(out_interval=10**9, eps_method=eps, coupling_k=ck,
                       f_storage=os.environ.get("BENCH_F_STORAGE", storage))
     sim = Simulation(cfg, disks, use_pallas=use_pallas)
     # warm with the SAME chunk length so later runs hit the jit cache
@@ -232,22 +232,35 @@ def main():
     # qualified number. Anything skipped lands in skipped_stages of the
     # final JSON line, so a missing stage is explicit.
     stages = [
-        (1024, 1024, 640, 400, 2, 120, "float32", "sample"),
-        (2048, 2048, 2500, 200, 2, 150, "float32", "sample"),
-        (4096, 4096, 10000, 100, 3, 300, "float32", "sample"),
+        (1024, 1024, 640, 400, 2, 120, "float32", "sample", 1),
+        (2048, 2048, 2500, 200, 2, 150, "float32", "sample", 1),
+        (4096, 4096, 10000, 100, 3, 300, "float32", "sample", 1),
         # shifted-bf16 f storage + ramp coverage (both opt-in,
-        # parity-validated: bf16 settling <1%, ramp delta 0.059%): the
-        # fastest qualified coupled number on the north-star config
-        (4096, 4096, 10000, 100, 3, 320, "bfloat16", "ramp"),
-        (4096, 4096, 10000, 100, 3, 320, "bfloat16", "sample"),
+        # parity-validated: bf16 settling <1%, ramp delta 0.059%)
+        (4096, 4096, 10000, 100, 3, 320, "bfloat16", "ramp", 1),
+        # coupling-cadence temporal blocking (coupling_k=4, opt-in,
+        # TPU settling 0.13% vs the f64 per-step golden): the fastest
+        # qualified coupled numbers on the north-star config - f32
+        # 2797, bf16+ramp 2956 (tools/ab_coupling.py). The k=4 multi
+        # kernel compiles in ~230 s at 4096^2 (vs ~85 s k=1); they run
+        # before the bf16/sample diagnostic tier so the best qualified
+        # number lands early on a tight budget
+        # k=4 is the f32 sweet spot (k=8 measured 2693: the recompute
+        # tax outgrows the halved residual traffic); bf16+ramp keeps
+        # improving to k=8 (3061 - its traffic share is larger and the
+        # ramp chains keep the inlined kernel small, compile ~101 s)
+        (4096, 4096, 10000, 100, 3, 420, "float32", "sample", 4),
+        (4096, 4096, 10000, 100, 3, 380, "bfloat16", "ramp", 8),
+        (4096, 4096, 10000, 100, 3, 320, "bfloat16", "sample", 1),
         # 8192^2 showcase tiers, plain f32 FIRST (r3 lost this line to
         # the time guard because the bf16+ramp tier ran before it). At
         # th=128 tiles the 8192^2 remote compiles shrank dramatically:
         # the r4 qualification run landed BOTH tiers (f32 2249.5,
         # bf16+ramp 2838.6) in ~15 min combined vs the ~16-21 min r3
         # needed for the f32 compile alone at th=64
-        (8192, 8192, 40000, 50, 2, 900, "float32", "sample"),
-        (8192, 8192, 40000, 50, 2, 600, "bfloat16", "ramp"),
+        (8192, 8192, 40000, 50, 2, 900, "float32", "sample", 1),
+        (8192, 8192, 40000, 50, 2, 600, "bfloat16", "ramp", 1),
+        (8192, 8192, 40000, 50, 2, 800, "bfloat16", "ramp", 8),
     ]
     only = os.environ.get("BENCH_ONLY")  # e.g. "4096" to skip warmup stages
     if only:
@@ -285,10 +298,11 @@ def main():
             print(f"bench: static-hoist stage failed "
                   f"({type(e).__name__}: {e})", file=sys.stderr)
     coupled_done = False
-    for nx, ny, nd, chunk, repeats, est_s, storage, eps in stages:
+    for nx, ny, nd, chunk, repeats, est_s, storage, eps, ck in stages:
         tag = ", bf16 f-storage" if storage == "bfloat16" else ""
         tag += ", ramp coverage" if eps == "ramp" else ""
-        label = f"{nx}x{ny}/{storage}/{eps}"
+        tag += f", coupling k={ck}" if ck > 1 else ""
+        label = f"{nx}x{ny}/{storage}/{eps}" + (f"/k{ck}" if ck > 1 else "")
         left = budget - (time.time() - t_start)
         # only skip for budget once a COUPLED stage has landed (the
         # pure-fluid line must never suppress the north-star attempt)
@@ -299,7 +313,7 @@ def main():
             continue
         try:
             mlups = _run(nx, ny, nd, chunk, repeats, use_pallas, storage,
-                         eps)
+                         eps, ck)
         except Exception as e:
             print(f"bench: {label}/{nd} failed "
                   f"({type(e).__name__}: {e})", file=sys.stderr)
@@ -307,7 +321,9 @@ def main():
             continue
         _emit(f"coupled LBM-DEM MLUPS/chip ({nx}x{ny}, {nd} disks{tag})",
               mlups,
-              bytes_per_site=48.0 if storage == "bfloat16" else 84.0)
+              # coupling_k divides BOTH the f round-trip and the solid
+              # stamp/read traffic (one window pass per k steps)
+              bytes_per_site=(48.0 if storage == "bfloat16" else 84.0) / ck)
         coupled_done = True
     if _best is not None:
         # the driver reads the LAST stdout line: make it the best

@@ -172,6 +172,18 @@ class SimConfig:
     # B(eps, tau) and the LES closure all keep using tau (= tau+).
     collision: str = "bgk"
     trt_magic: float = 3.0 / 16.0
+    # Coupling-cadence temporal blocking (opt-in speed tier, Pallas
+    # coupled path): k LBM steps per fused-kernel pass / HBM round-trip
+    # with the solid fields (stamp + binning) FROZEN at window-start
+    # disk positions; the hydro force reduce still runs per inner step,
+    # so the DEM integrates every step with a fresh force - only the
+    # geometry the fluid sees lags by < k steps (disks travel ~1e-3
+    # cells/step; the coverage model is itself ~1e-2-accurate/cell).
+    # 1 = exact per-step coupling (default; the reference's semantics).
+    # Range 2..8 (the fused window's 8-row solid halo); must divide the
+    # binning cadence (simulation.BIN_CADENCE = 8). Physics deltas
+    # measured on hardware in docs/performance.md.
+    coupling_k: int = 1
     # Paranoid/debug mode (SURVEY SS5.2/5.3): validate f finite, rho>0,
     # disk state finite and zero overflow inside the jitted chunk; the
     # first failing step number lands in SimState.fail_step and the
@@ -284,6 +296,12 @@ class SimConfig:
         if self.collision == "trt" and self.trt_magic <= 0.0:
             raise ValueError(
                 f"trt_magic must be positive (got {self.trt_magic})"
+            )
+        if not (1 <= self.coupling_k <= 8 and 8 % self.coupling_k == 0):
+            raise ValueError(
+                f"coupling_k {self.coupling_k} out of range: want a "
+                "divisor of the binning cadence in 1..8 (the fused "
+                "window's 8-row solid halo bounds the temporal block)"
             )
         if self.eps_method not in ("exact", "sample", "ramp"):
             raise ValueError(
@@ -479,7 +497,8 @@ def load_param_file(path: str) -> Tuple[SimConfig, Optional[str]]:
             elif key in ("dx", "dt_phys", "rho_phys") or key in _PHYS_KEYS:
                 phys[key] = float(vals[0])
             elif key in ("nx", "ny", "steps", "out_interval", "n_sub",
-                         "eps_samples", "window", "max_disks"):
+                         "eps_samples", "window", "max_disks",
+                         "coupling_k"):
                 kw[key] = int(float(vals[0]))
             elif key == "buoyancy":
                 kw[key] = bool(int(vals[0]))

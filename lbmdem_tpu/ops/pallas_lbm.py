@@ -104,8 +104,15 @@ def tile_dims(cfg: SimConfig, wide: bool = False,
     tile the config (small test grids, shard-local frames)."""
     import os
 
+    # coupling_k > 1: the k-step coupled window (full-window collide per
+    # inner step + per-step reduce) blows the 96 MB scoped-VMEM budget
+    # at th=256 (109.4 MB measured at k=4/tw=1024, same gate as the
+    # static-hoist kernel) - the whole coupled chain (kernel, stamp
+    # tiles, canvas pads) drops back to 128 rows together so the
+    # stamp-rows == lattice-rows trace assert keeps holding.
+    big_coupled = coupled and cfg.coupling_k == 1
     rows = ((256, 128, 64, 32, 16, 8)
-            if coupled or (fluid and cfg.f_storage != "bfloat16")
+            if big_coupled or (fluid and cfg.f_storage != "bfloat16")
             else (128, 64, 32, 16, 8))
     th = next((t for t in rows if cfg.ny % t == 0), None)
     cands = (1024, 512, 256, 128) if wide else (512, 256, 128)
@@ -1202,6 +1209,218 @@ def fused_step_imb_reduce(
         interpret=_interpret(),
     )(*operands)
     return fnew, partials.reshape(nty * ntx * sub * cap, 4)
+
+
+def _imb_reduce_multi_kernel(
+    f_hbm, s_hbm, data_ref, cnt_ref, out_ref, part_ref, win, swin, sems,
+    ssems, wscr, *, cfg: SimConfig, th: int, tw: int, cap: int,
+    eps_min: float, sub: int, k: int, hy: int = _HY, shift: float = 0.0,
+    prehalo=False, oy: int = 0, ox: int = 0, edge_ref=None,
+    ny_glob: int = 0,
+):
+    """k coupled LBM steps per HBM round-trip over FROZEN solid fields,
+    with the hydro force reduction run per INNER step (coupling-cadence
+    temporal blocking for DYNAMIC scenes; cfg.coupling_k).
+
+    The validity argument is the static hoist's (the IMB collide is
+    pointwise in the solid window, which holds true values everywhere;
+    only f's streaming consumes the k <= hy dependency cone) plus one
+    physics approximation the caller owns: eps/us are the WINDOW-START
+    disk fields, so the geometry the fluid sees lags the DEM by up to
+    k-1 steps (disks travel ~1e-3 cells/step; the stamp coverage is
+    itself only ~1e-2-accurate per cell - measured deltas in
+    docs/performance.md). The force reduce stays per inner step: phi at
+    interior cells is pointwise in the pre-collide planes, valid
+    through the whole cone, so the DEM gets a fresh force every step -
+    only the geometry is frozen. share_den is hoisted (frozen eps)."""
+    from lbmdem_tpu.ops.pallas_stamp import band_height, reduce_partials_banded
+
+    iy = pl.program_id(0)
+    ix = pl.program_id(1)
+    nty = pl.num_programs(0)
+    ntx = pl.num_programs(1)
+    lin = iy * ntx + ix
+    slot = jax.lax.rem(lin, jnp.int32(2))
+
+    def copies_for(step_lin, s):
+        y0, x0 = _tile_xy(step_lin, ntx, th, tw)
+        return _window_copies(
+            f_hbm, win.at[s], sems.at[s], y0, x0, th, tw, cfg.ny, cfg.nx,
+            prehalo, hy=hy,
+        ) + _window_copies(
+            s_hbm, swin.at[s], ssems.at[s], y0, x0, th, tw, cfg.ny, cfg.nx,
+            prehalo,
+        )
+
+    _pipeline_window(copies_for, lin, slot, nty * ntx)
+    edges = oye = None
+    if edge_ref is not None:
+        edges = tuple(edge_ref[0, 0, j] != 0 for j in range(4))
+        oye = edge_ref[0, 0, 4]
+    planes = [win[slot, i] for i in range(9)]
+    if planes[0].dtype != jnp.float32:
+        planes = [p.astype(jnp.float32) for p in planes]
+    pad = hy - _HY  # bf16 f window is 8 rows taller per side (see static multi)
+    sv = swin[slot]
+    if pad:
+        z = jnp.zeros((3, pad, tw + 2 * _HX), jnp.float32)
+        sv = jnp.concatenate([z, sv, z], axis=1)
+    eps_w, usx_w, usy_w = sv[0], sv[1], sv[2]
+    eps_t = jax.lax.slice(eps_w, (hy, _HX), (hy + th, _HX + tw))
+    share_den = 1.0 / jnp.maximum(eps_t, eps_min)
+    bh = band_height(cfg.window, th)
+    for t in range(k):
+        fpost, phi = _collide_window(planes, cfg, eps=eps_w, usx=usx_w,
+                                     usy=usy_w, shift=shift)
+        wscr[0] = jax.lax.slice(
+            phi[0], (hy, _HX), (hy + th, _HX + tw)) * share_den
+        wscr[1] = jax.lax.slice(
+            phi[1], (hy, _HX), (hy + th, _HX + tw)) * share_den
+        for s in range(sub):
+            x0f = (ix * tw + (s * 128 + ox)).astype(jnp.float32)
+            part_ref[0, t * sub + s] = reduce_partials_banded(
+                lambda i, s=s: data_ref[0, s, i],
+                cnt_ref[0, s, 0],
+                iy * th + oy,
+                x0f,
+                wscr,
+                s * 128,
+                th,
+                bh,
+                cap,
+                cfg,
+                max_ilp=_FUSED_REDUCE_ILP,
+            )
+        planes = _stream_and_bb_window(fpost, cfg, th, tw, iy, ix, nty,
+                                       ntx, edges=edges, shift=shift,
+                                       oy=oye, ny_glob=ny_glob or cfg.ny)
+    out_ref[:] = jnp.stack(
+        [jax.lax.slice(p, (hy, _HX), (hy + th, _HX + tw)) for p in planes]
+    ).astype(out_ref.dtype)
+
+
+def fused_step_imb_reduce_multi(
+    f: jax.Array,
+    solid: jax.Array,
+    cfg: SimConfig,
+    k: int,
+    tile_data: jax.Array,
+    counts: jax.Array,
+    out_buf: jax.Array = None,
+    prehalo=False,
+    origin: Tuple[int, int] = (0, 0),
+    edges: jax.Array = None,
+    ny_glob: int = 0,
+) -> Tuple[jax.Array, jax.Array]:
+    """k coupled LBM steps + per-inner-step hydro reduction in ONE HBM
+    round-trip (cfg.coupling_k temporal blocking for DYNAMIC coupled
+    scenes - the dynamic sibling of fused_step_imb_static_multi).
+
+    The solid stack (3, ny, nx) and the stamp binning are FROZEN for
+    the window (built from window-start disk positions by the caller);
+    the force reduce runs per inner step on that step's phi, so the
+    k DEM applications each get a fresh force. Returns
+    (f_new, partials (k, n_tiles*cap, 4)): feed partials[t] to
+    pallas_stamp.gather_partials for inner step t's forces.
+
+    prehalo/edges/ny_glob: multi-chip shards - ONE ppermute exchange
+    feeds the k steps (as in fused_step_fluid_multi), and global-edge
+    BB + Zou/He run in-kernel per inner step via the edge flags (the
+    inner steps are invisible to the caller). origin = (oy, ox) offsets
+    the reduce coordinates into the caller's stamp-canvas frame."""
+    from lbmdem_tpu.ops.imb import _EPS_MIN
+
+    fdt, hy, shift = _storage(cfg)
+    assert f.dtype == fdt
+    assert 1 <= k <= _HY, (
+        f"coupled temporal block k={k} exceeds the {_HY}-row solid halo"
+    )
+    th, tw = tile_dims(cfg, wide=True, coupled=True)
+    sub = tw // 128
+    nty, ntx = cfg.ny // th, cfg.nx // tw
+    n_tiles, one_, cap8 = tile_data.shape
+    cap = cap8 // 8
+    assert one_ == 1 and n_tiles == nty * ntx * sub
+    assert f.shape[1] == cfg.ny + (2 * hy if prehalo else 0)
+    assert f.shape[2] == cfg.nx + (2 * _HX if prehalo == "yx" else 0)
+    s_shape = (3, cfg.ny + (2 * _HY if prehalo else 0),
+               cfg.nx + (2 * _HX if prehalo == "yx" else 0))
+    assert solid.shape == s_shape, (solid.shape, s_shape)
+    assert (edges is not None) == bool(prehalo)
+    data3 = tile_data.reshape(nty * ntx, sub, cap8)
+    cnt3 = counts.reshape(nty * ntx, sub, 1)
+    kernel = functools.partial(
+        _imb_reduce_multi_kernel, cfg=cfg, th=th, tw=tw, cap=cap,
+        eps_min=_EPS_MIN, sub=sub, k=k, hy=hy, shift=shift,
+        prehalo=prehalo, oy=origin[0], ox=origin[1], ny_glob=ny_glob,
+    )
+    in_specs = [
+        pl.BlockSpec(memory_space=pl.ANY),
+        pl.BlockSpec(memory_space=pl.ANY),
+        pl.BlockSpec(
+            (1, sub, cap8), lambda i, j: (i * ntx + j, 0, 0),
+            memory_space=pltpu.SMEM,
+        ),
+        pl.BlockSpec(
+            (1, sub, 1), lambda i, j: (i * ntx + j, 0, 0),
+            memory_space=pltpu.SMEM,
+        ),
+    ]
+    operands = [f, solid.astype(jnp.float32), data3, cnt3]
+    if prehalo:
+        e = edges.astype(jnp.int32).reshape(-1)
+        e = jnp.concatenate([e, jnp.zeros((8 - e.shape[0],), jnp.int32)])
+        operands.append(e.reshape(1, 1, 8))
+        in_specs.append(
+            pl.BlockSpec((1, 1, 8), lambda i, j: (0, 0, 0),
+                         memory_space=pltpu.SMEM)
+        )
+        inner_e = kernel
+        kernel = (lambda f_hbm, s_hbm, dref, cref, eref, *rest:
+                  inner_e(f_hbm, s_hbm, dref, cref, *rest, edge_ref=eref))
+    aliases = {}
+    if out_buf is not None:
+        assert out_buf.shape == (9, cfg.ny, cfg.nx)
+        di = len(operands)
+        aliases = {di: 0}
+        operands.append(out_buf)
+        in_specs.append(pl.BlockSpec(memory_space=pl.ANY))
+        inner = kernel
+        kernel = lambda *args, _i=inner, _d=di: _i(*args[:_d], *args[_d + 1:])
+    fnew, partials = pl.pallas_call(
+        kernel,
+        grid=(nty, ntx),
+        in_specs=in_specs,
+        out_specs=(
+            pl.BlockSpec((9, th, tw), lambda i, j: (0, i, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, k * sub, cap, 4),
+                         lambda i, j: (i * ntx + j, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((9, cfg.ny, cfg.nx), fdt),
+            jax.ShapeDtypeStruct((nty * ntx, k * sub, cap, 4), jnp.float32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2, 9, th + 2 * hy, tw + 2 * _HX), fdt),
+            pltpu.VMEM((2, 3, th + 2 * _HY, tw + 2 * _HX), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, 9)),
+            pltpu.SemaphoreType.DMA((2, 9)),
+            pltpu.VMEM((2, th, tw), jnp.float32),  # banded-reduce wx/wy
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+            vmem_limit_bytes=96 * 2**20,
+        ),
+        input_output_aliases=aliases,
+        interpret=_interpret(),
+    )(*operands)
+    # (n_tiles, k*sub, cap, 4) -> (k, n_tiles*sub*cap, 4): inner step t's
+    # slab keeps the k=1 kernel's slot numbering (tile_s*cap + rank)
+    partials = partials.reshape(nty * ntx, k, sub, cap, 4)
+    partials = partials.transpose(1, 0, 2, 3, 4)
+    return fnew, partials.reshape(k, nty * ntx * sub * cap, 4)
 
 
 def _imb_kernel(

@@ -56,8 +56,9 @@ def tile_dims(cfg: SimConfig) -> Tuple[int, int]:
     parallel/_pallas_step.canvas_pads mirrors the row chain."""
     import os
 
-    th = next(t for t in (256, 128, 64, 32, 16, 8, 4, 2, 1)
-              if cfg.ny % t == 0)
+    rows = ((256, 128, 64, 32, 16, 8, 4, 2, 1) if cfg.coupling_k == 1
+            else (128, 64, 32, 16, 8, 4, 2, 1))  # mirror the kernel chain
+    th = next(t for t in rows if cfg.ny % t == 0)
     tw = next(t for t in (128, 64, 32, 16, 8, 4, 2, 1) if cfg.nx % t == 0)
     # the fused coupled kernel requires stamp tile rows == LATTICE tile
     # rows (its (nty*ntx, sub) reshape of the binning assumes one stamp

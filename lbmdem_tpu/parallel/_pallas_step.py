@@ -45,7 +45,7 @@ _HY = 8  # halo rows exchanged (f32 kernel sublane DMA granule)
 _HX = 128  # halo cols exchanged for 2D meshes (lane DMA granule)
 
 
-def canvas_pads(h: int, two_d: bool):
+def canvas_pads(h: int, two_d: bool, coupling_k: int = 1):
     """(pady, padx) of the sharded stamp canvas.
 
     pady = the local COUPLED lattice-tile height (largest of
@@ -61,7 +61,9 @@ def canvas_pads(h: int, two_d: bool):
     window is a plain row slice of the canvas."""
     import os
 
-    pady = next(t for t in (256, 128, 64, 32, 16, 8) if h % t == 0)
+    rows = ((256, 128, 64, 32, 16, 8) if coupling_k == 1
+            else (128, 64, 32, 16, 8))  # mirror the kernel chain
+    pady = next(t for t in rows if h % t == 0)
     th_env = os.environ.get("LBMDEM_TH")
     if th_env and h % int(th_env) == 0:
         pady = int(th_env)
@@ -114,7 +116,7 @@ def _build(cfg: SimConfig, grid, mesh, h: int, w: int, dem_axis: str,
         # replicated), the global->local canvas shift places them inside
         # the apron, and the binning drops out-of-canvas tiles. Fluid
         # periodicity comes free from the ppermute halo ring.
-        pady, padx = canvas_pads(h, two_d)
+        pady, padx = canvas_pads(h, two_d, cfg.coupling_k)
         canvas_cfg = cfg.replace(ny=h + 2 * pady, nx=w + 2 * padx)
         th_s, tw_s = pallas_stamp.tile_dims(canvas_cfg)
         assert th_s == pady and tw_s == 128, (
@@ -365,6 +367,108 @@ def _build(cfg: SimConfig, grid, mesh, h: int, w: int, dem_axis: str,
             fail_step=state.fail_step,
         )
 
+    def coupled_window_step(state: SimState, f_scratch, ctx,
+                            k: int) -> SimState:
+        """k coupled steps per exchange (cfg.coupling_k, the dynamic
+        sibling of static_step): ONE ppermute exchange + ONE canvas
+        stamp feed k fused inner steps over frozen window-start solid
+        fields; the per-inner-step force partials psum once as a
+        stacked (k, ...) tensor and drive k sequential DEM
+        applications. Global-edge BB + Zou/He run IN-KERNEL via the
+        mesh-position flags (inner steps are invisible out here), so
+        the external edge fixups are skipped - exactly the static
+        hoist's contract. ctx is the Verlet-cadence rebuild
+        (make_sharded_coupled_chunk)."""
+        d = state.disks
+        n_real = d.x.shape[0]
+        f_ext = exchange(state.f)
+
+        oy_g = (jax.lax.axis_index("y") * h).astype(jnp.float32)
+        ox_g = (jax.lax.axis_index("x") * w).astype(jnp.float32)
+        shift_c = jnp.stack([ox_g - padx, oy_g - pady]).astype(d.x.dtype)
+
+        lists, counts_c, entries_i, x_bin, gparent, gaxes = ctx
+        travel2 = jnp.where(
+            d.active, jnp.sum((d.x - x_bin) ** 2, axis=-1), 0.0
+        )
+        bovf = jnp.sum(travel2 > float(BIN_MARGIN) ** 2, dtype=jnp.int32)
+        if periodic_dem:
+            xa, va, oma, ra, acta = imb.apply_ghosts(
+                gparent, gaxes, d.x, d.v, d.omega, d.r, d.active, cfg
+            )
+        else:
+            xa, va, oma, ra, acta = d.x, d.v, d.omega, d.r, d.active
+        xloc = xa - shift_c[None, :]
+
+        tile_data = pallas_stamp.gather_tile_data(
+            lists, xloc, va, oma, ra, acta
+        )
+        solid, _ = pallas_stamp.stamp_solid_fraction(
+            xloc, va, oma, ra, acta, canvas_cfg,
+            binned=(tile_data, counts_c, None, None), as_stack=True,
+        )
+        solid = mask_open_canvas(solid)
+        td_i = tile_data.reshape(nty_c, ntx_c, cap * 8)[
+            oy_t : oy_t + nty_i, ox_t : ox_t + ntx_i
+        ].reshape(nty_i * ntx_i, 1, cap * 8)
+        cnt_i = counts_c.reshape(nty_c, ntx_c)[
+            oy_t : oy_t + nty_i, ox_t : ox_t + ntx_i
+        ].reshape(nty_i * ntx_i, 1, 1)
+        s_k = solid[:, pady - _HY : pady + h + _HY, :]
+        iy_m = jax.lax.axis_index("y")
+        ix_m = jax.lax.axis_index("x")
+        edges = jnp.stack(
+            [(iy_m == 0).astype(jnp.int32),
+             (iy_m == ny_sh - 1).astype(jnp.int32),
+             (ix_m == 0).astype(jnp.int32),
+             (ix_m == nx_sh - 1).astype(jnp.int32),
+             (iy_m * h).astype(jnp.int32)]
+        )
+        fnew, partials = pallas_lbm.fused_step_imb_reduce_multi(
+            f_ext, s_k, local_cfg, k, td_i, cnt_i, out_buf=f_scratch,
+            prehalo=prehalo, origin=(pady, padx), edges=edges,
+            ny_glob=cfg.ny,
+        )
+        # per-inner-step forces: gather shard-locally (small), then ONE
+        # stacked psum over the mesh for all k steps
+        fh_p = []
+        th_p = []
+        for t in range(k):
+            fh_t, th_t = pallas_stamp.gather_partials(
+                partials[t], entries_i, d.x.dtype
+            )
+            fh_p.append(fh_t)
+            th_p.append(th_t)
+        fh_k = jax.lax.psum(jnp.stack(fh_p), ("y", "x"))
+        th_k = jax.lax.psum(jnp.stack(th_p), ("y", "x"))
+        disks = d
+        ovf = bovf
+        nc = state.n_contacts
+        for t in range(k):
+            fh, th = fh_k[t], th_k[t]
+            if periodic_dem:
+                fh, th = imb.fold_ghost_forces(fh, th, gparent, n_real)
+            if use_slab_dem:
+                from lbmdem_tpu.ops import pallas_dem
+
+                disks, ovf_t, nc = pallas_dem.dem_subcycle(
+                    disks, fh, th, grid, cfg, dem_axis
+                )
+            else:
+                disks, ovf_t, nc = dem.dem_subcycle(disks, fh, th, grid,
+                                                    cfg)
+            ovf = jnp.maximum(ovf, ovf_t)
+        if cfg.bc_west == "inlet":
+            disks = dem.cull_open_boundaries(disks, cfg)
+        return SimState(
+            f=fnew,
+            disks=disks,
+            step=state.step + k,
+            overflow=jnp.maximum(state.overflow, ovf),
+            n_contacts=nc,
+            fail_step=state.fail_step,
+        )
+
     def static_step(state: SimState, f_scratch, s_k, k) -> SimState:
         """k all-fixed-at-rest coupled steps per exchange: the kernel
         solid window arrives as a sharded loop constant
@@ -470,8 +574,9 @@ def _build(cfg: SimConfig, grid, mesh, h: int, w: int, dem_axis: str,
         return state._replace(f=fnew, step=state.step + 1)
 
     if not coupled:
-        return local_step, None, None, None
-    return local_step, coupled_step, static_step, static_prep
+        return local_step, None, None, None, None
+    return (local_step, coupled_step, static_step, static_prep,
+            coupled_window_step)
 
 
 def make_sharded_step_pallas(cfg: SimConfig, grid, mesh, h: int, w: int,
@@ -479,7 +584,7 @@ def make_sharded_step_pallas(cfg: SimConfig, grid, mesh, h: int, w: int,
     from lbmdem_tpu.simulation import SimState
     from lbmdem_tpu.parallel.sharding import state_specs
 
-    local_step, _, _, _ = _build(cfg, grid, mesh, h, w, dem_axis,
+    local_step, _, _, _, _ = _build(cfg, grid, mesh, h, w, dem_axis,
                                  temporal_k)
     specs = state_specs()
     # check_vma=False: pallas_call outputs carry no varying-axis metadata
@@ -525,10 +630,12 @@ def make_sharded_coupled_chunk(cfg: SimConfig, grid, mesh, h: int, w: int,
 
     assert cfg.max_disks > 0 and cfg.paranoia_mode != "step"
     par_chunk = cfg.paranoia_mode == "chunk"
-    _, coupled_step, _, _ = _build(cfg, grid, mesh, h, w, dem_axis, 1)
+    _, coupled_step, _, _, coupled_window_step = _build(
+        cfg, grid, mesh, h, w, dem_axis, 1
+    )
     periodic_dem = bool(cfg.wrap_lx or cfg.wrap_ly)
     two_d = mesh.shape["x"] > 1
-    pady, padx = canvas_pads(h, two_d)
+    pady, padx = canvas_pads(h, two_d, cfg.coupling_k)
     canvas_cfg = cfg.replace(ny=h + 2 * pady, nx=w + 2 * padx)
     th_s, _ = pallas_stamp.tile_dims(canvas_cfg)
     nty_c, ntx_c = canvas_cfg.ny // th_s, canvas_cfg.nx // 128
@@ -568,8 +675,24 @@ def make_sharded_coupled_chunk(cfg: SimConfig, grid, mesh, h: int, w: int,
         )
         st = st._replace(overflow=jnp.maximum(st.overflow, bovf))
         ctx = (lists, counts_c, entries_i, d.x, gparent, gaxes)
-        st, scr = pingpong_loop(lambda s, sc: coupled_step(s, sc, ctx),
-                                st, scr, k)
+        ck = cfg.coupling_k
+        if ck > 1:
+            # coupling-cadence temporal blocking: k//ck fused windows
+            # (one exchange + one stamp each, per-inner-step forces),
+            # per-step remainder
+            nwin, rem = divmod(k, ck)
+            if nwin:
+                st, scr = pingpong_loop(
+                    lambda s, sc: coupled_window_step(s, sc, ctx, ck),
+                    st, scr, nwin,
+                )
+            if rem:
+                st, scr = pingpong_loop(
+                    lambda s, sc: coupled_step(s, sc, ctx), st, scr, rem
+                )
+        else:
+            st, scr = pingpong_loop(lambda s, sc: coupled_step(s, sc, ctx),
+                                    st, scr, k)
         if par_chunk:
             # shard-local validity, pmin'd so every shard freezes (or
             # not) identically; fail_step = block-end step
@@ -625,7 +748,7 @@ def make_sharded_static_chunk(cfg: SimConfig, grid, mesh, h: int, w: int,
 
     assert cfg.max_disks > 0 and cfg.paranoia_mode != "step"
     par_chunk = cfg.paranoia_mode == "chunk"
-    _, _, static_step, static_prep = _build(cfg, grid, mesh, h, w,
+    _, _, static_step, static_prep, _ = _build(cfg, grid, mesh, h, w,
                                             dem_axis, 1)
     specs = state_specs()
     solid_spec = P(None, "y", "x")

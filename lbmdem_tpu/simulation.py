@@ -240,7 +240,7 @@ def pallas_supported(cfg: SimConfig, mesh=None) -> Optional[str]:
 def make_step_fn(
     cfg: SimConfig, grid: Optional[DemGrid], use_pallas: bool = False,
     tile_lists=None, dem_axis: str = "y", temporal_k: int = 1,
-    dem_mode: str = "subcycle",
+    dem_mode: str = "subcycle", coupling_k: int = 1,
 ) -> Callable[[SimState], SimState]:
     """Build the fused per-step function (SURVEY SS3.2 rebuilt).
 
@@ -292,6 +292,128 @@ def make_step_fn(
             z = jnp.zeros((), jnp.int32)
             return nd, z, z
         return dem.dem_subcycle(d, fh, th, grid, cfg)
+
+    if coupled and coupling_k > 1:
+        # coupling-cadence temporal blocking (cfg.coupling_k): k LBM
+        # steps per fused-kernel pass over FROZEN window-start solid
+        # fields; the per-inner-step force reduce feeds k sequential
+        # DEM applications, so only the geometry the fluid sees lags
+        # (< k steps ~ k*|v| cells). The returned step advances k
+        # steps per call (chunk drivers divide their step budget by k;
+        # open-boundary culling moves to the window end).
+        ck = coupling_k
+
+        def step(state: SimState, f_scratch=None) -> SimState:
+            d = state.disks
+            n_real = d.x.shape[0]
+            govf = jnp.zeros((), jnp.int32)
+            gparent = gaxes = aug = None
+            bovf = govf
+            if tile_lists is not None:
+                lists, counts, entry_slots, x_bin, gparent, gaxes = (
+                    tile_lists
+                )
+                travel2 = jnp.where(
+                    d.active, jnp.sum((d.x - x_bin) ** 2, axis=-1), 0.0
+                )
+                bovf = jnp.sum(
+                    travel2 > float(BIN_MARGIN) ** 2, dtype=jnp.int32
+                )
+            elif periodic_dem:
+                xw, aug, gparent, gaxes, govf = imb.periodic_ghosts(
+                    d.x, d.v, d.omega, d.r, d.active, cfg
+                )
+                d = d._replace(x=xw)
+                bovf = govf
+            # window-start coupling inputs, frozen for the k inner steps
+            if not periodic_dem:
+                xa, va, oma, ra, acta = d.x, d.v, d.omega, d.r, d.active
+            elif aug is not None:
+                xa, va, oma, ra, acta = aug
+            else:
+                xa, va, oma, ra, acta = imb.apply_ghosts(
+                    gparent, gaxes, d.x, d.v, d.omega, d.r, d.active, cfg
+                )
+            if use_pallas:
+                if tile_lists is None:
+                    lists, counts, entry_slots, bovf = (
+                        pallas_stamp.build_tile_lists(xa, acta, cfg)
+                    )
+                    bovf = jnp.maximum(bovf, govf)
+                tile_data = pallas_stamp.gather_tile_data(
+                    lists, xa, va, oma, ra, acta
+                )
+                solid, _ = pallas_stamp.stamp_solid_fraction(
+                    xa, va, oma, ra, acta, cfg,
+                    binned=(tile_data, counts, None, None), as_stack=True,
+                )
+                if open_cull:
+                    solid = solid.at[:, :, 0].set(0.0).at[:, :, -1].set(0.0)
+                fnew, parts = pallas_lbm.fused_step_imb_reduce_multi(
+                    state.f, solid, cfg, ck, tile_data, counts,
+                    out_buf=f_scratch,
+                )
+                forces = []
+                for t in range(ck):
+                    fh, tq = pallas_stamp.gather_partials(
+                        parts[t], entry_slots, d.x.dtype
+                    )
+                    if periodic_dem:
+                        fh, tq = imb.fold_ghost_forces(fh, tq, gparent,
+                                                       n_real)
+                    forces.append((fh, tq))
+            else:
+                # oracle of the SAME windowed semantics (parity target
+                # for the kernel; storage converts at window boundaries
+                # only, matching the in-kernel f32 planes)
+                eps, usx, usy = imb.stamp_solid_fraction(
+                    xa, va, oma, ra, acta, cfg
+                )
+                if open_cull:
+                    eps, usx, usy = imb.mask_open_columns(eps, usx, usy)
+                fs = lbm.from_storage(state.f, cfg)
+                forces = []
+                for t in range(ck):
+                    fpost, phix, phiy = imb.collide_imb(fs, eps, usx, usy,
+                                                        cfg)
+                    fs = lbm.apply_open_boundaries(
+                        lbm.apply_bounce_back(lbm.stream(fpost), fpost,
+                                              cfg), cfg
+                    )
+                    fh, tq = imb.reduce_hydro_forces(
+                        xa, ra, acta, eps, phix, phiy, cfg
+                    )
+                    if periodic_dem:
+                        fh, tq = imb.fold_ghost_forces(fh, tq, gparent,
+                                                       n_real)
+                    forces.append((fh, tq))
+                fnew = lbm.to_storage(fs, cfg)
+            dd = d
+            ovf = bovf
+            nc = state.n_contacts
+            for t in range(ck):
+                if use_pallas and use_slab_dem:
+                    dd, ovf_t, nc = pallas_dem.dem_subcycle(
+                        dd, forces[t][0], forces[t][1], grid, cfg, dem_axis
+                    )
+                else:
+                    dd, ovf_t, nc = advance_disks(dd, forces[t][0],
+                                                  forces[t][1])
+                ovf = jnp.maximum(ovf, ovf_t)
+            if open_cull:
+                dd = dem.cull_open_boundaries(dd, cfg)
+            return SimState(
+                f=fnew,
+                disks=dd,
+                step=state.step + ck,
+                overflow=jnp.maximum(state.overflow, ovf),
+                n_contacts=nc,
+                fail_step=state.fail_step,
+            )
+
+        if cfg.paranoia:
+            step = paranoid_wrap(step, cfg)
+        return step
 
     def step(state: SimState, f_scratch=None) -> SimState:
         if coupled:
@@ -490,6 +612,27 @@ class Simulation:
             reason = pallas_supported(cfg, mesh)
             if reason is not None:
                 raise ValueError(f"use_pallas=True unsupported: {reason}")
+        if cfg.coupling_k > 1 and cfg.max_disks > 0:
+            # coupling-cadence temporal blocking is a fused-kernel chunk
+            # structure: run() engages it per BIN_CADENCE block;
+            # step() stays exact per-step coupling
+            if not use_pallas:
+                raise ValueError(
+                    "coupling_k > 1 needs use_pallas=True (it is a fused-"
+                    "kernel chunk structure; the oracle windowed step "
+                    "exists for parity testing via make_step_fn only)"
+                )
+            if cfg.paranoia_mode == "step":
+                raise ValueError(
+                    "coupling_k > 1 conflicts with paranoia='step' "
+                    "(per-step validation forces per-step coupling); "
+                    "use paranoia='chunk'"
+                )
+            if BIN_CADENCE % cfg.coupling_k:
+                raise ValueError(
+                    f"coupling_k {cfg.coupling_k} must divide the "
+                    f"binning cadence ({BIN_CADENCE})"
+                )
         if mesh is not None and cfg.f_storage != "float32" and not use_pallas:
             # Only the sharded Pallas paths handle shifted bf16 storage
             # (16-row prehalo exchange + in-kernel shift + storage-aware
@@ -702,15 +845,35 @@ class Simulation:
                         )
                     )
                     st = st._replace(overflow=jnp.maximum(st.overflow, bovf))
-                    kstep = make_step_fn(
-                        step_cfg, grid, True,
-                        tile_lists=(lists, counts, entry_slots, d.x,
-                                    gparent, gaxes),
-                        dem_axis=self.dem_axis,
-                        dem_mode=self.dem_mode,
-                    )
+                    tl = (lists, counts, entry_slots, d.x, gparent, gaxes)
+                    ck = cfg.coupling_k
                     # odd k only in the trailing (outside-while) call
-                    st, scr = pingpong_loop(kstep, st, scr, k)
+                    if ck > 1:
+                        # coupling-cadence temporal blocking: k//ck fused
+                        # windows (frozen solid fields, per-inner-step
+                        # forces), per-step remainder
+                        nwin, rem = divmod(k, ck)
+                        if nwin:
+                            wstep = make_step_fn(
+                                step_cfg, grid, True, tile_lists=tl,
+                                dem_axis=self.dem_axis,
+                                dem_mode=self.dem_mode, coupling_k=ck,
+                            )
+                            st, scr = pingpong_loop(wstep, st, scr, nwin)
+                        if rem:
+                            kstep = make_step_fn(
+                                step_cfg, grid, True, tile_lists=tl,
+                                dem_axis=self.dem_axis,
+                                dem_mode=self.dem_mode,
+                            )
+                            st, scr = pingpong_loop(kstep, st, scr, rem)
+                    else:
+                        kstep = make_step_fn(
+                            step_cfg, grid, True, tile_lists=tl,
+                            dem_axis=self.dem_axis,
+                            dem_mode=self.dem_mode,
+                        )
+                        st, scr = pingpong_loop(kstep, st, scr, k)
                     if par_chunk:
                         st = paranoid_commit(st_in, st, state_ok(cfg, st))
                     return st, scr

@@ -302,6 +302,123 @@ def test_coupled_bf16_matches_oracle_emulation():
                                rtol=1e-4, atol=1e-6)
 
 
+def _window_scene(**overrides):
+    from lbmdem_tpu.config import DiskSpec
+    from lbmdem_tpu.simulation import Simulation
+
+    kw = dict(nx=128, ny=64, tau=0.8, dtype="float32", g_py=-1e-4,
+              buoyancy=True, rho_s=2.0, kn=0.5, gamma_n=0.5, n_sub=5,
+              bc_west="wall", bc_east="wall")
+    kw.update(overrides)
+    cfg = SimConfig(**kw)
+    disks = [DiskSpec(40.0, 40.0, 3.0), DiskSpec(70.2, 30.1, 2.5, vx=0.01),
+             DiskSpec(100.0, 50.0, 2.0, omega=0.004)]
+    return Simulation(cfg, disks, use_pallas=True)
+
+
+def test_coupled_window_matches_windowed_oracle():
+    """coupling_k temporal blocking: the fused k-step window kernel
+    (fused_step_imb_reduce_multi - frozen window-start solid fields,
+    per-inner-step force reduce feeding k DEM applications) vs the
+    plain-JAX windowed oracle (make_step_fn(use_pallas=False,
+    coupling_k=k)) running the SAME frozen-field algorithm - parity is
+    tight because the physics approximation is identical on both
+    sides; the approximation itself is measured against per-step
+    coupling in test_coupling_k_settling_delta."""
+    from lbmdem_tpu.simulation import make_step_fn
+
+    sim = _window_scene()
+    k = 2  # k=4 runs in the slow chunk/variant tests (interpret cost ~ k)
+    sk = jax.jit(make_step_fn(sim.cfg, sim.grid, True,
+                              dem_axis=sim.dem_axis, dem_mode=sim.dem_mode,
+                              coupling_k=k))(sim.state)
+    so = jax.jit(make_step_fn(sim.cfg, sim.grid, False,
+                              dem_axis=sim.dem_axis, dem_mode=sim.dem_mode,
+                              coupling_k=k))(sim.state)
+    assert int(sk.step) == k and int(so.step) == k
+    assert int(sk.overflow) == 0
+    np.testing.assert_allclose(np.asarray(sk.f), np.asarray(so.f),
+                               rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(sk.disks.x),
+                               np.asarray(so.disks.x), rtol=0, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(sk.disks.v),
+                               np.asarray(so.disks.v), rtol=1e-5, atol=1e-7)
+
+
+@pytest.mark.slow  # interpret-mode fused coupled window variants
+@pytest.mark.parametrize("overrides", [
+    dict(f_storage="bfloat16"),                      # storage converts at window ends
+    dict(bc_west="inlet", bc_east="outlet", u_inlet=0.05,
+         inlet_profile="poiseuille"),                # Zou/He per inner step
+    dict(bc_west="periodic", bc_east="periodic"),    # ghosts frozen per window
+    dict(collision="trt"),
+])
+def test_coupled_window_variants_match_windowed_oracle(overrides):
+    from lbmdem_tpu.simulation import make_step_fn
+
+    sim = _window_scene(**overrides)
+    k = 2
+    sk = jax.jit(make_step_fn(sim.cfg, sim.grid, True,
+                              dem_axis=sim.dem_axis, dem_mode=sim.dem_mode,
+                              coupling_k=k))(sim.state)
+    so = jax.jit(make_step_fn(sim.cfg, sim.grid, False,
+                              dem_axis=sim.dem_axis, dem_mode=sim.dem_mode,
+                              coupling_k=k))(sim.state)
+    bf16 = overrides.get("f_storage") == "bfloat16"
+    np.testing.assert_allclose(np.asarray(sk.f, np.float32),
+                               np.asarray(so.f, np.float32),
+                               rtol=1e-6, atol=3e-4 if bf16 else 1e-6)
+    np.testing.assert_allclose(np.asarray(sk.disks.x),
+                               np.asarray(so.disks.x), rtol=0, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(sk.disks.v),
+                               np.asarray(so.disks.v), rtol=1e-4, atol=1e-6)
+
+
+@pytest.mark.slow  # ~2 interpret-mode chunk builds
+def test_coupling_k_simulation_chunk():
+    """Simulation(coupling_k=8) drives whole cadence blocks through the
+    window kernel (one k=8 window per rebuild - the bf16+ramp
+    production tier's k) plus a per-step remainder; trajectories stay
+    physically close to per-step coupling (the geometry lag is
+    < k * |v| cells) and the step count is exact. k=2 has the quick
+    parity test, k=4 the sharded ones."""
+    from lbmdem_tpu.config import DiskSpec
+    from lbmdem_tpu.simulation import Simulation
+
+    kw = dict(nx=128, ny=64, tau=0.8, dtype="float32", g_py=-1e-4,
+              buoyancy=True, rho_s=2.0, kn=0.5, gamma_n=0.5, n_sub=5,
+              bc_west="wall", bc_east="wall")
+    disks = [DiskSpec(40.0, 40.0, 3.0), DiskSpec(100.0, 50.0, 2.0)]
+    n = 19  # 2 cadence blocks + 3 remainder steps
+    simw = Simulation(SimConfig(**kw, coupling_k=8), disks, use_pallas=True)
+    simw.state = simw._chunk_fn(n)(simw.state)
+    simp = Simulation(SimConfig(**kw), disks, use_pallas=True)
+    simp.state = simp._chunk_fn(n)(simp.state)
+    assert int(simw.state.step) == n
+    assert int(simw.state.overflow) == 0
+    np.testing.assert_allclose(np.asarray(simw.state.disks.x),
+                               np.asarray(simp.state.disks.x),
+                               rtol=0, atol=0.05)
+    assert bool(jnp.all(jnp.isfinite(simw.state.f)))
+
+
+def test_coupling_k_validation():
+    from lbmdem_tpu.config import DiskSpec
+    from lbmdem_tpu.simulation import Simulation
+
+    with pytest.raises(ValueError, match="coupling_k"):
+        SimConfig(nx=64, ny=32, coupling_k=3)  # not a divisor of 8
+    with pytest.raises(ValueError, match="coupling_k"):
+        SimConfig(nx=64, ny=32, coupling_k=16)  # beyond the solid halo
+    cfg = SimConfig(nx=128, ny=64, tau=0.8, coupling_k=4, rho_s=2.0,
+                    bc_west="wall", bc_east="wall")
+    with pytest.raises(ValueError, match="use_pallas"):
+        Simulation(cfg, [DiskSpec(40.0, 40.0, 3.0)])
+    with pytest.raises(ValueError, match="paranoia"):
+        Simulation(cfg.replace(paranoia="step"), [DiskSpec(40.0, 40.0, 3.0)],
+                   use_pallas=True)
+
+
 def test_fused_imb_matches_oracle():
     cfg = SimConfig(nx=128, ny=32, tau=0.8, dtype="float32", max_disks=1,
                     window=13, bc_west="wall", bc_east="wall", gy=-1e-5)

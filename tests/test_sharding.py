@@ -390,6 +390,40 @@ def test_pallas_sharded_coupled_256row_tiles():
                                np.asarray(ssh.disks.v), rtol=0, atol=1e-7)
 
 
+@pytest.mark.slow  # interpret-mode fused window kernel inside shard_map
+@pytest.mark.parametrize("meshdims", [(2, 1), (2, 2)])
+def test_pallas_sharded_coupling_k_matches_single_chip(meshdims):
+    """cfg.coupling_k on a mesh: the sharded cadence chunk runs the
+    k-step window kernel inside shard_map (ONE ppermute exchange + ONE
+    canvas stamp per window, per-inner-step forces psum'd as a stacked
+    tensor, global-edge BB in-kernel). Trajectories must match the
+    single-chip windowed chunk - the same frozen-field algorithm, so
+    only binning/psum reduction-order noise separates them."""
+    mesh = _mesh(*meshdims)
+    cfg = SimConfig(nx=256, ny=128, tau=0.8, dtype="float32", g_py=-1e-4,
+                    buoyancy=True, rho_s=2.0, kn=0.5, gamma_n=0.5, n_sub=5,
+                    bc_west="wall", bc_east="wall", coupling_k=4)
+    disks = [
+        DiskSpec(64.0, 64.0, 3.0),            # straddles the y shard seam
+        DiskSpec(130.2, 40.1, 2.5, vx=0.01),  # near the 2D x seam
+    ]
+    n = 8  # one cadence block = two k=4 windows
+    sim1 = Simulation(cfg, disks, use_pallas=True)
+    sim1.state = sim1._chunk_fn(n)(sim1.state)
+    simm = Simulation(cfg, disks, use_pallas=True, mesh=mesh)
+    simm.state = simm._chunk_fn(n)(simm.state)
+    assert int(simm.state.step) == n
+    assert int(simm.state.overflow) == 0
+    np.testing.assert_allclose(np.asarray(sim1.state.f),
+                               np.asarray(simm.state.f), rtol=0, atol=2e-6)
+    np.testing.assert_allclose(np.asarray(sim1.state.disks.x),
+                               np.asarray(simm.state.disks.x),
+                               rtol=0, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(sim1.state.disks.v),
+                               np.asarray(simm.state.disks.v),
+                               rtol=0, atol=1e-7)
+
+
 @pytest.mark.slow  # ~80 s interpret-mode; (4,1) coupled covers the quick lane
 def test_pallas_sharded_coupled_axis_x_matches():
     """Simulation(mesh=...) with a narrow disk column picks the

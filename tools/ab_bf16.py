@@ -42,16 +42,23 @@ def parity_probe():
     assert d < 5e-4, "COMPILED BF16 PARITY FAILURE"
 
 
-def bench_coupled(storage, chunk=100, repeats=3):
+def bench_coupled(storage, chunk=100, repeats=3, coupling_k=1,
+                  eps_method=None):
     from lbmdem_tpu.models import column_collapse
     from lbmdem_tpu.simulation import Simulation
 
     cfg, disks = column_collapse(nx=4096, ny=4096, n_disks=10000)
-    cfg = cfg.replace(out_interval=10**9, f_storage=storage)
+    cfg = cfg.replace(out_interval=10**9, f_storage=storage,
+                      coupling_k=coupling_k)
+    if eps_method:
+        cfg = cfg.replace(eps_method=eps_method)
+    label = storage + (f"/{eps_method}" if eps_method else "")
+    if coupling_k > 1:
+        label += f"/k={coupling_k}"
     sim = Simulation(cfg, disks, use_pallas=True)
     t0 = time.perf_counter()
     sim.run(chunk)
-    print(f"  {storage}: compile+first {time.perf_counter() - t0:.0f}s",
+    print(f"  {label}: compile+first {time.perf_counter() - t0:.0f}s",
           flush=True)
     best = 1e9
     for _ in range(repeats):
@@ -59,7 +66,7 @@ def bench_coupled(storage, chunk=100, repeats=3):
         sim.run(chunk)
         best = min(best, time.perf_counter() - t0)
     mlups = 4096 * 4096 * chunk / best / 1e6
-    print(f"  {storage}: {best / chunk * 1e3:.3f} ms/step = {mlups:.0f} MLUPS",
+    print(f"  {label}: {best / chunk * 1e3:.3f} ms/step = {mlups:.0f} MLUPS",
           flush=True)
     return mlups
 

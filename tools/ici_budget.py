@@ -231,6 +231,13 @@ def main(argv=None):
     worst = max(worst, row("fused-Pallas f32 + temporal k=8",
                            ny, nx, mesh, temporal_k=8,
                            mlups_chip=args.mlups))
+    # coupling-cadence windows amortize the COUPLED halo exchange the
+    # same k-fold way (one ppermute feeds the k-step window kernel);
+    # the per-disk force psum moves the same bytes/step either way
+    # (one stacked (k, N, 3) all-reduce per window vs k per-step ones)
+    worst = max(worst, row("fused-Pallas coupled + coupling_k=8",
+                           ny, nx, mesh, temporal_k=8,
+                           mlups_chip=args.mlups))
     h, w = ny // ny_sh, nx // nx_sh
     yb, xb = xla_bytes(h, w, 8)
     print(f"{'XLA sharded f64 (width-1, 3 pops/face)':<44} {h}x{w:<6} "
