@@ -249,8 +249,11 @@ def main():
         # tax outgrows the halved residual traffic); bf16+ramp keeps
         # improving to k=8 (3061 - its traffic share is larger and the
         # ramp chains keep the inlined kernel small, compile ~101 s)
-        (4096, 4096, 10000, 100, 3, 420, "float32", "sample", 4),
-        (4096, 4096, 10000, 100, 3, 380, "bfloat16", "ramp", 8),
+        # chunk lengths for k=8 stages are cadence-multiples (96/48):
+        # a BIN_CADENCE remainder not divisible by ck would compile the
+        # k=1 coupled kernel into the same program just for the tail
+        (4096, 4096, 10000, 96, 3, 420, "float32", "sample", 4),
+        (4096, 4096, 10000, 96, 3, 380, "bfloat16", "ramp", 8),
         (4096, 4096, 10000, 100, 3, 320, "bfloat16", "sample", 1),
         # 8192^2 showcase tiers, plain f32 FIRST (r3 lost this line to
         # the time guard because the bf16+ramp tier ran before it). At
@@ -260,7 +263,7 @@ def main():
         # needed for the f32 compile alone at th=64
         (8192, 8192, 40000, 50, 2, 900, "float32", "sample", 1),
         (8192, 8192, 40000, 50, 2, 600, "bfloat16", "ramp", 1),
-        (8192, 8192, 40000, 50, 2, 800, "bfloat16", "ramp", 8),
+        (8192, 8192, 40000, 48, 2, 700, "bfloat16", "ramp", 8),
     ]
     only = os.environ.get("BENCH_ONLY")  # e.g. "4096" to skip warmup stages
     if only:

@@ -301,6 +301,12 @@ def make_step_fn(
         # (< k steps ~ k*|v| cells). The returned step advances k
         # steps per call (chunk drivers divide their step budget by k;
         # open-boundary culling moves to the window end).
+        # NOTE: the ghost/binning selection below mirrors the per-step
+        # path's `augmented(d)` closure and tile_lists contract (see
+        # the per-step step() further down) - the same invariants bind
+        # BOTH copies: positions must NOT re-wrap mid-cadence, and the
+        # tile lists carry BIN_MARGIN slack validated by the travel
+        # check. Fix ghost handling in one, fix it in the other.
         ck = coupling_k
 
         def step(state: SimState, f_scratch=None) -> SimState:

@@ -424,6 +424,42 @@ def test_pallas_sharded_coupling_k_matches_single_chip(meshdims):
                                rtol=0, atol=1e-7)
 
 
+@pytest.mark.slow  # interpret-mode fused window kernel inside shard_map
+def test_pallas_sharded_coupling_k_openbc_bf16():
+    """The two machineries unique to the sharded coupled WINDOW path
+    in one scene: in-kernel Zou/He per inner step (the k=1 coupled_step
+    applies open boundaries in an EXTERNAL fixup, so the window kernel's
+    in-kernel closure with the global row offset is new behavior on the
+    coupled path) and bf16 f-storage (16-row prehalo granule + storage
+    shift through the window). Must match the single-chip windowed
+    chunk at bf16 tolerance."""
+    mesh = _mesh(2, 1)
+    cfg = SimConfig(nx=128, ny=128, tau=0.8, dtype="float32", g_py=-1e-4,
+                    buoyancy=True, rho_s=2.0, kn=0.5, gamma_n=0.5, n_sub=3,
+                    bc_west="inlet", bc_east="outlet", u_inlet=0.05,
+                    inlet_profile="poiseuille", f_storage="bfloat16",
+                    coupling_k=2)
+    disks = [
+        DiskSpec(64.0, 64.0, 3.0),           # straddles the shard seam
+        DiskSpec(40.2, 40.1, 2.5, vx=0.01),
+    ]
+    n = 8  # one cadence block = four k=2 windows
+    sim1 = Simulation(cfg, disks, use_pallas=True)
+    sim1.state = sim1._chunk_fn(n)(sim1.state)
+    simm = Simulation(cfg, disks, use_pallas=True, mesh=mesh)
+    simm.state = simm._chunk_fn(n)(simm.state)
+    assert int(simm.state.step) == n
+    np.testing.assert_allclose(np.asarray(sim1.state.f, np.float32),
+                               np.asarray(simm.state.f, np.float32),
+                               rtol=0, atol=3e-4)
+    np.testing.assert_allclose(np.asarray(sim1.state.disks.x),
+                               np.asarray(simm.state.disks.x),
+                               rtol=0, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(sim1.state.disks.v),
+                               np.asarray(simm.state.disks.v),
+                               rtol=0, atol=1e-5)
+
+
 @pytest.mark.slow  # ~80 s interpret-mode; (4,1) coupled covers the quick lane
 def test_pallas_sharded_coupled_axis_x_matches():
     """Simulation(mesh=...) with a narrow disk column picks the

@@ -1,13 +1,13 @@
 """Real-TPU A/B for coupling-cadence temporal blocking (cfg.coupling_k).
 
 One TPU client (attachment init is expensive - CLAUDE.md):
-  1. physics gate first: tools/validate_tpu.py couplingk (settling at
-     k=4 vs the f64 per-step oracle golden, <1% budget) - a tier that
-     fails physics must not get benched into the record
-  2. coupled bench at 4096^2/10k: f32 and bf16+ramp, k=1 vs k=4 (vs
-     k=8 when BENCH_K8=1 - the k=8 kernel inlines 8 collide/stream +
-     64 reduce bodies, so expect a long Mosaic compile), marginal step
-     timing on one compiled chunk length
+  1. physics gate first, for EVERY k > 1 being benched:
+     tools/validate_tpu.py couplingk (settling vs the f64 per-step
+     oracle golden, <1% budget) - a tier that fails physics must not
+     get benched into the record (AB_SKIP_GATE=1 skips when the gate
+     already ran this session)
+  2. coupled bench at 4096^2/10k: f32 and bf16+ramp, k=1 vs k=4 by
+     default; BENCH_KS overrides the k list (e.g. BENCH_KS=1,4,8)
 
 Usage: PYTHONPATH=/root/repo:/root/.axon_site python tools/ab_coupling.py
 """
@@ -21,15 +21,17 @@ import jax  # noqa: E402
 
 print("devices:", jax.devices(), flush=True)
 
+ks = tuple(int(k) for k in os.environ["BENCH_KS"].split(",")) \
+    if os.environ.get("BENCH_KS") else (1, 4)
+
 if not os.environ.get("AB_SKIP_GATE"):
     import validate_tpu  # noqa: E402
 
-    validate_tpu._coupling_k()
+    for k in sorted({k for k in ks if k > 1}):
+        os.environ["COUPLING_K"] = str(k)
+        validate_tpu._coupling_k()
 
 from ab_bf16 import bench_coupled  # noqa: E402
-
-ks = tuple(int(k) for k in os.environ["BENCH_KS"].split(",")) \
-    if os.environ.get("BENCH_KS") else (1, 4)
 results = {}
 for storage, eps in (("float32", None), ("bfloat16", "ramp")):
     for k in ks:
