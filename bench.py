@@ -238,13 +238,14 @@ def main():
         # shifted-bf16 f storage + ramp coverage (both opt-in,
         # parity-validated: bf16 settling <1%, ramp delta 0.059%)
         (4096, 4096, 10000, 100, 3, 320, "bfloat16", "ramp", 1),
-        # coupling-cadence temporal blocking (coupling_k=4, opt-in,
-        # TPU settling 0.13% vs the f64 per-step golden): the fastest
-        # qualified coupled numbers on the north-star config - f32
-        # 2797, bf16+ramp 2956 (tools/ab_coupling.py). The k=4 multi
-        # kernel compiles in ~230 s at 4096^2 (vs ~85 s k=1); they run
-        # before the bf16/sample diagnostic tier so the best qualified
-        # number lands early on a tight budget
+        # coupling-cadence temporal blocking (opt-in, TPU settling
+        # 0.13%/0.12% at k=4/8 vs the f64 per-step golden) with
+        # window-persistent DEM slabs: the fastest qualified coupled
+        # numbers on the north-star config - f32 k=4 2989, bf16+ramp
+        # k=8 3249 (tools/ab_coupling.py + batch_demwin2). The k=4
+        # multi kernel compiles in ~190-230 s at 4096^2 (vs ~85 s
+        # k=1); they run before the bf16/sample diagnostic tier so
+        # the best qualified number lands early on a tight budget
         # k=4 is the f32 sweet spot (k=8 measured 2693: the recompute
         # tax outgrows the halved residual traffic); bf16+ramp keeps
         # improving to k=8 (3061 - its traffic share is larger and the

@@ -302,7 +302,7 @@ def build_slabs(
 
 def _dem_kernel(kmax_ref, nocc_ref, bands_ref, s_ref, out_ref, nc_ref, fscr,
                 *, cfg: SimConfig, ncs: int, ncl: int, R: int, C: int,
-                wrap_s: float = 0.0, wrap_l: float = 0.0):
+                wrap_s: float = 0.0, wrap_l: float = 0.0, force_ref=None):
     """wrap_s/wrap_l: periodic wrap lengths of the sublane/lane axes
     (0 = walls on that axis). Wrapped-axis mechanics, mirroring the
     XLA oracle (ops/dem.py wrapped 3x3 adjacency + _min_image):
@@ -566,9 +566,21 @@ def _dem_kernel(kmax_ref, nocc_ref, bands_ref, s_ref, out_ref, nc_ref, fscr,
                 fx, fy, tq = jax.lax.fori_loop(
                     0, jnp.where(k < kmax, 1, 0), wall_forces, (fx, fy, tq)
                 )
-                fscr[0, k, pl.ds(off, 8)] = (fx + rd(_FHX, k, off)) * act[k]
-                fscr[1, k, pl.ds(off, 8)] = (fy + rd(_FHY, k, off)) * act[k]
-                fscr[2, k, pl.ds(off, 8)] = (tq + rd(_THQ, k, off)) * act[k]
+                # hydro+body forces: from the slab tensor's baked
+                # channels per-step, or from the window driver's
+                # separate per-inner-step force planes (force_ref) -
+                # which lets the chained window calls refresh forces
+                # WITHOUT touching the big slab tensor
+                if force_ref is None:
+                    fhx, fhy, ftq = (rd(_FHX, k, off), rd(_FHY, k, off),
+                                     rd(_THQ, k, off))
+                else:
+                    fhx = force_ref[0, k, pl.ds(off, 8)]
+                    fhy = force_ref[1, k, pl.ds(off, 8)]
+                    ftq = force_ref[2, k, pl.ds(off, 8)]
+                fscr[0, k, pl.ds(off, 8)] = (fx + fhx) * act[k]
+                fscr[1, k, pl.ds(off, 8)] = (fy + fhy) * act[k]
+                fscr[2, k, pl.ds(off, 8)] = (tq + ftq) * act[k]
                 nc_acc = nc_acc + (nck * real_row if wrap_s else nck)
             # directed-touching count of this band, accumulated into the
             # per-force-eval total carried by the fori_loop
@@ -640,30 +652,40 @@ def _dem_kernel(kmax_ref, nocc_ref, bands_ref, s_ref, out_ref, nc_ref, fscr,
     jax.lax.fori_loop(0, cfg.n_sub, substep, 0)
 
 
-def dem_subcycle(
-    disks: DiskState, f_hydro, t_hydro, grid: DemGrid, cfg: SimConfig,
-    axis: str = "y",
-) -> Tuple[DiskState, jax.Array, jax.Array]:
-    """Drop-in Pallas replacement for ops.dem.dem_subcycle (kt >= 0;
-    the kt > 0 history springs ride extra slab channels rematched
-    through DiskState.ct_j/ct_xi - see the module docstring)."""
-    kt_on = cfg.kt > 0.0
+def _kernel_call(slabs, kmax, n_occ, band_offs, grid: DemGrid,
+                 cfg: SimConfig, axis: str, forces3=None):
+    """One subcycle pass of the slab kernel (shared by the per-step
+    entry point and the coupling-cadence window driver). The slabs
+    buffer is donated and returned updated: state (and kt spring)
+    channels advance, the input-only channels pass through untouched.
+
+    forces3 (window driver, inner steps > 0): a fresh (3, K, R, C)
+    hydro+body force stack the kernel reads INSTEAD of the slab
+    tensor's baked _FHX/_FHY/_THQ channels - refreshing per-inner-step
+    forces costs one small scatter + plane input rather than a
+    read-modify-write of the whole slab tensor (the in-place rescatter
+    variant measured 5-7x SLOWER end-to-end)."""
     ncs, ncl, R, C, nb = slab_dims(grid, axis)
     wrap_s, wrap_l = _wrap_sl(grid, axis)
-    body_f = dem_ops.body_forces(disks, cfg)
-    slabs, slot, overflow, kmax, n_occ, band_offs, j36 = build_slabs(
-        disks, f_hydro, t_hydro, body_f, grid, axis, kt=kt_on
-    )
     kernel = functools.partial(_dem_kernel, cfg=cfg, ncs=ncs, ncl=ncl, R=R,
                                C=C, wrap_s=wrap_s, wrap_l=wrap_l)
-    out, nc_s = pl.pallas_call(
+    operands = [kmax.reshape(1), n_occ.reshape(1), band_offs, slabs]
+    in_specs = [
+        pl.BlockSpec(memory_space=pltpu.SMEM),
+        pl.BlockSpec(memory_space=pltpu.SMEM),
+        pl.BlockSpec(memory_space=pltpu.SMEM),
+        pl.BlockSpec(memory_space=pltpu.VMEM),
+    ]
+    if forces3 is not None:
+        assert forces3.shape == (3,) + slabs.shape[1:]
+        operands.append(forces3)
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
+        inner = kernel
+        kernel = (lambda kr, nr, br, sr, fr, outr, ncr, fscr_:
+                  inner(kr, nr, br, sr, outr, ncr, fscr_, force_ref=fr))
+    return pl.pallas_call(
         kernel,
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=(
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
@@ -678,12 +700,45 @@ def dem_subcycle(
         ),
         input_output_aliases={3: 0},
         interpret=_interpret(),
-    )(kmax.reshape(1), n_occ.reshape(1), band_offs, slabs)
-    # one row-gather back to disk order: the 6 integrated state channels
-    # (_X.._TH), plus the spring channels when kt > 0. Channels 6..10
-    # (_R/_FHX/_FHY/_THQ/_MINV) are kernel INPUTS never consumed after
-    # exit - dropping them from the transpose+gather cuts ~10% of the
-    # slab-exit traffic on spring scenes.
+    )(*operands)
+
+
+def dem_subcycle(
+    disks: DiskState, f_hydro, t_hydro, grid: DemGrid, cfg: SimConfig,
+    axis: str = "y",
+) -> Tuple[DiskState, jax.Array, jax.Array]:
+    """Drop-in Pallas replacement for ops.dem.dem_subcycle (kt >= 0;
+    the kt > 0 history springs ride extra slab channels rematched
+    through DiskState.ct_j/ct_xi - see the module docstring)."""
+    kt_on = cfg.kt > 0.0
+    body_f = dem_ops.body_forces(disks, cfg)
+    slabs, slot, overflow, kmax, n_occ, band_offs, j36 = build_slabs(
+        disks, f_hydro, t_hydro, body_f, grid, axis, kt=kt_on
+    )
+    out, nc_s = _kernel_call(slabs, kmax, n_occ, band_offs, grid, cfg,
+                             axis)
+    new, overflow = _unslab(out, slot, disks, cfg, j36, overflow)
+    # Active disks the slab could NOT slot (rank >= SLAB_K overflow)
+    # must not freeze in place while the XLA oracle keeps integrating
+    # them: give them a contact-free Verlet fallback (hydro + body +
+    # walls). The traced zero-trip bound skips all the work in the
+    # common overflow == 0 case (Mosaic/XLA skip zero-trip loops).
+    leftover = disks.active & (slot < 0)
+    new = _leftover_fallback(new, disks, leftover, overflow, f_hydro,
+                             t_hydro, body_f, cfg)
+    # contact count: max over force evals of the global directed sum / 2
+    nc = (nc_s[0] * 0.5).astype(jnp.int32)
+    return new, overflow, nc
+
+
+def _unslab(out, slot, disks: DiskState, cfg: SimConfig, j36, overflow):
+    """(new DiskState, overflow): one row-gather back to disk order -
+    the 6 integrated state channels (_X.._TH), plus the spring channels
+    when kt > 0. Channels 6..10 (_R/_FHX/_FHY/_THQ/_MINV) are kernel
+    INPUTS never consumed after exit - dropping them from the
+    transpose+gather cuts ~10% of the slab-exit traffic on spring
+    scenes."""
+    kt_on = cfg.kt > 0.0
     if kt_on:
         keep_ch = jnp.concatenate([out[:6], out[_XI0:]], axis=0)
     else:
@@ -740,17 +795,94 @@ def dem_subcycle(
             g[:, 6 + _NXI:6 + _NXI + 4].astype(dt), disks.wall_xi,
         )
         new = new._replace(ct_j=ct_j, ct_xi=ct_xi, wall_xi=wall_xi)
-    # Active disks the slab could NOT slot (rank >= SLAB_K overflow)
-    # must not freeze in place while the XLA oracle keeps integrating
-    # them: give them a contact-free Verlet fallback (hydro + body +
-    # walls). The traced zero-trip bound skips all the work in the
-    # common overflow == 0 case (Mosaic/XLA skip zero-trip loops).
-    leftover = disks.active & ~ok
-    new = _leftover_fallback(new, disks, leftover, overflow, f_hydro,
-                             t_hydro, body_f, cfg)
-    # contact count: max over force evals of the global directed sum / 2
+    return new, overflow
+
+
+def dem_subcycle_window(
+    disks: DiskState, forces, grid: DemGrid, cfg: SimConfig,
+    axis: str = "y",
+) -> Tuple[DiskState, jax.Array, jax.Array]:
+    """len(forces) sequential DEM subcycles - one per LBM inner step of
+    a coupling-cadence window (cfg.coupling_k) - with ONE slab build
+    and ONE unslab for the whole window. forces = [(f_hydro, t_hydro),
+    ...] per inner step.
+
+    Between chained kernel calls only a small (3, K, R, C) force-plane
+    input is rebuilt (scatter into zeros; the kernel reads it instead
+    of the slab tensor's baked force channels, and its output slab
+    tensor already holds post-step x/v/omega/theta and advanced kt
+    springs in slab layout), so the per-step sort/rank/scatter build
+    and the transpose+gather exit both amortize k-fold. Slot assignments (and the kt partner map) stay frozen at
+    window-start positions: adjacency is valid while window travel
+    stays under the grid skin/2 (the candidate-validity bound
+    DemGrid.build documents per step) - violations are counted into
+    the overflow like every other capacity in this framework, never
+    silently dropped."""
+    kt_on = cfg.kt > 0.0
+    body_f = dem_ops.body_forces(disks, cfg)
+    slabs, slot, overflow, kmax, n_occ, band_offs, j36 = build_slabs(
+        disks, forces[0][0], forces[0][1], body_f, grid, axis, kt=kt_on
+    )
+    nc_s = None
+    for t, (fh, th_) in enumerate(forces):
+        # step 0 reads the forces build_slabs baked into the tensor;
+        # later steps read a fresh scatter-built force-plane input
+        f3 = None if t == 0 else _force_planes(slot, fh, th_, body_f,
+                                               slabs.shape)
+        slabs, nc_s = _kernel_call(slabs, kmax, n_occ, band_offs, grid,
+                                   cfg, axis, forces3=f3)
+    new, overflow = _unslab(slabs, slot, disks, cfg, j36, overflow)
+    # leftover (un-slotted) disks integrate per inner step in disk
+    # order, chained across the window (zero-trip when overflow == 0)
+    leftover = disks.active & (slot < 0)
+    d_fb = disks
+    for fh, th_ in forces:
+        d_fb = _leftover_fallback(d_fb, d_fb, leftover, overflow, fh,
+                                  th_, body_f, cfg)
+    lo2 = leftover[:, None]
+    new = new._replace(
+        x=jnp.where(lo2, d_fb.x, new.x),
+        v=jnp.where(lo2, d_fb.v, new.v),
+        omega=jnp.where(leftover, d_fb.omega, new.omega),
+        theta=jnp.where(leftover, d_fb.theta, new.theta),
+    )
+    # slot-staleness detector: displacement beyond the skin/2 candidate
+    # margin over the window means the frozen adjacency may have missed
+    # a fresh contact
+    trav2 = jnp.where(
+        disks.active, jnp.sum((new.x - disks.x) ** 2, axis=-1), 0.0
+    )
+    stale = jnp.sum(
+        trav2 > (0.5 * float(grid.skin)) ** 2, dtype=jnp.int32
+    )
+    overflow = jnp.maximum(overflow, stale)
     nc = (nc_s[0] * 0.5).astype(jnp.int32)
     return new, overflow, nc
+
+
+def _force_planes(slot_of_disk, f_hydro, t_hydro, body_f, slab_shape):
+    """Fresh (3, K, R, C) hydro+body force stack for one window inner
+    step - ONE channel-packed column scatter into zeros, exactly
+    build_slabs' measured-fast pattern (never a read-modify-write of
+    the big slab tensor: that variant forced whole-tensor
+    relayout/copy chains and benched 5-7x slower end-to-end)."""
+    n = slot_of_disk.shape[0]
+    f32 = jnp.float32
+    f_hydro = jnp.broadcast_to(f_hydro, (n, 2))
+    t_hydro = jnp.broadcast_to(t_hydro, (n,))
+    body_f = jnp.broadcast_to(body_f, (n, 2))
+    packed = jnp.stack(
+        [(f_hydro[:, 0] + body_f[:, 0]).astype(f32),
+         (f_hydro[:, 1] + body_f[:, 1]).astype(f32),
+         t_hydro.astype(f32)], axis=0,
+    )
+    K, R, C = slab_shape[1:]
+    nslots = K * R * C
+    # mask + clip explicitly: .at[] wraps negative indices even with
+    # mode='drop' (CLAUDE.md)
+    tgt = jnp.where(slot_of_disk >= 0, slot_of_disk, nslots)
+    dense = jnp.zeros((3, nslots), f32).at[:, tgt].set(packed, mode="drop")
+    return dense.reshape(3, K, R, C)
 
 
 def _leftover_fallback(new, disks, leftover, overflow, f_hydro, t_hydro,

@@ -57,8 +57,18 @@ _HX = 128  # halo chunk cols (lane granularity)
 # (see the _FUSED_REDUCE_ILP comment at the reduce_partials_banded call).
 # Banded A/B at 4096^2/10k: ilp 8 = 8.82 ms vs ilp 4 = 9.14 ms (the
 # full-tile loops had measured ilp 8 NEGATIVE - banding halved the vreg
-# pressure and flipped the tradeoff).
+# pressure and flipped the tradeoff). LBMDEM_RILP env overrides at
+# trace time for hardware A/Bs (re-check at the coupling_k windows,
+# where the reduce body inlines k*sub times and shares vregs with k
+# unrolled collide/stream steps).
 _FUSED_REDUCE_ILP = 8
+
+
+def _reduce_ilp() -> int:
+    import os
+
+    v = os.environ.get("LBMDEM_RILP")
+    return int(v) if v else _FUSED_REDUCE_ILP
 
 
 def _storage(cfg: SimConfig):
@@ -1084,7 +1094,7 @@ def _imb_reduce_kernel(
             bh,
             cap,
             cfg,
-            max_ilp=_FUSED_REDUCE_ILP,
+            max_ilp=_reduce_ilp(),
         )
 
 
@@ -1289,7 +1299,7 @@ def _imb_reduce_multi_kernel(
                 bh,
                 cap,
                 cfg,
-                max_ilp=_FUSED_REDUCE_ILP,
+                max_ilp=_reduce_ilp(),
             )
         planes = _stream_and_bb_window(fpost, cfg, th, tw, iy, ix, nty,
                                        ntx, edges=edges, shift=shift,

@@ -441,23 +441,28 @@ def _build(cfg: SimConfig, grid, mesh, h: int, w: int, dem_axis: str,
             th_p.append(th_t)
         fh_k = jax.lax.psum(jnp.stack(fh_p), ("y", "x"))
         th_k = jax.lax.psum(jnp.stack(th_p), ("y", "x"))
-        disks = d
-        ovf = bovf
-        nc = state.n_contacts
+        forces = []
         for t in range(k):
             fh, th = fh_k[t], th_k[t]
             if periodic_dem:
                 fh, th = imb.fold_ghost_forces(fh, th, gparent, n_real)
-            if use_slab_dem:
-                from lbmdem_tpu.ops import pallas_dem
+            forces.append((fh, th))
+        ovf = bovf
+        if use_slab_dem:
+            from lbmdem_tpu.ops import pallas_dem
 
-                disks, ovf_t, nc = pallas_dem.dem_subcycle(
-                    disks, fh, th, grid, cfg, dem_axis
-                )
-            else:
+            # window-persistent slabs: one build/unslab per window
+            disks, ovf_t, nc = pallas_dem.dem_subcycle_window(
+                d, forces, grid, cfg, dem_axis
+            )
+            ovf = jnp.maximum(ovf, ovf_t)
+        else:
+            disks = d
+            nc = state.n_contacts
+            for fh, th in forces:
                 disks, ovf_t, nc = dem.dem_subcycle(disks, fh, th, grid,
                                                     cfg)
-            ovf = jnp.maximum(ovf, ovf_t)
+                ovf = jnp.maximum(ovf, ovf_t)
         if cfg.bc_west == "inlet":
             disks = dem.cull_open_boundaries(disks, cfg)
         return SimState(

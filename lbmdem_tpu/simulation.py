@@ -394,18 +394,22 @@ def make_step_fn(
                                                        n_real)
                     forces.append((fh, tq))
                 fnew = lbm.to_storage(fs, cfg)
-            dd = d
             ovf = bovf
-            nc = state.n_contacts
-            for t in range(ck):
-                if use_pallas and use_slab_dem:
-                    dd, ovf_t, nc = pallas_dem.dem_subcycle(
-                        dd, forces[t][0], forces[t][1], grid, cfg, dem_axis
-                    )
-                else:
+            if use_pallas and use_slab_dem:
+                # window-persistent slabs: ONE build + ONE unslab for
+                # the k sequential subcycles (only the force channels
+                # re-scatter between chained kernel calls)
+                dd, ovf_t, nc = pallas_dem.dem_subcycle_window(
+                    d, forces, grid, cfg, dem_axis
+                )
+                ovf = jnp.maximum(ovf, ovf_t)
+            else:
+                dd = d
+                nc = state.n_contacts
+                for t in range(ck):
                     dd, ovf_t, nc = advance_disks(dd, forces[t][0],
                                                   forces[t][1])
-                ovf = jnp.maximum(ovf, ovf_t)
+                    ovf = jnp.maximum(ovf, ovf_t)
             if open_cull:
                 dd = dem.cull_open_boundaries(dd, cfg)
             return SimState(
