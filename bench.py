@@ -30,6 +30,10 @@ import time
 _last_line = None
 _best = None  # (value, dict) over COUPLED stages only - the headline
 _skipped = []  # stage labels skipped on time budget (explicit in JSON)
+_stages = {}  # label -> {mlups, gbs, pct_peak}: EVERY completed stage,
+# carried into the final JSON line so the driver artifact permanently
+# records the literal north-star config and the 8192^2 lines, not just
+# the single best value (VERDICT r4 weak #3)
 
 # v5e HBM peak (GB/s) for the roofline fields: achieved GB/s is
 # MLUPS x modeled UNIQUE HBM bytes/site/step (reads once + writes
@@ -38,7 +42,7 @@ _skipped = []  # stage labels skipped on time budget (explicit in JSON)
 _V5E_HBM_GBS = 819.0
 
 
-def _emit(metric, value, headline=True, bytes_per_site=None):
+def _emit(metric, value, headline=True, bytes_per_site=None, label=None):
     """Print one JSON stage line. The driver takes the LAST stdout line
     as the result, so `main` re-emits the best COUPLED line at the end
     (a later, bigger config can be slower than a smaller faster one -
@@ -59,6 +63,11 @@ def _emit(metric, value, headline=True, bytes_per_site=None):
         rec["hbm_bytes_per_site_model"] = bytes_per_site
         rec["hbm_gbs_model"] = round(gbs, 1)
         rec["pct_v5e_hbm_peak"] = round(100.0 * gbs / _V5E_HBM_GBS, 1)
+    if label is not None:
+        _stages[label] = {"mlups": round(value, 1)}
+        if bytes_per_site is not None:
+            _stages[label]["gbs"] = rec["hbm_gbs_model"]
+            _stages[label]["pct_peak"] = rec["pct_v5e_hbm_peak"]
     line = json.dumps(rec)
     _last_line = line
     if headline and (_best is None or value > _best[0]):
@@ -182,7 +191,7 @@ def main():
             # Out of budget with results in hand: reprint the best
             # coupled line and exit 0 — a completed-stage bench is a
             # SUCCESS even if an optional bigger stage overran the alarm.
-            print(json.dumps({**_best[1],
+            print(json.dumps({**_best[1], "stages": _stages,
                               "skipped_stages": _skipped + ["<alarm>"]}),
                   flush=True)
             os._exit(0)
@@ -276,7 +285,7 @@ def main():
         try:
             _emit("pure-fluid LBM MLUPS/chip (4096x4096, temporal k=4)",
                   _run_fluid(4096, 400, 2), headline=False,
-                  bytes_per_site=18.0)
+                  bytes_per_site=18.0, label="fluid/4096/float32")
         except Exception as e:
             print(f"bench: pure-fluid stage failed "
                   f"({type(e).__name__}: {e})", file=sys.stderr)
@@ -287,7 +296,8 @@ def main():
             _emit("pure-fluid LBM MLUPS/chip (4096x4096, bf16 f-storage, "
                   "temporal k=4)",
                   _run_fluid(4096, 400, 2, storage="bfloat16"),
-                  headline=False, bytes_per_site=9.0)
+                  headline=False, bytes_per_site=9.0,
+                  label="fluid/4096/bfloat16")
         except Exception as e:
             print(f"bench: bf16 pure-fluid stage failed "
                   f"({type(e).__name__}: {e})", file=sys.stderr)
@@ -297,7 +307,7 @@ def main():
             _emit("static-obstacle coupled MLUPS/chip (4096x4096, 4096 "
                   "fixed disks, hoisted)",
                   _run_static(4096, 4096, 200, 2), headline=False,
-                  bytes_per_site=21.0)
+                  bytes_per_site=21.0, label="static/4096")
         except Exception as e:
             print(f"bench: static-hoist stage failed "
                   f"({type(e).__name__}: {e})", file=sys.stderr)
@@ -322,18 +332,41 @@ def main():
             print(f"bench: {label}/{nd} failed "
                   f"({type(e).__name__}: {e})", file=sys.stderr)
             _skipped.append(f"{label} ({type(e).__name__})")
+            if ck > 1:
+                # auto-fallback (VERDICT r4 #1): a coupling_k tier must
+                # never cost the artifact its scale line - halve k and
+                # retry once so SOME window-blocked value lands even if
+                # the full-k program hits a compile limit
+                ck2 = ck // 2
+                label2 = f"{label}->k{ck2}"
+                try:
+                    mlups = _run(nx, ny, nd, chunk, repeats, use_pallas,
+                                 storage, eps, ck2)
+                except Exception as e2:
+                    print(f"bench: fallback {label2}/{nd} failed "
+                          f"({type(e2).__name__}: {e2})", file=sys.stderr)
+                    _skipped.append(f"{label2} ({type(e2).__name__})")
+                    continue
+                tag2 = tag.replace(f"coupling k={ck}", f"coupling k={ck2}")
+                _emit("coupled LBM-DEM MLUPS/chip "
+                      f"({nx}x{ny}, {nd} disks{tag2})", mlups,
+                      bytes_per_site=(48.0 if storage == "bfloat16"
+                                      else 84.0) / ck2, label=label2)
+                coupled_done = True
             continue
         _emit(f"coupled LBM-DEM MLUPS/chip ({nx}x{ny}, {nd} disks{tag})",
               mlups,
               # coupling_k divides BOTH the f round-trip and the solid
               # stamp/read traffic (one window pass per k steps)
-              bytes_per_site=(48.0 if storage == "bfloat16" else 84.0) / ck)
+              bytes_per_site=(48.0 if storage == "bfloat16" else 84.0) / ck,
+              label=label)
         coupled_done = True
     if _best is not None:
         # the driver reads the LAST stdout line: make it the best
         # coupled stage (a later/bigger stage can be slower - 8192 f32
         # ~1970 vs 4096 bf16 ~2208), with any skipped stages explicit
-        print(json.dumps({**_best[1], "skipped_stages": _skipped}),
+        print(json.dumps({**_best[1], "stages": _stages,
+                          "skipped_stages": _skipped}),
               flush=True)
     if _last_line is None:
         print(json.dumps({

@@ -151,6 +151,13 @@ class SimConfig:
     # (default 0), range [-1, 0]: a resolution-independent calibration,
     # not a physics change - tests pin kernel/oracle parity under it.
     eps_r_shift: float = 0.0
+    # NT blend weighting (ops/imb.nt_weight): "nt" = the published
+    # Noble-Torczynski B(eps, tau); "lambda" = the TRT/Lambda-consistent
+    # variant (tm = 3/16 / (tau - 1/2), the odd relaxation depth that
+    # places plane bounce-back walls mid-link) - the VERDICT r4 #7
+    # interface-side experiment; measured verdict in
+    # docs/performance.md. Orthogonal to eps_method/eps_r_shift.
+    nt_mode: str = "nt"
     window: int = 0
     # Per-tile disk capacity for the Pallas stamp/reduce kernels
     # (0 = derived from disk radii at scene build time).
@@ -302,6 +309,10 @@ class SimConfig:
                 f"coupling_k {self.coupling_k} out of range: want a "
                 "divisor of the binning cadence in 1..8 (the fused "
                 "window's 8-row solid halo bounds the temporal block)"
+            )
+        if self.nt_mode not in ("nt", "lambda"):
+            raise ValueError(
+                f"bad nt_mode {self.nt_mode!r}: want 'nt' or 'lambda'"
             )
         if self.eps_method not in ("exact", "sample", "ramp"):
             raise ValueError(

@@ -377,9 +377,21 @@ def wrap_positions(x: jax.Array, active: jax.Array, cfg: SimConfig):
     return jnp.where(active[:, None], jnp.stack(cols, axis=1), x)
 
 
-def nt_weight(eps: jax.Array, tau) -> jax.Array:
-    """Noble-Torczynski blending B(eps, tau) = eps(tau-1/2) / ((1-eps) + (tau-1/2))."""
+def nt_weight(eps: jax.Array, tau, mode: str = "nt") -> jax.Array:
+    """Noble-Torczynski blending B(eps, tau) = eps tm / ((1-eps) + tm).
+
+    mode="nt" (default): tm = tau - 1/2, the published NT weight.
+    mode="lambda" (cfg.nt_mode, VERDICT r4 #7): tm = tau^- - 1/2 =
+    Lambda/(tau - 1/2) with Lambda = 3/16 - the TRT odd relaxation
+    rate that places plane bounce-back walls exactly mid-link. The NT
+    solid operator Omega_s is a non-equilibrium bounce-back, i.e. an
+    ODD-mode operation, so a Lambda-consistent blend weights it by the
+    odd relaxation depth instead of the even (viscous) one. Measured
+    verdict on the 2D-1 cylinder drag at D=20 lives in
+    docs/performance.md (the A/B this flag exists for)."""
     tm = tau - 0.5
+    if mode == "lambda":
+        tm = 0.1875 / tm
     return eps * tm / ((1.0 - eps) + tm)
 
 
@@ -408,7 +420,7 @@ def collide_imb(
         else tau
     )
     eps = jnp.clip(eps_raw, 0.0, 1.0)
-    B = nt_weight(eps, tau_eff)
+    B = nt_weight(eps, tau_eff, cfg.nt_mode)
 
     feq_s = equilibrium(rho, us_x, us_y)
     opp = lattice.OPP  # numpy index array -> static gather

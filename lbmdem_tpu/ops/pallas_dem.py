@@ -203,7 +203,7 @@ def _rematch_xi(j36, ct_j, ct_xi):
 
 def build_slabs(
     disks: DiskState, f_hydro, t_hydro, body_f, grid: DemGrid,
-    axis: str = "y", kt: bool = False,
+    axis: str = "y", kt: bool = False, bake_forces: bool = True,
 ):
     """(slabs (NCH, K, R, C) f32, slot_of_disk (N,) i32, overflow,
     kmax () i32 - max occupied rank + 1, bounding the kernel rank loops,
@@ -266,13 +266,23 @@ def build_slabs(
         disks.omega.astype(f32),
         disks.theta.astype(f32),
         jnp.where(disks.active, disks.r, 0.0).astype(f32),
-        (f_hydro[:, 0] + body_f[:, 0]).astype(f32),
-        (f_hydro[:, 1] + body_f[:, 1]).astype(f32),
-        t_hydro.astype(f32),
-        jnp.where(
-            disks.mobile & disks.active, 1.0 / disks.mass, 0.0
-        ).astype(f32),
     ]
+    if bake_forces:
+        fields.extend([
+            (f_hydro[:, 0] + body_f[:, 0]).astype(f32),
+            (f_hydro[:, 1] + body_f[:, 1]).astype(f32),
+            t_hydro.astype(f32),
+        ])
+    # bake_forces=False (the coupling-cadence window driver): the
+    # kernel reads per-inner-step (3, K, R, C) force planes instead, so
+    # the _FHX/_FHY/_THQ channels would be dead weight - dropping them
+    # cuts the slab tensor (and its staged Mosaic output copy) by 3/11,
+    # which is what keeps the 8192^2 coupling_k window kernel under the
+    # ~100 MB scoped-VMEM limit (r4 bench OOMed at 110.93M with them).
+    # _MINV then sits at channel 7 and springs start at 8 (slim layout).
+    fields.append(jnp.where(
+        disks.mobile & disks.active, 1.0 / disks.mass, 0.0
+    ).astype(f32))
     j36 = None
     if kt:
         j36 = _partner_ids(slot_of_disk, n, grid, axis)
@@ -302,7 +312,8 @@ def build_slabs(
 
 def _dem_kernel(kmax_ref, nocc_ref, bands_ref, s_ref, out_ref, nc_ref, fscr,
                 *, cfg: SimConfig, ncs: int, ncl: int, R: int, C: int,
-                wrap_s: float = 0.0, wrap_l: float = 0.0, force_ref=None):
+                wrap_s: float = 0.0, wrap_l: float = 0.0, force_ref=None,
+                slim: bool = False):
     """wrap_s/wrap_l: periodic wrap lengths of the sublane/lane axes
     (0 = walls on that axis). Wrapped-axis mechanics, mirroring the
     XLA oracle (ops/dem.py wrapped 3x3 adjacency + _min_image):
@@ -320,6 +331,13 @@ def _dem_kernel(kmax_ref, nocc_ref, bands_ref, s_ref, out_ref, nc_ref, fscr,
     reads but never writes them - the oracle discards its h=0 xi2,
     ops/dem.py:459). xi slots are indexed by the i-side disk's rows, so
     neither wrap ghosts nor band windows touch them."""
+    # slim layout (window driver, bake_forces=False): no _FHX/_FHY/_THQ
+    # channels - _MINV sits at 7, springs at 8; forces come from
+    # force_ref only
+    assert not slim or force_ref is not None
+    ch_minv = 7 if slim else _MINV
+    ch_xi0 = 8 if slim else _XI0
+    ch_xiw = ch_xi0 + _NXI
     K = SLAB_K
     h = np.float32(1.0 / cfg.n_sub)
     kn, gn, gt, mu = (np.float32(cfg.kn), np.float32(cfg.gamma_n),
@@ -511,7 +529,7 @@ def _dem_kernel(kmax_ref, nocc_ref, bands_ref, s_ref, out_ref, nc_ref, fscr,
                                 # this (dy, dc, k2) partner slot's spring
                                 # channel (dynamic leading index - k2 is
                                 # the fori_loop carry)
-                                xi_ch = (_XI0
+                                xi_ch = (ch_xi0
                                          + ((dy + 1) * 3 + (dc + 1)) * K
                                          + k2)
                                 spring = out_ref[xi_ch, k, pl.ds(off, 8)]
@@ -549,7 +567,7 @@ def _dem_kernel(kmax_ref, nocc_ref, bands_ref, s_ref, out_ref, nc_ref, fscr,
                         zp = jnp.zeros_like(X[k])
                         spring = None
                         if kt_on:
-                            spring = out_ref[_XIW + wslot, k, pl.ds(off, 8)]
+                            spring = out_ref[ch_xiw + wslot, k, pl.ds(off, 8)]
                         dfx, dfy, dtq, _t, xi_new = pair(
                             X[k], Y[k], VX[k], VY[k], OM[k], Rr[k],
                             xj, yj, zp, zp, zp, zp,
@@ -557,7 +575,7 @@ def _dem_kernel(kmax_ref, nocc_ref, bands_ref, s_ref, out_ref, nc_ref, fscr,
                             min_image=False, spring=spring, adv=adv,
                         )
                         if kt_on and write_xi:
-                            out_ref[_XIW + wslot, k, pl.ds(off, 8)] = xi_new
+                            out_ref[ch_xiw + wslot, k, pl.ds(off, 8)] = xi_new
                         afx = afx + dfx
                         afy = afy + dfy
                         atq = atq + dtq
@@ -604,7 +622,7 @@ def _dem_kernel(kmax_ref, nocc_ref, bands_ref, s_ref, out_ref, nc_ref, fscr,
         # XLA oracle.
         off = pl.multiple_of(bands_ref[i], 8)
         for k in range(K):
-            inv_m, inv_i, a = _mass(rd(_R, k, off), rd(_MINV, k, off))
+            inv_m, inv_i, a = _mass(rd(_R, k, off), rd(ch_minv, k, off))
             vxh = rd(_VX, k, off) + (0.5 * h) * fscr[0, k, pl.ds(off, 8)] * inv_m
             vyh = rd(_VY, k, off) + (0.5 * h) * fscr[1, k, pl.ds(off, 8)] * inv_m
             omh = rd(_OM, k, off) + (0.5 * h) * fscr[2, k, pl.ds(off, 8)] * inv_i
@@ -619,7 +637,7 @@ def _dem_kernel(kmax_ref, nocc_ref, bands_ref, s_ref, out_ref, nc_ref, fscr,
     def band_kick2(i, c):
         off = pl.multiple_of(bands_ref[i], 8)
         for k in range(K):
-            inv_m, inv_i, a = _mass(rd(_R, k, off), rd(_MINV, k, off))
+            inv_m, inv_i, a = _mass(rd(_R, k, off), rd(ch_minv, k, off))
             out_ref[_VX, k, pl.ds(off, 8)] = (
                 rd(_VX, k, off) + (0.5 * h) * fscr[0, k, pl.ds(off, 8)] * inv_m
             ) * a
@@ -653,7 +671,8 @@ def _dem_kernel(kmax_ref, nocc_ref, bands_ref, s_ref, out_ref, nc_ref, fscr,
 
 
 def _kernel_call(slabs, kmax, n_occ, band_offs, grid: DemGrid,
-                 cfg: SimConfig, axis: str, forces3=None):
+                 cfg: SimConfig, axis: str, forces3=None,
+                 slim: bool = False):
     """One subcycle pass of the slab kernel (shared by the per-step
     entry point and the coupling-cadence window driver). The slabs
     buffer is donated and returned updated: state (and kt spring)
@@ -668,7 +687,7 @@ def _kernel_call(slabs, kmax, n_occ, band_offs, grid: DemGrid,
     ncs, ncl, R, C, nb = slab_dims(grid, axis)
     wrap_s, wrap_l = _wrap_sl(grid, axis)
     kernel = functools.partial(_dem_kernel, cfg=cfg, ncs=ncs, ncl=ncl, R=R,
-                               C=C, wrap_s=wrap_s, wrap_l=wrap_l)
+                               C=C, wrap_s=wrap_s, wrap_l=wrap_l, slim=slim)
     operands = [kmax.reshape(1), n_occ.reshape(1), band_offs, slabs]
     in_specs = [
         pl.BlockSpec(memory_space=pltpu.SMEM),
@@ -683,6 +702,8 @@ def _kernel_call(slabs, kmax, n_occ, band_offs, grid: DemGrid,
         inner = kernel
         kernel = (lambda kr, nr, br, sr, fr, outr, ncr, fscr_:
                   inner(kr, nr, br, sr, outr, ncr, fscr_, force_ref=fr))
+    else:
+        assert not slim  # slim slabs carry no baked force channels
     return pl.pallas_call(
         kernel,
         in_specs=in_specs,
@@ -731,16 +752,18 @@ def dem_subcycle(
     return new, overflow, nc
 
 
-def _unslab(out, slot, disks: DiskState, cfg: SimConfig, j36, overflow):
+def _unslab(out, slot, disks: DiskState, cfg: SimConfig, j36, overflow,
+            slim: bool = False):
     """(new DiskState, overflow): one row-gather back to disk order -
     the 6 integrated state channels (_X.._TH), plus the spring channels
-    when kt > 0. Channels 6..10 (_R/_FHX/_FHY/_THQ/_MINV) are kernel
-    INPUTS never consumed after exit - dropping them from the
+    when kt > 0. The input-only channels (_R/_MINV, and _FHX/_FHY/_THQ
+    unless slim) are never consumed after exit - dropping them from the
     transpose+gather cuts ~10% of the slab-exit traffic on spring
-    scenes."""
+    scenes. slim: the window driver's 8-channel layout (springs at 8)."""
     kt_on = cfg.kt > 0.0
     if kt_on:
-        keep_ch = jnp.concatenate([out[:6], out[_XI0:]], axis=0)
+        keep_ch = jnp.concatenate([out[:6], out[8 if slim else _XI0:]],
+                                  axis=0)
     else:
         keep_ch = out[:6]
     width = keep_ch.shape[0]
@@ -817,21 +840,36 @@ def dem_subcycle_window(
     stays under the grid skin/2 (the candidate-validity bound
     DemGrid.build documents per step) - violations are counted into
     the overflow like every other capacity in this framework, never
-    silently dropped."""
+    silently dropped.
+
+    The staleness counter is a POST-HOC detector (ADVICE r4): it trips
+    AFTER the window already integrated with the frozen contact set,
+    so a contact first formed mid-window by a faster-than-skin/2 disk
+    was missed for the remainder of that window, not recomputed.
+    state.overflow > 0 on a coupling_k run therefore means the
+    trajectory is suspect from the first flagged window on - re-run
+    with a smaller coupling_k (coupling_k=1 restores the per-step
+    rebuild and its per-step skin bound) rather than trusting the
+    tail; cfg.paranoia="chunk" narrows down the failing window."""
     kt_on = cfg.kt > 0.0
     body_f = dem_ops.body_forces(disks, cfg)
+    # slim slabs: no baked force channels - EVERY inner step (incl.
+    # t=0) reads a scatter-built (3, K, R, C) force-plane input. One
+    # kernel flavor for the whole window (less Mosaic compile), and the
+    # slab tensor (+ its staged output copy) shrinks 3/11 - the margin
+    # that keeps the 8192^2 coupling_k window under the scoped-VMEM
+    # limit (r4: 110.93M > 100.66M with baked channels).
     slabs, slot, overflow, kmax, n_occ, band_offs, j36 = build_slabs(
-        disks, forces[0][0], forces[0][1], body_f, grid, axis, kt=kt_on
+        disks, forces[0][0], forces[0][1], body_f, grid, axis, kt=kt_on,
+        bake_forces=False,
     )
     nc_s = None
-    for t, (fh, th_) in enumerate(forces):
-        # step 0 reads the forces build_slabs baked into the tensor;
-        # later steps read a fresh scatter-built force-plane input
-        f3 = None if t == 0 else _force_planes(slot, fh, th_, body_f,
-                                               slabs.shape)
+    for fh, th_ in forces:
+        f3 = _force_planes(slot, fh, th_, body_f, slabs.shape)
         slabs, nc_s = _kernel_call(slabs, kmax, n_occ, band_offs, grid,
-                                   cfg, axis, forces3=f3)
-    new, overflow = _unslab(slabs, slot, disks, cfg, j36, overflow)
+                                   cfg, axis, forces3=f3, slim=True)
+    new, overflow = _unslab(slabs, slot, disks, cfg, j36, overflow,
+                            slim=True)
     # leftover (un-slotted) disks integrate per inner step in disk
     # order, chained across the window (zero-trip when overflow == 0)
     leftover = disks.active & (slot < 0)

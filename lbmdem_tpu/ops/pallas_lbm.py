@@ -82,6 +82,20 @@ def _storage(cfg: SimConfig):
     return jnp.float32, _HY, 0.0
 
 
+def coupled_tile_rows(coupling_k: int) -> Tuple[int, ...]:
+    """Row-candidate chain of the COUPLED kernel flavor - the SINGLE
+    source for every chooser that must stay in lockstep with it
+    (tile_dims below, pallas_stamp.tile_dims, and
+    parallel/_pallas_step.canvas_pads; the fused kernel's trace-time
+    "stamp rows == lattice tile rows" assert is the backstop, this is
+    the fix-in-one-place). coupling_k == 1 prefers th=256 (+2.3-2.4%
+    measured both storages); the k-step window kernel blows the 96 MB
+    scoped-VMEM budget at th=256 (109.4 MB at k=4/tw=1024), so k > 1
+    drops the whole chain back to 128 rows."""
+    return ((256, 128, 64, 32, 16, 8) if coupling_k == 1
+            else (128, 64, 32, 16, 8))
+
+
 def tile_dims(cfg: SimConfig, wide: bool = False,
               fluid: bool = False, coupled: bool = False) -> Tuple[int, int]:
     """128-row tiles (r4); lane width by kernel flavor. wide=True:
@@ -114,16 +128,15 @@ def tile_dims(cfg: SimConfig, wide: bool = False,
     tile the config (small test grids, shard-local frames)."""
     import os
 
-    # coupling_k > 1: the k-step coupled window (full-window collide per
-    # inner step + per-step reduce) blows the 96 MB scoped-VMEM budget
-    # at th=256 (109.4 MB measured at k=4/tw=1024, same gate as the
-    # static-hoist kernel) - the whole coupled chain (kernel, stamp
-    # tiles, canvas pads) drops back to 128 rows together so the
-    # stamp-rows == lattice-rows trace assert keeps holding.
-    big_coupled = coupled and cfg.coupling_k == 1
-    rows = ((256, 128, 64, 32, 16, 8)
-            if big_coupled or (fluid and cfg.f_storage != "bfloat16")
-            else (128, 64, 32, 16, 8))
+    if coupled:
+        # the whole coupled chain (kernel, stamp tiles, canvas pads)
+        # shares coupled_tile_rows - see its docstring for the k>1
+        # scoped-VMEM rationale
+        rows = coupled_tile_rows(cfg.coupling_k)
+    elif fluid and cfg.f_storage != "bfloat16":
+        rows = (256, 128, 64, 32, 16, 8)
+    else:
+        rows = (128, 64, 32, 16, 8)
     th = next((t for t in rows if cfg.ny % t == 0), None)
     cands = (1024, 512, 256, 128) if wide else (512, 256, 128)
     tw = next((t for t in cands if cfg.nx % t == 0), None)
@@ -269,6 +282,10 @@ def _collide_window(win, cfg: SimConfig, eps=None, usx=None, usy=None,
     if coupled:
         eps_c = jnp.clip(eps, 0.0, 1.0)
         tm = tau - 0.5
+        if cfg.nt_mode == "lambda":
+            # Lambda-consistent blend (imb.nt_weight mode="lambda"):
+            # weight the odd-mode solid operator by tau^- - 1/2
+            tm = 0.1875 / tm
         B = eps_c * tm / ((1.0 - eps_c) + tm)
         one_minus_B = 1.0 - B
         usq_s = usx * usx + usy * usy

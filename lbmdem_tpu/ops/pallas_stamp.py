@@ -56,8 +56,11 @@ def tile_dims(cfg: SimConfig) -> Tuple[int, int]:
     parallel/_pallas_step.canvas_pads mirrors the row chain."""
     import os
 
-    rows = ((256, 128, 64, 32, 16, 8, 4, 2, 1) if cfg.coupling_k == 1
-            else (128, 64, 32, 16, 8, 4, 2, 1))  # mirror the kernel chain
+    from lbmdem_tpu.ops.pallas_lbm import coupled_tile_rows
+
+    # the kernel chain IS the source (plus sub-8 rows for tiny test
+    # grids, which the fused kernel never sees)
+    rows = coupled_tile_rows(cfg.coupling_k) + (4, 2, 1)
     th = next(t for t in rows if cfg.ny % t == 0)
     tw = next(t for t in (128, 64, 32, 16, 8, 4, 2, 1) if cfg.nx % t == 0)
     # the fused coupled kernel requires stamp tile rows == LATTICE tile

@@ -61,9 +61,9 @@ def canvas_pads(h: int, two_d: bool, coupling_k: int = 1):
     window is a plain row slice of the canvas."""
     import os
 
-    rows = ((256, 128, 64, 32, 16, 8) if coupling_k == 1
-            else (128, 64, 32, 16, 8))  # mirror the kernel chain
-    pady = next(t for t in rows if h % t == 0)
+    from lbmdem_tpu.ops.pallas_lbm import coupled_tile_rows
+
+    pady = next(t for t in coupled_tile_rows(coupling_k) if h % t == 0)
     th_env = os.environ.get("LBMDEM_TH")
     if th_env and h % int(th_env) == 0:
         pady = int(th_env)

@@ -293,6 +293,62 @@ def make_step_fn(
             return nd, z, z
         return dem.dem_subcycle(d, fh, th, grid, cfg)
 
+    def coupling_inputs(d):
+        """Step/window-start coupling inputs, shared by the per-step and
+        coupling_k step builders (one copy of the ghost/binning/travel
+        invariants - ADVICE r4): wrap + periodic-ghost selection and
+        the stamp-tile binning with its BIN_MARGIN travel check.
+
+        Returns (d, (xa, va, oma, ra, acta), binned, bovf, gparent):
+        `d` has wrapped positions when this call did a fresh periodic
+        selection (with tile_lists the Verlet-cadence driver wrapped at
+        the last rebuild - positions must NOT re-wrap mid-cadence, the
+        +-L jump would invalidate the persistent lists); the aug tuple
+        is the ghost-augmented coupling view; `binned` is (tile_data,
+        counts, entry_slots) on the Pallas path, else None."""
+        govf = jnp.zeros((), jnp.int32)
+        gparent = gaxes = aug = lists = counts = entry_slots = None
+        if tile_lists is not None:  # use_pallas only (chunk drivers)
+            lists, counts, entry_slots, x_bin, gparent, gaxes = tile_lists
+            travel2 = jnp.where(
+                d.active, jnp.sum((d.x - x_bin) ** 2, axis=-1), 0.0
+            )
+            bovf = jnp.sum(
+                travel2 > float(BIN_MARGIN) ** 2, dtype=jnp.int32
+            )
+        else:
+            if periodic_dem:
+                # wrap positions, then select the disks whose stamp
+                # window can cross a periodic seam - their min-image
+                # ghost copies feed every coupling path and their hydro
+                # forces fold back into the parents
+                xw, aug, gparent, gaxes, govf = imb.periodic_ghosts(
+                    d.x, d.v, d.omega, d.r, d.active, cfg
+                )
+                d = d._replace(x=xw)
+            bovf = govf
+        if not periodic_dem:
+            aug5 = (d.x, d.v, d.omega, d.r, d.active)
+        elif aug is not None:  # fresh per-call selection above
+            aug5 = aug
+        else:  # Verlet-cadence: stored selection, current positions
+            aug5 = imb.apply_ghosts(
+                gparent, gaxes, d.x, d.v, d.omega, d.r, d.active, cfg
+            )
+        binned = None
+        if use_pallas:
+            xa, va, oma, ra, acta = aug5
+            if lists is None:
+                lists, counts, entry_slots, bovf = (
+                    pallas_stamp.build_tile_lists(xa, acta, cfg)
+                )
+                bovf = jnp.maximum(bovf, govf)
+            tile_data = pallas_stamp.gather_tile_data(
+                lists, xa, va, oma, ra, acta
+            )
+            binned = (tile_data, counts, entry_slots)
+        return d, aug5, binned, bovf, gparent
+
     if coupled and coupling_k > 1:
         # coupling-cadence temporal blocking (cfg.coupling_k): k LBM
         # steps per fused-kernel pass over FROZEN window-start solid
@@ -301,54 +357,16 @@ def make_step_fn(
         # (< k steps ~ k*|v| cells). The returned step advances k
         # steps per call (chunk drivers divide their step budget by k;
         # open-boundary culling moves to the window end).
-        # NOTE: the ghost/binning selection below mirrors the per-step
-        # path's `augmented(d)` closure and tile_lists contract (see
-        # the per-step step() further down) - the same invariants bind
-        # BOTH copies: positions must NOT re-wrap mid-cadence, and the
-        # tile lists carry BIN_MARGIN slack validated by the travel
-        # check. Fix ghost handling in one, fix it in the other.
         ck = coupling_k
 
         def step(state: SimState, f_scratch=None) -> SimState:
-            d = state.disks
-            n_real = d.x.shape[0]
-            govf = jnp.zeros((), jnp.int32)
-            gparent = gaxes = aug = None
-            bovf = govf
-            if tile_lists is not None:
-                lists, counts, entry_slots, x_bin, gparent, gaxes = (
-                    tile_lists
-                )
-                travel2 = jnp.where(
-                    d.active, jnp.sum((d.x - x_bin) ** 2, axis=-1), 0.0
-                )
-                bovf = jnp.sum(
-                    travel2 > float(BIN_MARGIN) ** 2, dtype=jnp.int32
-                )
-            elif periodic_dem:
-                xw, aug, gparent, gaxes, govf = imb.periodic_ghosts(
-                    d.x, d.v, d.omega, d.r, d.active, cfg
-                )
-                d = d._replace(x=xw)
-                bovf = govf
+            n_real = state.disks.x.shape[0]
             # window-start coupling inputs, frozen for the k inner steps
-            if not periodic_dem:
-                xa, va, oma, ra, acta = d.x, d.v, d.omega, d.r, d.active
-            elif aug is not None:
-                xa, va, oma, ra, acta = aug
-            else:
-                xa, va, oma, ra, acta = imb.apply_ghosts(
-                    gparent, gaxes, d.x, d.v, d.omega, d.r, d.active, cfg
-                )
+            d, (xa, va, oma, ra, acta), binned, bovf, gparent = (
+                coupling_inputs(state.disks)
+            )
             if use_pallas:
-                if tile_lists is None:
-                    lists, counts, entry_slots, bovf = (
-                        pallas_stamp.build_tile_lists(xa, acta, cfg)
-                    )
-                    bovf = jnp.maximum(bovf, govf)
-                tile_data = pallas_stamp.gather_tile_data(
-                    lists, xa, va, oma, ra, acta
-                )
+                tile_data, counts, entry_slots = binned
                 solid, _ = pallas_stamp.stamp_solid_fraction(
                     xa, va, oma, ra, acta, cfg,
                     binned=(tile_data, counts, None, None), as_stack=True,
@@ -427,57 +445,12 @@ def make_step_fn(
 
     def step(state: SimState, f_scratch=None) -> SimState:
         if coupled:
-            d = state.disks
-            n_real = d.x.shape[0]
-            gparent = gaxes = aug = None
-            govf = jnp.zeros((), jnp.int32)
-            if periodic_dem and tile_lists is None:
-                # Periodic DEM: wrap positions, then select the disks
-                # whose stamp window can cross a periodic seam - their
-                # min-image ghost copies feed every coupling path below
-                # and their hydro forces fold back into the parents.
-                # (With tile_lists, the Verlet-cadence driver did this
-                # at the last rebuild - positions must NOT re-wrap here
-                # or the +-L jump would invalidate the persistent lists.)
-                xw, aug, gparent, gaxes, govf = imb.periodic_ghosts(
-                    d.x, d.v, d.omega, d.r, d.active, cfg
-                )
-                d = d._replace(x=xw)
-
-            def augmented(d):
-                if not periodic_dem:
-                    return d.x, d.v, d.omega, d.r, d.active
-                if aug is not None:  # fresh per-step selection above
-                    return aug
-                # Verlet-cadence: the stored selection, current positions
-                return imb.apply_ghosts(
-                    gparent, gaxes, d.x, d.v, d.omega, d.r, d.active, cfg
-                )
-
+            n_real = state.disks.x.shape[0]
+            d, (xa, va, oma, ra, acta), binned, bovf, gparent = (
+                coupling_inputs(state.disks)
+            )
             if use_pallas:
-                if tile_lists is not None:
-                    lists, counts, entry_slots, x_bin, gparent, gaxes = (
-                        tile_lists
-                    )
-                    travel2 = jnp.where(
-                        d.active, jnp.sum((d.x - x_bin) ** 2, axis=-1), 0.0
-                    )
-                    bovf = jnp.sum(
-                        travel2 > float(BIN_MARGIN) ** 2, dtype=jnp.int32
-                    )
-                    xa, va, oma, ra, acta = augmented(d)
-                    tile_data = pallas_stamp.gather_tile_data(
-                        lists, xa, va, oma, ra, acta
-                    )
-                else:
-                    xa, va, oma, ra, acta = augmented(d)
-                    lists, counts, entry_slots, bovf = (
-                        pallas_stamp.build_tile_lists(xa, acta, cfg)
-                    )
-                    bovf = jnp.maximum(bovf, govf)
-                    tile_data = pallas_stamp.gather_tile_data(
-                        lists, xa, va, oma, ra, acta
-                    )
+                tile_data, counts, entry_slots = binned
                 solid, _ = pallas_stamp.stamp_solid_fraction(
                     xa, va, oma, ra, acta, cfg,
                     binned=(tile_data, counts, None, None), as_stack=True,
@@ -516,8 +489,6 @@ def make_step_fn(
                         fail_step=state.fail_step,
                     )
             else:
-                bovf = govf
-                xa, va, oma, ra, acta = augmented(d)
                 eps, usx, usy = imb.stamp_solid_fraction(
                     xa, va, oma, ra, acta, cfg
                 )

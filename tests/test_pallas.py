@@ -447,6 +447,37 @@ def test_fused_imb_matches_oracle():
     np.testing.assert_allclose(np.asarray(phiy), np.asarray(phiy_r), rtol=1e-5, atol=5e-8)
 
 
+def test_fused_imb_lambda_mode_matches_oracle():
+    """nt_mode='lambda' (TRT/Lambda-consistent B weighting, VERDICT r4
+    #7): kernel vs oracle parity, and the weighting must actually
+    change the result vs the default NT blend (non-vacuous flag)."""
+    kw = dict(nx=128, ny=32, tau=0.8, dtype="float32", max_disks=1,
+              window=13, bc_west="wall", bc_east="wall", gy=-1e-5)
+    cfg = SimConfig(**kw, nt_mode="lambda")
+    f = _rand_f(cfg.ny, cfg.nx, seed=5)
+    xp = jnp.asarray([[64.0, 16.0]], jnp.float32)
+    vp = jnp.asarray([[0.01, -0.02]], jnp.float32)
+    om = jnp.asarray([0.005], jnp.float32)
+    rr = jnp.asarray([4.0], jnp.float32)
+    act = jnp.asarray([True])
+    eps, usx, usy = imb.stamp_solid_fraction(xp, vp, om, rr, act, cfg)
+
+    fpost, phix_r, phiy_r = imb.collide_imb(f, eps, usx, usy, cfg)
+    fref = lbm.apply_bounce_back(lbm.stream(fpost), fpost, cfg)
+
+    fgot, phix, phiy = pallas_lbm.fused_step_imb(f, eps, usx, usy, cfg)
+    np.testing.assert_allclose(np.asarray(fgot), np.asarray(fref),
+                               rtol=1e-6, atol=1e-7)
+    np.testing.assert_allclose(np.asarray(phix), np.asarray(phix_r),
+                               rtol=1e-5, atol=5e-8)
+    np.testing.assert_allclose(np.asarray(phiy), np.asarray(phiy_r),
+                               rtol=1e-5, atol=5e-8)
+    # at tau=0.8, tm 0.3 -> 0.625: B in the shell differs materially
+    _, phix_nt, _ = imb.collide_imb(f, eps, usx, usy, SimConfig(**kw))
+    assert not np.allclose(np.asarray(phix_r), np.asarray(phix_nt),
+                           rtol=0, atol=1e-9)
+
+
 def test_fused_imb_trt_matches_oracle():
     """Coupled kernel under TRT: the (1-B)-blended even/odd relaxation
     plus the unchanged NT solid term must match the oracle."""

@@ -369,6 +369,56 @@ def test_slab_kt_history_matches_oracle(mu):
     assert _spring_set(dr), "scene never built a spring - test is vacuous"
 
 
+def test_slab_kt_window_matches_per_step():
+    """dem_subcycle_window (the coupling-cadence slim 8-channel layout:
+    no baked force channels, springs at channel 8) with kt > 0 vs two
+    per-step slab subcycles. With window travel below a cell width the
+    frozen slot assignment equals the per-step rebuild, so positions,
+    velocities, wall springs and the pair-spring set must agree to
+    float tolerance - this pins the slim layout's spring-channel
+    offsets and the force-plane read path."""
+    cfg = _cfg(max_disks=8, kt=0.5, gamma_t=0.2, mu=0.4, n_sub=6,
+               g_py=-2e-4)
+    specs = [
+        DiskSpec(30.0, 5.8, 3.0),                 # rests on south wall
+        DiskSpec(35.5, 6.2, 3.0, omega=0.2),      # touches #0, spins
+        DiskSpec(60.0, 40.0, 3.0, vx=0.03),
+        DiskSpec(65.5, 41.0, 3.0, vx=-0.03),      # head-on pair
+        DiskSpec(90.0, 90.0, 2.5, vy=-0.05),
+        DiskSpec(90.0, 84.5, 2.5),                # vertical pair
+        DiskSpec(15.0, 100.0, 2.5),               # free flier
+        DiskSpec(100.3, 20.0, 3.0, omega=-0.1),
+    ]
+    disks = dem.make_disk_state(specs, cfg, "float32")
+    grid = DemGrid.build(cfg, 3.0)
+    rng = np.random.default_rng(5)
+    fh = [jnp.asarray(rng.uniform(-1e-3, 1e-3, (8, 2)), jnp.float32)
+          for _ in range(2)]
+    th = [jnp.asarray(rng.uniform(-1e-4, 1e-4, (8,)), jnp.float32)
+          for _ in range(2)]
+    sub_p = jax.jit(pallas_dem.dem_subcycle, static_argnums=(3, 4))
+    dp = disks
+    for t in range(2):
+        dp, ovf, _ = sub_p(dp, fh[t], th[t], grid, cfg)
+        assert int(ovf) == 0
+    dw, ovf_w, nc_w = jax.jit(
+        pallas_dem.dem_subcycle_window, static_argnums=(2, 3))(
+        disks, [(fh[0], th[0]), (fh[1], th[1])], grid, cfg)
+    assert int(ovf_w) == 0 and int(nc_w) > 0
+    np.testing.assert_allclose(np.asarray(dw.x), np.asarray(dp.x),
+                               rtol=0, atol=3e-5)
+    np.testing.assert_allclose(np.asarray(dw.v), np.asarray(dp.v),
+                               rtol=0, atol=3e-5)
+    np.testing.assert_allclose(np.asarray(dw.omega), np.asarray(dp.omega),
+                               rtol=0, atol=3e-5)
+    np.testing.assert_allclose(np.asarray(dw.wall_xi),
+                               np.asarray(dp.wall_xi), rtol=0, atol=3e-5)
+    sr, sw = _spring_set(dp), _spring_set(dw)
+    assert set(sw) == set(sr) and sr, "spring sets diverge (or vacuous)"
+    for k in sr:
+        assert abs(sw[k] - sr[k]) < 3e-5, (k, sw[k], sr[k])
+
+
 @pytest.mark.slow  # interpret-mode slab builds (~2 min)
 def test_slab_kt_periodic_wrap():
     """Springs persist across the periodic seam: a pair touching

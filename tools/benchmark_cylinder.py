@@ -66,6 +66,10 @@ def main(argv=None):
                          "mitigation of the diffuse-IMB drag bias "
                          "(calibrated r4: -0.35 at D=20, -0.14 at D=40 "
                          "land cD within 0.2% of the published 5.5795)")
+    ap.add_argument("--nt-mode", default=None, choices=("nt", "lambda"),
+                    help="NT blend weighting (cfg.nt_mode): 'lambda' = "
+                    "the TRT/Lambda-consistent B variant (VERDICT r4 #7 "
+                    "interface-side A/B)")
     ap.add_argument("--unsteady", action="store_true",
                     help="2D-2 case: Re=100 vortex shedding; measures the "
                          "Strouhal number from the lift zero crossings "
@@ -97,6 +101,8 @@ def main(argv=None):
         cfg = cfg.replace(eps_method=args.eps_method)
     if args.r_shift:
         cfg = cfg.replace(eps_r_shift=args.r_shift)
+    if args.nt_mode:
+        cfg = cfg.replace(nt_mode=args.nt_mode)
     if args.unsteady:
         # Re = 100: nu = u_mean D / 100; TRT keeps the coarse grid
         # well-behaved at the resulting tau ~ 0.53

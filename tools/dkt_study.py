@@ -163,10 +163,34 @@ def run_study(nx=120, tau=0.55, dtype="float64", use_pallas=False,
     return out
 
 
-def check_literature(m):
+# Recorded calibration of the production-resolution published-geometry
+# runs (nx=120 f64 oracle and nx=128 f32 fused path agree - the
+# anchors are not precision-marginal): kissing at 1.505 s, drafting
+# ratio 1.139.
+PIN_NX128 = (1.505, 1.139)
+
+
+def check_literature(m, pin=None):
     """The external-anchor asserts (numbers from the DKT literature,
-    not from this repo - see module docstring for provenance)."""
+    not from this repo - see module docstring for provenance).
+
+    pin=(t_kiss_s, draft_ratio): additionally pin the RECORDED
+    calibration values of a specific configuration (+-15% / +-10%), so
+    a regression cannot hide inside the wide cross-method literature
+    window (VERDICT r4 weak #4 - the same outer-window + recorded-pin
+    pattern as the collapse runout fit). The literature window stays
+    the outer gate; the pin guards this framework's own trajectory."""
     assert m["t_kiss_s"] is not None, "no kiss: DKT never made contact"
+    if pin is not None:
+        t_ref, r_ref = pin
+        assert abs(m["t_kiss_s"] - t_ref) <= 0.15 * t_ref, (
+            f"kissing time drifted off the recorded calibration: "
+            f"t={m['t_kiss_s']:.3f} s vs pinned {t_ref:.3f} s +-15%"
+        )
+        assert abs(m["draft_ratio"] - r_ref) <= 0.10 * r_ref, (
+            f"draft ratio drifted off the recorded calibration: "
+            f"{m['draft_ratio']:.3f} vs pinned {r_ref:.3f} +-10%"
+        )
     assert 0.8 < m["t_kiss_s"] < 3.5, (
         f"kissing at t={m['t_kiss_s']:.2f} s outside the published "
         f"cross-method window [0.8, 3.5] s (Feng & Michaelides 2004 "
@@ -210,13 +234,16 @@ def main(argv=None):
         # draft ratio 1.139 measured with x64 off) - the anchors are not
         # precision-marginal
         jax.config.update("jax_enable_x64", True)
+    pin = None
     if args.fast:
         m = run_study(nx=80)
     elif args.pallas:
         m = run_study(nx=128, dtype="float32", use_pallas=True)
+        pin = PIN_NX128  # recorded on this config (f32 fused path)
     else:
         m = run_study()
-    check_literature(m)
+        pin = PIN_NX128  # f64 oracle tracks the f32 value closely
+    check_literature(m, pin=pin)
     print(f"t_kiss={m['t_kiss_s']:.3f} s, draft ratio "
           f"{m['draft_ratio']:.3f}, post-kiss |dx| "
           f"{m['max_dx_post_kiss_cm']:.3f} cm")
