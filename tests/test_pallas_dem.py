@@ -369,6 +369,9 @@ def test_slab_kt_history_matches_oracle(mu):
     assert _spring_set(dr), "scene never built a spring - test is vacuous"
 
 
+@pytest.mark.slow  # ~90 s interpret (4 slab programs); the quick lane's
+# slim-window coverage is test_coupled_window_matches_windowed_oracle
+# (kt=0); this adds the spring-channel offsets
 def test_slab_kt_window_matches_per_step():
     """dem_subcycle_window (the coupling-cadence slim 8-channel layout:
     no baked force channels, springs at channel 8) with kt > 0 vs two

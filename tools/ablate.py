@@ -201,6 +201,87 @@ def build_variants(cfg, grid, axis="y"):
 
         return step
 
+    def assemble_window(ck, do_bin, do_stamp, do_reduce, dem_kind,
+                        do_gather=True):
+        """Stage decomposition of the coupling-cadence WINDOW step
+        (cfg.coupling_k = ck: fused_step_imb_reduce_multi + the
+        window-persistent slim-slab DEM), mirroring simulation.py's
+        coupling path. The reduce ablates via zeroed counts exactly
+        like assemble_fused (traced-trip-count loops, all k inner
+        steps); the DEM ablates to a live function of ALL k force
+        gathers so the per-inner-step gather chain stays."""
+
+        def step(state, lists, counts, entry_slots):
+            d = state.disks
+            if do_bin:
+                lists, counts, entry_slots, _ = (
+                    pallas_stamp.build_tile_lists(
+                        d.x, d.active, cfg, margin=BIN_MARGIN
+                    )
+                )
+            if do_gather:
+                tile_data = pallas_stamp.gather_tile_data(
+                    lists, d.x, d.v, d.omega, d.r, d.active
+                )
+            else:
+                n_tiles, cap = lists.shape
+                tile_data = jnp.zeros(
+                    (n_tiles, 1, cap * 8), jnp.float32
+                ) + jnp.sum(tiny(d.x)) + jnp.sum(tiny(lists))
+            if do_stamp:
+                solid, _ = pallas_stamp.stamp_solid_fraction(
+                    d.x, d.v, d.omega, d.r, d.active, cfg,
+                    binned=(tile_data, counts, None, None), as_stack=True,
+                )
+            else:
+                live = jnp.sum(tiny(tile_data))
+                solid = jnp.zeros((3, cfg.ny, cfg.nx), jnp.float32) + live
+            rcounts = counts if do_reduce else jnp.zeros_like(counts)
+            fnew, parts = pallas_lbm.fused_step_imb_reduce_multi(
+                state.f, solid, cfg, ck, tile_data, rcounts
+            )
+            forces = []
+            for t in range(ck):
+                fh, tq = pallas_stamp.gather_partials(
+                    parts[t], entry_slots, d.x.dtype
+                )
+                forces.append((fh, tq))
+            if dem_kind == "slab":
+                disks, ovf, nc = pallas_dem.dem_subcycle_window(
+                    d, forces, grid, cfg, axis
+                )
+            else:
+                acc = forces[0][0]
+                for fh, _ in forces[1:]:
+                    acc = acc + fh
+                disks = d._replace(
+                    x=d.x + tiny(acc).astype(d.x.dtype),
+                    v=d.v + tiny(acc).astype(d.x.dtype),
+                )
+                ovf = state.overflow
+                nc = state.n_contacts
+            return state._replace(
+                f=fnew, disks=disks, step=state.step + ck,
+                overflow=jnp.maximum(state.overflow, ovf), n_contacts=nc,
+            )
+
+        return step
+
+    ck = cfg.coupling_k
+    if ck > 1:
+        # window-mode marginals (ABLATE_COUPLING_K): "floor" is the one
+        # irreducible f pass - compare it to full/ck (one HBM pass per
+        # window); main() normalizes the others to per-LBM-step ms
+        return {
+            "floor": assemble(False, False, "floor", False, None),
+            "full": assemble_window(ck, False, True, True, "slab"),
+            "full+bin": assemble_window(ck, True, True, True, "slab"),
+            "no-stamp": assemble_window(ck, False, False, True, "slab"),
+            "no-reduce": assemble_window(ck, False, True, False, "slab"),
+            "no-dem": assemble_window(ck, False, True, True, None),
+            "no-gather": assemble_window(ck, False, True, True, "slab",
+                                         do_gather=False),
+        }
     if cfg.f_storage == "bfloat16":
         # marginals vs the fused production step ("full" == "fused"
         # here); "no-lbm" has no bf16 analogue (the LBM IS the kernel)
@@ -246,7 +327,9 @@ def main():
     cfg = cfg.replace(out_interval=10**9,
                       eps_method=os.environ.get("ABLATE_EPS", "sample"),
                       f_storage=os.environ.get("ABLATE_F_STORAGE",
-                                               "float32"))
+                                               "float32"),
+                      coupling_k=int(os.environ.get("ABLATE_COUPLING_K",
+                                                    "1")))
     sim = Simulation(cfg, disks, use_pallas=True)
     cfg, grid = sim.cfg, sim.grid
     variants = build_variants(cfg, grid, sim.dem_axis)
@@ -278,7 +361,10 @@ def main():
             out = fn(out._replace(step=jnp.zeros((), jnp.int32)))
             jax.device_get(out.step)
             best = min(best, time.time() - t0)
-        ms = best / chunk * 1e3
+        # window mode: each call advances coupling_k LBM steps (floor
+        # stays per-pass - one f round-trip, the window's HBM unit)
+        spc = cfg.coupling_k if name != "floor" else 1
+        ms = best / chunk / spc * 1e3
         results[name] = ms
         print(f"{name:10s} {ms:8.3f} ms/step   (compile {compile_s:.0f}s)",
               flush=True)

@@ -180,7 +180,8 @@ def main(argv=None):
 #   Interpolating to the published 5.5795 gives s = -0.35; confirmed:
 #     scale 1, s=-0.35: cD=5.5899 (+0.19%, INSIDE [5.57, 5.59])
 #   Applying the same 1.34x slope factor at scale 2 PREDICTS s = -0.14
-#   for the residual +0.93% bias; confirmed (prediction, not a fit):
+#   for the residual +0.93% bias; MEASURED on TPU r5 (120k steps,
+#   /tmp/batch_r5.log) - the run landed exactly on the prediction:
 #     scale 2, s=-0.14: cD=5.5764 (-0.06%, inside the interval)
 #   The calibrated shift scales with the residual bias (~1/D with the
 #   bias's own super-linear convergence on top), so it is a

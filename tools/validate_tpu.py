@@ -317,19 +317,25 @@ def _cylinder():
 
 
 def _rshift():
-    """eps_r_shift hydrodynamic-radius calibration at the calibrated
-    point (2D-1, D=20, s=-0.35): the interface-side mitigation of the
-    diffuse-IMB drag bias. RECORDED r4 (TPU v5e, f32): cD=5.5899
-    (+0.19% vs the published 5.5795; uncalibrated D=20 reads +4.4%).
-    Budget 1.5% - generous vs the recorded +0.19% so session noise
-    (last-interval dcD ~1e-2) cannot flake it, tight enough that a
-    coverage/force-share regression in the shifted-radius path cannot
-    hide (the uncalibrated bias is 4.4%)."""
+    """eps_r_shift hydrodynamic-radius calibration at BOTH calibrated
+    points: D=20 s=-0.35 (RECORDED r4: cD=5.5899, +0.19%) and D=40
+    s=-0.14 (MEASURED r5 at scale 2/120k steps: cD=5.5764, -0.06% -
+    the r4 slope prediction confirmed on hardware; uncalibrated D=20
+    reads +4.4%). Budget 1.5% per point - generous vs the recorded
+    deviations so session noise (last-interval dcD ~1e-2) cannot flake
+    it, tight enough that a coverage/force-share regression in the
+    shifted-radius path cannot hide. The D=40 leg costs ~40 s on a
+    healthy attachment (880x164 is tiny for the chip)."""
     from tools.benchmark_cylinder import main as cyl
 
     cd, cl = cyl(["--r-shift=-0.35"])
     dev = abs(cd - 5.5795) / 5.5795
     assert dev < 0.015, f"calibrated D=20 drag off by {dev:.2%} (budget 1.5%)"
+    cd40, _ = cyl(["--scale=2", "--r-shift=-0.14"])
+    dev40 = abs(cd40 - 5.5795) / 5.5795
+    assert dev40 < 0.015, (
+        f"calibrated D=40 drag off by {dev40:.2%} (budget 1.5%)"
+    )
     print("RSHIFT OK")
 
 
