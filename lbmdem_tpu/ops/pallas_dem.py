@@ -864,10 +864,16 @@ def dem_subcycle_window(
         bake_forces=False,
     )
     nc_s = None
-    for fh, th_ in forces:
-        f3 = _force_planes(slot, fh, th_, body_f, slabs.shape)
+    # ONE channel-packed scatter builds ALL k force planes (every inner
+    # step's forces exist up front - the LBM window kernel emitted them
+    # stacked): XLA scatter calls serialize on TPU (~0.5 ms each at 10k
+    # rows), so k separate _force_planes calls were over half the DEM
+    # window marginal at k=8 (tools/ablate.py, r5). Static slices of
+    # the leading axis feed the chained kernel calls copy-free.
+    f3all = _force_planes_window(slot, forces, body_f, slabs.shape)
+    for t in range(len(forces)):
         slabs, nc_s = _kernel_call(slabs, kmax, n_occ, band_offs, grid,
-                                   cfg, axis, forces3=f3, slim=True)
+                                   cfg, axis, forces3=f3all[t], slim=True)
     new, overflow = _unslab(slabs, slot, disks, cfg, j36, overflow,
                             slim=True)
     # leftover (un-slotted) disks integrate per inner step in disk
@@ -898,29 +904,36 @@ def dem_subcycle_window(
     return new, overflow, nc
 
 
-def _force_planes(slot_of_disk, f_hydro, t_hydro, body_f, slab_shape):
-    """Fresh (3, K, R, C) hydro+body force stack for one window inner
-    step - ONE channel-packed column scatter into zeros, exactly
-    build_slabs' measured-fast pattern (never a read-modify-write of
-    the big slab tensor: that variant forced whole-tensor
-    relayout/copy chains and benched 5-7x slower end-to-end)."""
+def _force_planes_window(slot_of_disk, forces, body_f, slab_shape):
+    """(k, 3, K, R, C) hydro+body force stacks for ALL k window inner
+    steps in ONE channel-packed column scatter into zeros (XLA scatter
+    serializes per call on TPU - k calls measured over half the DEM
+    window marginal at k=8; build_slabs' measured-fast pattern, never a
+    read-modify-write of the big slab tensor: that variant forced
+    whole-tensor relayout/copy chains and benched 5-7x slower
+    end-to-end). forces = [(f_hydro, t_hydro), ...] per inner step."""
     n = slot_of_disk.shape[0]
     f32 = jnp.float32
-    f_hydro = jnp.broadcast_to(f_hydro, (n, 2))
-    t_hydro = jnp.broadcast_to(t_hydro, (n,))
     body_f = jnp.broadcast_to(body_f, (n, 2))
-    packed = jnp.stack(
-        [(f_hydro[:, 0] + body_f[:, 0]).astype(f32),
-         (f_hydro[:, 1] + body_f[:, 1]).astype(f32),
-         t_hydro.astype(f32)], axis=0,
-    )
+    rows = []
+    for f_hydro, t_hydro in forces:
+        f_hydro = jnp.broadcast_to(f_hydro, (n, 2))
+        t_hydro = jnp.broadcast_to(t_hydro, (n,))
+        rows.extend([
+            (f_hydro[:, 0] + body_f[:, 0]).astype(f32),
+            (f_hydro[:, 1] + body_f[:, 1]).astype(f32),
+            t_hydro.astype(f32),
+        ])
+    packed = jnp.stack(rows, axis=0)  # (3k, n)
+    k = len(forces)
     K, R, C = slab_shape[1:]
     nslots = K * R * C
     # mask + clip explicitly: .at[] wraps negative indices even with
     # mode='drop' (CLAUDE.md)
     tgt = jnp.where(slot_of_disk >= 0, slot_of_disk, nslots)
-    dense = jnp.zeros((3, nslots), f32).at[:, tgt].set(packed, mode="drop")
-    return dense.reshape(3, K, R, C)
+    dense = (jnp.zeros((3 * k, nslots), f32)
+             .at[:, tgt].set(packed, mode="drop"))
+    return dense.reshape(k, 3, K, R, C)
 
 
 def _leftover_fallback(new, disks, leftover, overflow, f_hydro, t_hydro,

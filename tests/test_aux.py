@@ -379,7 +379,7 @@ def test_paranoid_mode_coupled_and_clean():
 def test_paranoia_chunk_static_hoist():
     """paranoia='chunk' keeps the static-solid hoist (per-step mode
     forfeits it) and validates at the TEMPORAL_K kernel boundary: a NaN
-    injected at step 8 is reported at step 12 (the end of the first
+    injected at step 4 is reported at step 8 (the end of the first
     k=4 block), with the state frozen there."""
     import jax.numpy as jnp
     import pytest
@@ -392,13 +392,13 @@ def test_paranoia_chunk_static_hoist():
     sim = Simulation(cfg, [DiskSpec(40.0, 16.0, 3.0, fixed=True)],
                      use_pallas=True)
     assert sim.static_solid and cfg.paranoia_mode == "chunk"
-    sim.run(8)  # healthy: no false positive through the hoisted chunk
+    sim.run(4)  # healthy: no false positive through the hoisted chunk
     assert int(sim.state.fail_step) == -1
     sim.state = sim.state._replace(f=sim.state.f.at[0, 5, 7].set(jnp.nan))
     with pytest.raises(SimulationDiverged) as ei:
-        sim.run(12)
-    assert ei.value.step == 12  # block end (8 + TEMPORAL_K)
-    assert int(sim.state.step) == 12
+        sim.run(8)
+    assert ei.value.step == 8  # block end (4 + TEMPORAL_K)
+    assert int(sim.state.step) == 8
 
 
 @pytest.mark.slow  # ~107 s interpret-mode fused coupled build; the

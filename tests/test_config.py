@@ -169,11 +169,12 @@ def test_si_deck_matches_lattice_deck(tmp_path):
         [d_lat[0].x, d_lat[0].y, d_lat[0].r, d_lat[0].vy, d_lat[0].omega],
         rtol=1e-12,
     )
-    # identical lattice-unit inputs => identical trajectories
-    s1 = Simulation(cfg_si.replace(steps=50), d_si)
-    s2 = Simulation(cfg_lat.replace(steps=50), d_lat)
-    s1.run(50)
-    s2.run(50)
+    # identical lattice-unit inputs => identical trajectories (20 steps
+    # suffice: the converted parameters feed every term from step 1)
+    s1 = Simulation(cfg_si.replace(steps=20), d_si)
+    s2 = Simulation(cfg_lat.replace(steps=20), d_lat)
+    s1.run(20)
+    s2.run(20)
     np.testing.assert_allclose(
         np.asarray(s1.state.disks.x), np.asarray(s2.state.disks.x),
         rtol=0, atol=1e-12,

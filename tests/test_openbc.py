@@ -83,6 +83,9 @@ def test_zou_he_shift_identity():
                                    np.asarray(p), rtol=1e-13)
 
 
+@pytest.mark.slow  # r5 lane trim: the bf16 x Zou/He composition keeps a
+# quick rep in test_sharding.py::test_pallas_sharded_fluid_bf16_openbc,
+# and plain openbc / plain bf16 kernel parity each stay quick
 def test_openbc_bf16_kernel_parity(_interpret):
     """Zou/He + shifted-bf16 f storage on the fused kernel vs the
     quantized oracle (dequantize -> f32 oracle step -> requantize).

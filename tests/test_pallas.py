@@ -23,20 +23,28 @@ def _rand_f(ny, nx, seed=0):
     return jnp.asarray(base * pert)
 
 
+# Quick-lane representatives cover every kernel FEATURE (periodic/wall
+# BCs, forcing, LES, moving walls, TRT, TRT+LES); the slow-marked rows
+# are compositions of already-covered features (r5 lane trim - the
+# full matrix still runs under -m slow).
+_sp = pytest.mark.slow
 CFGS = [
     dict(),  # periodic x, walls y
     dict(bc_west="wall", bc_east="wall"),
     dict(bc_south="periodic", bc_north="periodic"),
     dict(gx=1e-5, gy=-2e-5),
-    dict(bc_west="wall", bc_east="wall", gy=-1e-5),
+    pytest.param(dict(bc_west="wall", bc_east="wall", gy=-1e-5),
+                 marks=_sp),  # walls x forcing: both covered above
     dict(smagorinsky=0.16, gx=2e-5),  # LES path
     # moving walls (C6): lid-driven cavity + mixed moving sides
     dict(bc_west="wall", bc_east="wall", uw_north=0.08),
-    dict(bc_west="wall", bc_east="wall", uw_west=0.05, uw_south=-0.02,
-         uw_east=-0.03, uw_north=0.04),
+    pytest.param(dict(bc_west="wall", bc_east="wall", uw_west=0.05,
+                      uw_south=-0.02, uw_east=-0.03, uw_north=0.04),
+                 marks=_sp),  # 4-sided: uw term covered by uw_north
     # TRT collision (even/odd split in the pair-form kernel algebra)
     dict(collision="trt"),
-    dict(collision="trt", bc_west="wall", bc_east="wall", gx=2e-5),
+    pytest.param(dict(collision="trt", bc_west="wall", bc_east="wall",
+                      gx=2e-5), marks=_sp),  # trt x walls x forcing
     dict(collision="trt", smagorinsky=0.16, gx=1e-5),  # TRT + LES
 ]
 
@@ -97,7 +105,7 @@ def test_fluid_temporal_block_matches_oracle(overrides):
                                rtol=1e-5, atol=5e-7)
 
 
-@pytest.mark.parametrize("k", [2, 5])
+@pytest.mark.parametrize("k", [pytest.param(2, marks=pytest.mark.slow), 5])
 def test_fluid_temporal_block_odd_k_multi_tile(k):
     """Non-maximal k on a multi-tile grid (iy/ix wall conditions +
     cross-tile halo wraps inside the blocked window)."""
@@ -112,7 +120,10 @@ def test_fluid_temporal_block_odd_k_multi_tile(k):
                                rtol=1e-5, atol=5e-7)
 
 
-@pytest.mark.parametrize("ybc", ["wall", "periodic"])
+@pytest.mark.parametrize("ybc", [
+    pytest.param("wall", marks=pytest.mark.slow),  # r5 lane trim: the
+    # periodic-y variant composes two halo mechanisms and stays quick
+    "periodic"])
 def test_fluid_temporal_block_openbc(ybc):
     """Zou/He inlet/outlet under temporal blocking: the closure is
     reconstructed on the boundary columns per inner step inside the
@@ -191,6 +202,9 @@ def test_static_imb_temporal_block_matches_oracle(openbc):
                                rtol=1e-5, atol=2e-6)
 
 
+@pytest.mark.slow  # the openbc variant below drives the same chunk
+# machinery (temporal blocks + remainder) plus Zou/He - it is the
+# quick-lane representative (r5 lane trim)
 def test_simulation_temporal_chunks_match_oracle():
     """Simulation chunk driver mixing TEMPORAL_K-step macros + a
     single-step remainder (19 = 4x4 + 3 at the production k=4) vs the

@@ -29,7 +29,8 @@ def _disks(cfg, n, r=3.0, seed=0, lo=6.0, hi=None):
 
 
 def test_slab_subcycle_matches_oracle():
-    cfg = _cfg()
+    cfg = _cfg(n_sub=6)  # cost ~ n_sub in interpret; 6 keeps multi-substep
+    # contact evolution while trimming the quick lane (r5)
     disks = _disks(cfg, 24, r=3.0, seed=3, lo=20.0, hi=60.0)  # dense
     grid = DemGrid.build(cfg, 3.0)
     fh = jnp.zeros((24, 2), jnp.float32)
@@ -327,7 +328,7 @@ def test_slab_kt_history_matches_oracle(mu):
     THREE LBM steps (exercises the cross-step rematch through
     ct_j/ct_xi, the per-substep slip-consistent truncation - mu=0.05
     makes the Coulomb cap bind - and wall springs)."""
-    cfg = _cfg(max_disks=8, kt=0.5, gamma_t=0.2, mu=mu, n_sub=6,
+    cfg = _cfg(max_disks=8, kt=0.5, gamma_t=0.2, mu=mu, n_sub=4,
                g_py=-2e-4)
     specs = [
         DiskSpec(30.0, 5.8, 3.0),                 # rests on south wall

@@ -98,6 +98,8 @@ def test_stamp_area_conserved_across_seam():
         np.testing.assert_allclose(a_seam, np.pi * 2.5**2, rtol=1e-2)
 
 
+@pytest.mark.slow  # oracle-only physics invariance (no kernel parity);
+# the seam force/stamp tests are the quick periodic representatives
 def test_oracle_trajectory_translation_invariant():
     """The strong invariance test: shifting the whole scene by nx/2
     along the periodic axis must shift the trajectory and nothing else
