@@ -43,6 +43,9 @@ Parameter keywords (reference-format; SURVEY C18 lists the set):
                           [-1, 0]): shrinks the COVERAGE radius only,
                           compensating the diffuse-interface drag bias
                           (SimConfig.eps_r_shift; default 0)
+    nt_mode nt|lambda     NT blend weighting (default nt; lambda = the
+                          TRT/Lambda-consistent experiment, measured
+                          WORSE on 2D-1 drag - docs/performance.md)
     dtype float32|float64
     f_storage float32|bfloat16   HBM storage of f on the fused path
                           (bfloat16 = shifted-population storage)
@@ -522,6 +525,8 @@ def load_param_file(path: str) -> Tuple[SimConfig, Optional[str]]:
                 kw["collision"] = vals[0]
             elif key == "eps_method":
                 kw["eps_method"] = vals[0]
+            elif key == "nt_mode":
+                kw["nt_mode"] = vals[0]
             elif key == "inlet_profile":
                 kw["inlet_profile"] = vals[0]
             elif key in ("tau", "gx", "gy", "kn", "kt", "gamma_n", "gamma_t",

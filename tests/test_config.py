@@ -246,3 +246,19 @@ def test_eps_method_deck_keyword(tmp_path):
     p.write_text(base + "eps_method voxel\n")
     with pytest.raises(ValueError, match="eps_method"):
         load_param_file(str(p))
+
+
+def test_nt_mode_deck_keyword(tmp_path):
+    """nt_mode is deck-settable (nt = published NT blend default;
+    lambda = the TRT/Lambda-consistent experiment - refuted on 2D-1
+    drag but kept as a measured verdict, docs/performance.md)."""
+    import pytest
+
+    p = tmp_path / "run.par"
+    base = "nx 32\nny 32\ntau 0.8\nsteps 10\nout_interval 10\n"
+    p.write_text(base + "nt_mode lambda\n")
+    cfg, _ = load_param_file(str(p))
+    assert cfg.nt_mode == "lambda"
+    p.write_text(base + "nt_mode bogus\n")
+    with pytest.raises(ValueError, match="nt_mode"):
+        load_param_file(str(p))
