@@ -159,6 +159,16 @@ def tile_dims(cfg: SimConfig, wide: bool = False,
     return th, tw
 
 
+def _vmem_limit() -> int:
+    """Scoped-VMEM limit for the lattice kernels (bytes). 96 MB is the
+    qualified default; LBMDEM_VMEM_MB overrides at trace time for
+    hardware A/Bs (e.g. th=256 under the coupling_k tier wants ~110 MB
+    - tools/ab_tiles.py; v5e VMEM is 128 MB total, so leave headroom)."""
+    import os
+
+    return int(os.environ.get("LBMDEM_VMEM_MB", "96")) * 2**20
+
+
 def _collide_window(win, cfg: SimConfig, eps=None, usx=None, usy=None,
                     shift: float = 0.0):
     """Moments + (NT-blended) BGK/TRT + Guo forcing on a (9, H, W) window.
@@ -643,7 +653,7 @@ def fused_step_fluid(f: jax.Array, cfg: SimConfig, prehalo: bool = False,
             dimension_semantics=("arbitrary", "arbitrary"),
             # default tiles fit the 16 MB scoped-VMEM default, but the
             # LBMDEM_TH/TW overrides (tools/ab_tiles.py) can exceed it
-            vmem_limit_bytes=96 * 2**20,
+            vmem_limit_bytes=_vmem_limit(),
         ),
         input_output_aliases=aliases,
         interpret=_interpret(),
@@ -885,7 +895,7 @@ def fused_step_fluid_multi(f: jax.Array, cfg: SimConfig, k: int,
             # 8 inlined steps keep ~2 window-sized plane sets live in
             # vregs/VMEM spill on top of the 7.4 MB double-buffered
             # window - headroom over the 16 MB scoped default
-            vmem_limit_bytes=96 * 2**20,
+            vmem_limit_bytes=_vmem_limit(),
         ),
         input_output_aliases=aliases,
         interpret=_interpret(),
@@ -1022,7 +1032,7 @@ def fused_step_imb_static_multi(f: jax.Array, solid: jax.Array,
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary"),
-            vmem_limit_bytes=96 * 2**20,
+            vmem_limit_bytes=_vmem_limit(),
         ),
         input_output_aliases=aliases,
         interpret=_interpret(),
@@ -1230,7 +1240,7 @@ def fused_step_imb_reduce(
             dimension_semantics=("arbitrary", "arbitrary"),
             # tw=1024 windows need ~20 MB scoped VMEM (> the 16 MB
             # default); well under the 128 MB/core physical budget
-            vmem_limit_bytes=96 * 2**20,
+            vmem_limit_bytes=_vmem_limit(),
         ),
         input_output_aliases=aliases,
         interpret=_interpret(),
@@ -1438,7 +1448,7 @@ def fused_step_imb_reduce_multi(
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary"),
-            vmem_limit_bytes=96 * 2**20,
+            vmem_limit_bytes=_vmem_limit(),
         ),
         input_output_aliases=aliases,
         interpret=_interpret(),
@@ -1543,7 +1553,7 @@ def fused_step_imb(
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary"),
             # headroom for the LBMDEM_TH/TW tile overrides
-            vmem_limit_bytes=96 * 2**20,
+            vmem_limit_bytes=_vmem_limit(),
         ),
         input_output_aliases=aliases,
         interpret=_interpret(),
