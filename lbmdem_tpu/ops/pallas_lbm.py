@@ -88,12 +88,14 @@ def coupled_tile_rows(coupling_k: int) -> Tuple[int, ...]:
     (tile_dims below, pallas_stamp.tile_dims, and
     parallel/_pallas_step.canvas_pads; the fused kernel's trace-time
     "stamp rows == lattice tile rows" assert is the backstop, this is
-    the fix-in-one-place). coupling_k == 1 prefers th=256 (+2.3-2.4%
-    measured both storages); the k-step window kernel blows the 96 MB
-    scoped-VMEM budget at th=256 (109.4 MB at k=4/tw=1024), so k > 1
-    drops the whole chain back to 128 rows."""
-    return ((256, 128, 64, 32, 16, 8) if coupling_k == 1
-            else (128, 64, 32, 16, 8))
+    the fix-in-one-place). th=256 wins at EVERY coupling_k since r5:
+    +2.3-2.4% at k=1 (both storages, 96 MB scoped VMEM suffices) and
+    +1.3-1.9% at the k>1 window tiers once the coupled kernels' scoped
+    limit is 118 MB (the k=4/tw=1024 window wants 109.4 MB; measured
+    4096^2 bf16+ramp k=8 3524->3570, f32 k=4 3106->3165 - r4 kept k>1
+    at 128 rows only because of the old 96 MB limit)."""
+    del coupling_k  # one chain for every k since the 118 MB limit
+    return (256, 128, 64, 32, 16, 8)
 
 
 def tile_dims(cfg: SimConfig, wide: bool = False,
@@ -112,11 +114,13 @@ def tile_dims(cfg: SimConfig, wide: bool = False,
     th=256 winners become per-path flavors (r4):
     - `fluid=True` (f32 storage only): pure-fluid kernels, +4.2%
       (no stamp-tile coupling, no bf16 VMEM pressure);
-    - `coupled=True` (any storage): fused_step_imb_reduce, +2.3-2.4%
-      measured on BOTH f32 (2265 vs 2212) and bf16+ramp (2796 vs
-      2732). The whole binning chain follows: pallas_stamp.tile_dims
-      and parallel/_pallas_step.canvas_pads prefer the same 256 rows,
-      exactly what the LBMDEM_TH=256 A/B exercised (the fused kernel
+    - `coupled=True` (any storage, any coupling_k since r5):
+      fused_step_imb_reduce(+_multi), +2.3-2.4% at k=1 (2265 vs 2212
+      f32, 2796 vs 2732 bf16+ramp) and +1.3-1.9% at the k>1 window
+      tiers under the 118 MB coupled scoped-VMEM limit (3570/3165 at
+      k=8 bf16+ramp / k=4 f32). The whole binning chain follows:
+      pallas_stamp.tile_dims and parallel/_pallas_step.canvas_pads
+      derive from the same coupled_tile_rows (the fused kernel
       asserts stamp rows == lattice tile rows, so a mismatch anywhere
       in the chain fails loudly at trace time).
     The static-hoist kernel keeps 128 (its th=256 window is 103.5 MB,
@@ -159,14 +163,16 @@ def tile_dims(cfg: SimConfig, wide: bool = False,
     return th, tw
 
 
-def _vmem_limit() -> int:
+def _vmem_limit(default_mb: int = 96) -> int:
     """Scoped-VMEM limit for the lattice kernels (bytes). 96 MB is the
-    qualified default; LBMDEM_VMEM_MB overrides at trace time for
-    hardware A/Bs (e.g. th=256 under the coupling_k tier wants ~110 MB
-    - tools/ab_tiles.py; v5e VMEM is 128 MB total, so leave headroom)."""
+    qualified default; the COUPLED reduce kernels pass 118 (the th=256
+    window tier wants ~110 MB at k=4/tw=1024 - a measured win at every
+    coupling_k, see coupled_tile_rows; v5e VMEM is 128 MB total, so
+    leave headroom). LBMDEM_VMEM_MB overrides at trace time for
+    hardware A/Bs (tools/ab_tiles.py)."""
     import os
 
-    return int(os.environ.get("LBMDEM_VMEM_MB", "96")) * 2**20
+    return int(os.environ.get("LBMDEM_VMEM_MB", str(default_mb))) * 2**20
 
 
 def _collide_window(win, cfg: SimConfig, eps=None, usx=None, usy=None,
@@ -1240,7 +1246,7 @@ def fused_step_imb_reduce(
             dimension_semantics=("arbitrary", "arbitrary"),
             # tw=1024 windows need ~20 MB scoped VMEM (> the 16 MB
             # default); well under the 128 MB/core physical budget
-            vmem_limit_bytes=_vmem_limit(),
+            vmem_limit_bytes=_vmem_limit(118),
         ),
         input_output_aliases=aliases,
         interpret=_interpret(),
@@ -1448,7 +1454,7 @@ def fused_step_imb_reduce_multi(
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary"),
-            vmem_limit_bytes=_vmem_limit(),
+            vmem_limit_bytes=_vmem_limit(118),
         ),
         input_output_aliases=aliases,
         interpret=_interpret(),
